@@ -1,0 +1,17 @@
+from graph_python_spark.algorithms.pagerank import pagerank, pagerank_fixed
+from graph_python_spark.algorithms.components import connected_components, cc_fixed_rounds
+from graph_python_spark.algorithms.labelprop import label_propagation
+from graph_python_spark.algorithms.triangles import triangle_count
+from graph_python_spark.algorithms.traversal import bfs_levels, bfs_parents, sssp
+
+__all__ = [
+    "pagerank",
+    "pagerank_fixed",
+    "connected_components",
+    "cc_fixed_rounds",
+    "label_propagation",
+    "triangle_count",
+    "bfs_levels",
+    "bfs_parents",
+    "sssp",
+]

@@ -1,0 +1,119 @@
+"""Connected components — FastSV-style min-label fixpoint.
+
+Reference recipe (``notebooks/Connected Components -- FastSV.ipynb``):
+hook ``mngp << min_second(A @ gp)``, reduce-assign with min, shortcut
+``f << min(f | mngp)``, grandparent ``gp << f[f]``, terminate when labels
+stop changing.  The fixpoint assigns every vertex the MINIMUM vertex id of
+its (undirected) component — exact and permutation-invariant.
+
+Spark shape per round (both are single-shuffle joins):
+  * neighbor-min hook: edges ⋈ labels on src, groupBy(dst).min  — the
+    min_second SpMV;
+  * pointer jumping (shortcut): labels self-join ``f[f]`` halves tree depth,
+    giving O(log n) rounds instead of O(diameter) — this is what makes the
+    plan survive a 100×-diameter scale-up.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_python_spark.plans.iterate import IterationState, materialize
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+    return fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: Optional[DataFrame] = None,
+    max_rounds: int = 50,
+    partitions: Optional[int] = None,
+    checkpoint: Optional[IterationState] = None,
+) -> tuple[DataFrame, int]:
+    """Returns (labels(id, component), rounds). component = min id in component."""
+    esym = _symmetrize(edges)
+    if partitions:
+        esym = esym.repartition(partitions, "s")
+    esym = esym.cache()
+    if vertices is None:
+        vertices = esym.select(F.col("s").alias("id")).distinct()
+    vertices = vertices.select("id").cache()
+
+    start = 0
+    f = vertices.select(F.col("id").alias("i"), F.col("id").alias("v"))
+    if checkpoint is not None:
+        restored = checkpoint.restore()
+        if restored is not None:
+            start, states, _ = restored
+            f = states["labels"]
+    f = materialize(f)
+
+    rounds = start
+    for k in range(start, max_rounds):
+        # hook: mngp[d] = min over neighbors s of f[s]   (min_second SpMV)
+        nbrmin = (
+            esym.join(f.withColumnRenamed("i", "s"), "s")
+            .groupBy(F.col("d").alias("i"))
+            .agg(F.min("v").alias("_nm"))
+        )
+        # shortcut/grandparent: gp[v] = f[f[v]]
+        gp = (
+            f.select(F.col("i"), F.col("v").alias("_p"))
+            .join(f.select(F.col("i").alias("_p"), F.col("v").alias("_gp")), "_p")
+            .select("i", "_gp")
+        )
+        new_f = (
+            f.join(nbrmin, "i", "left_outer")
+            .join(gp, "i", "left_outer")
+            .select(
+                "i",
+                F.least(
+                    F.col("v"),
+                    F.coalesce(F.col("_nm"), F.col("v")),
+                    F.coalesce(F.col("_gp"), F.col("v")),
+                ).alias("v"),
+            )
+        )
+        new_f = materialize(new_f)
+        changed = (
+            f.withColumnRenamed("v", "_old")
+            .join(new_f, "i")
+            .filter(F.col("_old") != F.col("v"))
+            .limit(1)
+            .count()
+        )
+        f = new_f
+        rounds = k + 1
+        if checkpoint is not None:
+            checkpoint.save(rounds, {"labels": f}, {"changed": changed})
+        if changed == 0:
+            break
+    return f.select(F.col("i").alias("id"), F.col("v").alias("component")), rounds
+
+
+def cc_fixed_rounds(edges: DataFrame, vertices: Optional[DataFrame] = None,
+                    rounds: int = 12) -> DataFrame:
+    """Exactly ``rounds`` hook+shortcut rounds (no convergence action) —
+    deterministic output for the DuckDB-checked correctness query."""
+    esym = _symmetrize(edges).cache()
+    if vertices is None:
+        vertices = esym.select(F.col("s").alias("id")).distinct()
+    f = vertices.select(F.col("id").alias("i"), F.col("id").alias("v"))
+    for _ in range(rounds):
+        nbrmin = (
+            esym.join(f.withColumnRenamed("i", "s"), "s")
+            .groupBy(F.col("d").alias("i"))
+            .agg(F.min("v").alias("_nm"))
+        )
+        f = (
+            f.join(nbrmin, "i", "left_outer")
+            .select("i", F.least(F.col("v"), F.coalesce(F.col("_nm"), F.col("v"))).alias("v"))
+        )
+        f = materialize(f)
+    return f.select(F.col("i").alias("id"), F.col("v").alias("component"))

@@ -1,0 +1,80 @@
+"""Label propagation — synchronous argmax-over-neighbor-labels iteration.
+
+Not present in the reference library; defined by BASELINE.json's north star
+as "argmax-over-neighbors semiring iteration" with deterministic tie-break
+(smallest label wins — BASELINE.md).  The per-sweep kernel is the
+``max_second``-flavored SpMV generalized to (count, label) pairs:
+
+    counts[v, l] = |{u ~ v : label[u] = l}|          groupBy(dst, label)
+    label'[v]    = argmax_l counts with min-l ties   min_by over struct
+
+Both steps are single-shuffle groupBys with map-side combine; labels are the
+only state that moves between iterations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_python_spark.plans.iterate import materialize
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: Optional[DataFrame] = None,
+    max_sweeps: int = 100,
+    partitions: Optional[int] = None,
+    fixed_sweeps: Optional[int] = None,
+) -> tuple[DataFrame, int]:
+    """Returns (labels(id, label), sweeps).
+
+    ``fixed_sweeps``: run exactly that many synchronous sweeps with no
+    convergence action (deterministic, used by the oracle-checked query).
+    """
+    fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+    esym = fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    if partitions:
+        esym = esym.repartition(partitions, "s")
+    esym = esym.cache()
+    if vertices is None:
+        vertices = esym.select(F.col("s").alias("id")).distinct()
+    vertices = vertices.select("id").cache()
+
+    labels = vertices.select(F.col("id").alias("i"), F.col("id").alias("lbl"))
+    labels = materialize(labels)
+    sweeps = 0
+    total = fixed_sweeps if fixed_sweeps is not None else max_sweeps
+    for k in range(total):
+        # count neighbor labels per vertex (one shuffle, partial agg free)
+        counts = (
+            esym.join(labels.withColumnRenamed("i", "s"), "s")
+            .groupBy(F.col("d").alias("i"), F.col("lbl"))
+            .agg(F.count("*").alias("n"))
+        )
+        # argmax with smallest-label tie-break: min over (-n, lbl) lexicographic
+        best = counts.groupBy("i").agg(
+            F.min_by(F.col("lbl"), F.struct((-F.col("n")).alias("negn"), F.col("lbl"))).alias("_best")
+        )
+        new_labels = (
+            labels.join(best, "i", "left_outer")
+            .select("i", F.coalesce(F.col("_best"), F.col("lbl")).alias("lbl"))
+        )
+        new_labels = materialize(new_labels)
+        sweeps = k + 1
+        if fixed_sweeps is None:
+            changed = (
+                labels.withColumnRenamed("lbl", "_old")
+                .join(new_labels, "i")
+                .filter(F.col("_old") != F.col("lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels.select(F.col("i").alias("id"), F.col("lbl").alias("label")), sweeps

@@ -1,0 +1,112 @@
+"""BFS (level / parent) and SSSP — frontier-push SpMV loops.
+
+Reference recipes:
+  * level BFS  ``notebooks/Example B.1 -- Level BFS.ipynb``:
+      q(~v.S, replace) << q.vxm(A, lor_land)      — frontier expansion is a
+      vxm masked by "not yet visited" == left_anti join here.
+  * parent BFS ``notebooks/Example B.3 -- Parent BFS.ipynb``: min_first
+      semiring — smallest-id parent wins == groupBy(dst).min(src).
+  * SSSP       ``notebooks/Intro to GraphBLAS + SSSP example.ipynb``:
+      w(binary.min) << w.vxm(m, min_plus) to fixpoint.
+
+The frontier is always the small side; edges stay cached and partitioned by
+src across the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_python_spark.plans.iterate import materialize
+
+
+def bfs_levels(edges: DataFrame, source: int, max_depth: int = 10**9) -> DataFrame:
+    """Returns levels(id, level) for reachable vertices; level[source]=0."""
+    e = edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct().cache()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "id long, level int")
+    frontier = visited.select("id")
+    visited = materialize(visited)
+    frontier = materialize(frontier)
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "s"), "s")
+            .select(F.col("d").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")  # q(~v.S, replace)
+        )
+        nxt = materialize(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = materialize(
+            visited.unionByName(nxt.select("id", F.lit(depth).cast("int").alias("level")))
+        )
+        frontier = nxt
+    return visited
+
+
+def bfs_parents(edges: DataFrame, source: int) -> DataFrame:
+    """Returns parents(id, parent); parent[source]=source; min-id parent wins."""
+    e = edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct().cache()
+    spark = edges.sparkSession
+    parents = spark.createDataFrame([(source, source)], "id long, parent long")
+    frontier = parents.select("id")
+    parents = materialize(parents)
+    frontier = materialize(frontier)
+    while True:
+        cand = (
+            e.join(frontier.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("s").alias("parent"))  # min_first semiring
+            .join(parents.select("id"), "id", "left_anti")
+        )
+        cand = materialize(cand)
+        if cand.limit(1).count() == 0:
+            break
+        parents = materialize(parents.unionByName(cand))
+        frontier = cand.select("id")
+    return parents
+
+
+def sssp(edges: DataFrame, source: int, weight: str = "v",
+         max_rounds: int = 10**9) -> DataFrame:
+    """Min-plus SSSP to fixpoint. edges: (i, j, v); returns dist(id, distance)."""
+    e = (
+        edges.select(F.col("i").alias("s"), F.col("j").alias("d"),
+                     F.col(weight).cast("double").alias("w"))
+        .groupBy("s", "d").agg(F.min("w").alias("w"))
+        .cache()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0.0)], "id long, distance double")
+    dist = materialize(dist)
+    frontier = dist  # vertices whose distance improved last round
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        cand = (
+            e.join(frontier.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min(F.col("distance") + F.col("w")).alias("_nd"))  # min_plus
+        )
+        merged = (
+            dist.join(cand, "id", "full_outer")
+            .select(
+                "id",
+                F.least(F.coalesce(F.col("distance"), F.lit(float("inf"))),
+                        F.coalesce(F.col("_nd"), F.lit(float("inf")))).alias("distance"),
+                (F.col("_nd").isNotNull()
+                 & (F.col("distance").isNull() | (F.col("_nd") < F.col("distance")))).alias("_improved"),
+            )
+        )
+        merged = materialize(merged)
+        frontier = merged.filter(F.col("_improved")).select("id", "distance")
+        new_dist = merged.select("id", "distance")
+        if frontier.limit(1).count() == 0:
+            dist = new_dist
+            break
+        dist = new_dist
+    return dist

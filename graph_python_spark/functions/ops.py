@@ -1,0 +1,243 @@
+"""Operator taxonomy: unary / binary / monoid / index-unary / aggregator.
+
+Mirrors the reference's op namespaces (python-graphblas populates
+``graphblas.unary/binary/monoid/...`` by parsing the SuiteSparse symbol
+table — ``core/operator/base.py:398-460``).  Here every op is a *Column
+expression builder*: a callable ``(Column, ...) -> Column`` that stays
+JVM-side (whole-stage codegen), never a Python UDF.
+
+Reference op catalogs:
+  * UnaryOp   regexes  ``graphblas/core/operator/unary.py:142-167``
+  * BinaryOp  regexes  ``graphblas/core/operator/binary.py:332-368``
+  * Monoid    regexes  ``graphblas/core/operator/monoid.py:183-194``
+  * IndexUnaryOp       ``graphblas/core/operator/indexunary.py:95-115``
+  * Aggregator catalog ``graphblas/agg/__init__.py:1-75``
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class _Namespace(SimpleNamespace):
+    """Attribute namespace with dict-style lookup (``binary['plus']``)."""
+
+    def __getitem__(self, name: str):
+        try:
+            return getattr(self, name)
+        except AttributeError:
+            raise KeyError(name) from None
+
+    def __contains__(self, name: str) -> bool:
+        return hasattr(self, name)
+
+
+# ---------------------------------------------------------------------------
+# UnaryOp: value -> value   (reference: unary.py regexes; numpy aliases too)
+# ---------------------------------------------------------------------------
+unary = _Namespace(
+    identity=lambda x: x,
+    ainv=lambda x: -x,
+    minv=lambda x: F.lit(1.0) / x,
+    abs=F.abs,
+    lnot=lambda x: ~x,
+    bnot=F.bitwise_not,
+    one=lambda x: F.lit(1),
+    sqrt=F.sqrt,
+    log=F.log,
+    log2=F.log2,
+    log10=F.log10,
+    log1p=F.log1p,
+    exp=F.exp,
+    exp2=lambda x: F.pow(F.lit(2.0), x),
+    expm1=F.expm1,
+    sin=F.sin,
+    cos=F.cos,
+    tan=F.tan,
+    asin=F.asin,
+    acos=F.acos,
+    atan=F.atan,
+    sinh=F.sinh,
+    cosh=F.cosh,
+    tanh=F.tanh,
+    asinh=F.asinh,
+    acosh=F.acosh,
+    atanh=F.atanh,
+    signum=F.signum,
+    ceil=F.ceil,
+    floor=F.floor,
+    round=F.round,
+    trunc=lambda x: F.signum(x) * F.floor(F.abs(x)),
+    cbrt=F.cbrt,
+    isinf=lambda x: x.isin(float("inf"), float("-inf")),
+    isnan=F.isnan,
+    isfinite=lambda x: ~(F.isnan(x) | x.isin(float("inf"), float("-inf"))),
+)
+
+
+# ---------------------------------------------------------------------------
+# BinaryOp: (left, right) -> value
+# ---------------------------------------------------------------------------
+binary = _Namespace(
+    first=lambda a, b: a,
+    second=lambda a, b: b,
+    pair=lambda a, b: F.lit(1),
+    oneb=lambda a, b: F.lit(1),
+    any=lambda a, b: a,  # documented nondeterminism in the reference (monoid.py:188-191)
+    plus=lambda a, b: a + b,
+    minus=lambda a, b: a - b,
+    rminus=lambda a, b: b - a,
+    times=lambda a, b: a * b,
+    truediv=lambda a, b: a / b,
+    div=lambda a, b: a / b,
+    rdiv=lambda a, b: b / a,
+    min=F.least,
+    max=F.greatest,
+    pow=F.pow,
+    fmod=lambda a, b: a % b,
+    remainder=lambda a, b: a % b,
+    atan2=F.atan2,
+    hypot=F.hypot,
+    copysign=lambda a, b: F.abs(a) * F.when(b < 0, F.lit(-1)).otherwise(F.lit(1)),
+    ldexp=lambda a, b: a * F.pow(F.lit(2.0), b),
+    # comparison returning BOOL (GrB eq/ne/gt/lt/ge/le)
+    eq=lambda a, b: a == b,
+    ne=lambda a, b: a != b,
+    gt=lambda a, b: a > b,
+    lt=lambda a, b: a < b,
+    ge=lambda a, b: a >= b,
+    le=lambda a, b: a <= b,
+    # comparison returning operand dtype (GrB iseq/isne/... return 0/1 typed)
+    iseq=lambda a, b: (a == b).cast("long"),
+    isne=lambda a, b: (a != b).cast("long"),
+    isgt=lambda a, b: (a > b).cast("long"),
+    islt=lambda a, b: (a < b).cast("long"),
+    isge=lambda a, b: (a >= b).cast("long"),
+    isle=lambda a, b: (a <= b).cast("long"),
+    # boolean
+    lor=lambda a, b: a | b,
+    land=lambda a, b: a & b,
+    lxor=lambda a, b: a != b,
+    lxnor=lambda a, b: a == b,
+    # bitwise
+    bor=lambda a, b: a.bitwiseOR(b),
+    band=lambda a, b: a.bitwiseAND(b),
+    bxor=lambda a, b: a.bitwiseXOR(b),
+    bxnor=lambda a, b: F.bitwise_not(a.bitwiseXOR(b)),
+)
+
+
+# ---------------------------------------------------------------------------
+# Monoid: associative binary op + identity; drives groupBy().agg reductions.
+# Each entry: (agg_builder, identity, pairwise binary for 2-operand merges)
+# ---------------------------------------------------------------------------
+class Monoid:
+    """Associative ⊕ with identity.
+
+    ``agg`` builds the Spark aggregate Column (partial+final aggregation —
+    map-side combine — is automatic in Catalyst, matching the reference's
+    2-phase aggregator recipes ``core/operator/agg.py:156-288``).
+    ``pairwise`` merges two scalar Columns (used by ewise_add / accum).
+    """
+
+    def __init__(self, name, agg, pairwise, identity):
+        self.name = name
+        self.agg = agg
+        self.pairwise = pairwise
+        self.identity = identity
+
+    def __repr__(self):
+        return f"monoid.{self.name}"
+
+
+def _prod_agg(c: Column) -> Column:
+    # product monoid via exp∘sum∘log with sign/zero bookkeeping (JVM-side)
+    mag = F.exp(F.sum(F.log(F.abs(F.nullif(c.cast("double"), F.lit(0.0))))))
+    n_neg = F.sum(F.when(c < 0, 1).otherwise(0))
+    has_zero = F.max(F.when(c == 0, 1).otherwise(0)) == 1
+    signed = F.when(n_neg % 2 == 1, -mag).otherwise(mag)
+    return F.when(has_zero, F.lit(0.0)).otherwise(signed)
+
+
+monoid = _Namespace(
+    plus=Monoid("plus", F.sum, binary.plus, 0),
+    times=Monoid("times", _prod_agg, binary.times, 1),
+    min=Monoid("min", F.min, binary.min, None),
+    max=Monoid("max", F.max, binary.max, None),
+    any=Monoid("any", F.first, binary.first, None),
+    lor=Monoid("lor", F.bool_or, binary.lor, False),
+    land=Monoid("land", F.bool_and, binary.land, True),
+    lxor=Monoid("lxor", lambda c: F.sum(c.cast("long")) % 2 == 1, binary.lxor, False),
+    lxnor=Monoid("lxnor", lambda c: F.sum((~c).cast("long")) % 2 == 0, binary.lxnor, True),
+    eq=Monoid("eq", lambda c: F.sum((~c).cast("long")) % 2 == 0, binary.lxnor, True),
+    bor=Monoid("bor", lambda c: F.bit_or(c), binary.bor, 0),
+    band=Monoid("band", lambda c: F.bit_and(c), binary.band, -1),
+    bxor=Monoid("bxor", lambda c: F.bit_xor(c), binary.bxor, 0),
+)
+
+
+# ---------------------------------------------------------------------------
+# IndexUnaryOp: (v, i, j, thunk) -> value/bool  (reference indexunary.py:95-115)
+# Used by apply(indexunary.*) and select(...). Row/col positions are just
+# the i/j columns of the edge DataFrame.
+# ---------------------------------------------------------------------------
+indexunary = _Namespace(
+    rowindex=lambda v, i, j, thunk=0: i + F.lit(thunk),
+    colindex=lambda v, i, j, thunk=0: j + F.lit(thunk),
+    diagindex=lambda v, i, j, thunk=0: j - (i + F.lit(thunk)),
+    tril=lambda v, i, j, thunk=0: j <= i + F.lit(thunk),
+    triu=lambda v, i, j, thunk=0: j >= i + F.lit(thunk),
+    diag=lambda v, i, j, thunk=0: j == i + F.lit(thunk),
+    offdiag=lambda v, i, j, thunk=0: j != i + F.lit(thunk),
+    colle=lambda v, i, j, thunk=0: j <= F.lit(thunk),
+    colgt=lambda v, i, j, thunk=0: j > F.lit(thunk),
+    rowle=lambda v, i, j, thunk=0: i <= F.lit(thunk),
+    rowgt=lambda v, i, j, thunk=0: i > F.lit(thunk),
+    valueeq=lambda v, i, j, thunk=0: v == F.lit(thunk),
+    valuene=lambda v, i, j, thunk=0: v != F.lit(thunk),
+    valuegt=lambda v, i, j, thunk=0: v > F.lit(thunk),
+    valuege=lambda v, i, j, thunk=0: v >= F.lit(thunk),
+    valuelt=lambda v, i, j, thunk=0: v < F.lit(thunk),
+    valuele=lambda v, i, j, thunk=0: v <= F.lit(thunk),
+)
+
+
+# ---------------------------------------------------------------------------
+# Aggregators (reference agg/__init__.py catalog) — whole/row/col reductions
+# beyond plain monoids. Composite ones (mean, std, ...) are multi-agg +
+# finalize, exactly like the reference's 2-phase recipes (agg.py:156-288).
+# ---------------------------------------------------------------------------
+agg = _Namespace(
+    sum=F.sum,
+    prod=_prod_agg,
+    all=F.bool_and,
+    any=F.bool_or,
+    min=F.min,
+    max=F.max,
+    any_value=F.first,
+    count=F.count,
+    count_nonzero=lambda c: F.sum(F.when(c != 0, 1).otherwise(0)),
+    count_zero=lambda c: F.sum(F.when(c == 0, 1).otherwise(0)),
+    sum_of_squares=lambda c: F.sum(c * c),
+    sum_of_inverses=lambda c: F.sum(F.lit(1.0) / c),
+    exists=lambda c: F.when(F.count(c) > 0, 1),
+    mean=F.avg,
+    peak_to_peak=lambda c: F.max(c) - F.min(c),
+    varp=F.var_pop,
+    vars=F.var_samp,
+    stdp=F.stddev_pop,
+    stds=F.stddev_samp,
+    geometric_mean=lambda c: F.exp(F.avg(F.log(c))),
+    harmonic_mean=lambda c: F.count(c) / F.sum(F.lit(1.0) / c),
+    root_mean_square=lambda c: F.sqrt(F.avg(c * c)),
+    hypot=lambda c: F.sqrt(F.sum(c * c)),
+    logaddexp=lambda c: F.log(F.sum(F.exp(c))),
+    logaddexp2=lambda c: F.log2(F.sum(F.pow(F.lit(2.0), c))),
+    L0_norm=lambda c: F.sum(F.when(c != 0, 1).otherwise(0)),
+    L1_norm=lambda c: F.sum(F.abs(c)),
+    L2_norm=lambda c: F.sqrt(F.sum(c * c)),
+    Linf_norm=lambda c: F.max(F.abs(c)),
+)

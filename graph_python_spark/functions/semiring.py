@@ -1,0 +1,114 @@
+"""Semiring registry: (⊕ monoid, ⊗ binary) pairs compiled to Column exprs.
+
+The reference composes semirings from monoid × binaryop at runtime
+(``graphblas/core/operator/semiring.py:174-204``, ``get_semiring``
+``core/operator/utils.py:135-233``).  Our kernels (mxm/mxv/vxm) are
+parametrized by a ``Semiring`` carrying:
+
+  * ``mul(a, b) -> Column``     the ⊗ applied to joined edge/vector values
+  * ``add_agg(c) -> Column``    the ⊕ as a Spark aggregate (partial+final
+                                aggregation == map-side combine, free)
+  * ``identity``                the ⊕ identity (needed by blocked kernels)
+
+All fast-path semirings stay JVM-side (whole-stage codegen); the blocked-CSR
+kernel path (operators/blocks.py) additionally knows how to evaluate the same
+semiring vectorized in numpy inside Arrow UDFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+from pyspark.sql import Column
+
+from graph_python_spark.functions.ops import Monoid, binary, monoid
+
+
+@dataclass(frozen=True)
+class Semiring:
+    name: str
+    add: Monoid
+    mul: Callable[[Column, Column], Column]
+    # numpy twins for the blocked/Arrow kernel path
+    np_add: Any = None          # ufunc with .reduceat / .reduce
+    np_mul: Any = None          # callable (a, b) -> ndarray
+    identity: Any = None
+
+    def add_agg(self, c: Column) -> Column:
+        return self.add.agg(c)
+
+    def __repr__(self) -> str:
+        return f"semiring.{self.name}"
+
+
+def _np_first(a, b):
+    return np.broadcast_to(a, np.broadcast_shapes(np.shape(a), np.shape(b)))
+
+
+def _np_second(a, b):
+    return np.broadcast_to(b, np.broadcast_shapes(np.shape(a), np.shape(b)))
+
+
+def _np_pair(a, b):
+    return np.ones(np.broadcast_shapes(np.shape(a), np.shape(b)))
+
+
+_REGISTRY: dict[str, Semiring] = {}
+
+
+def _register(name: str, add: Monoid, mul, np_add, np_mul, identity) -> Semiring:
+    sr = Semiring(name, add, mul, np_add, np_mul, identity)
+    _REGISTRY[name] = sr
+    return sr
+
+
+class _SemiringNamespace:
+    """``semiring.plus_times`` etc. — mirrors the reference's namespace."""
+
+    def __getattr__(self, name: str) -> Semiring:
+        try:
+            return _REGISTRY[name]
+        except KeyError:
+            raise AttributeError(f"unknown semiring {name!r}") from None
+
+    def __getitem__(self, name: str) -> Semiring:
+        return _REGISTRY[name]
+
+    def register(self, name: str, add: Monoid, mul, np_add=None, np_mul=None, identity=None) -> Semiring:
+        """UDF-ish extension point (reference: ``Semiring.register_new``)."""
+        return _register(name, add, mul, np_add, np_mul, identity)
+
+    def names(self):
+        return sorted(_REGISTRY)
+
+
+semiring = _SemiringNamespace()
+
+# --- the workhorse semirings (reference: GrB/GxB catalog) -------------------
+_register("plus_times", monoid.plus, binary.times, np.add, np.multiply, 0)
+_register("plus_plus", monoid.plus, binary.plus, np.add, np.add, 0)
+_register("plus_first", monoid.plus, binary.first, np.add, _np_first, 0)
+_register("plus_second", monoid.plus, binary.second, np.add, _np_second, 0)  # PageRank SpMV
+_register("plus_pair", monoid.plus, binary.pair, np.add, _np_pair, 0)        # triangle count
+_register("plus_min", monoid.plus, binary.min, np.add, np.minimum, 0)
+_register("plus_max", monoid.plus, binary.max, np.add, np.maximum, 0)
+_register("min_plus", monoid.min, binary.plus, np.minimum, np.add, np.inf)   # SSSP
+_register("min_times", monoid.min, binary.times, np.minimum, np.multiply, np.inf)
+_register("min_first", monoid.min, binary.first, np.minimum, _np_first, np.inf)  # parent BFS
+_register("min_second", monoid.min, binary.second, np.minimum, _np_second, np.inf)  # FastSV hook
+_register("min_max", monoid.min, binary.max, np.minimum, np.maximum, np.inf)
+_register("max_plus", monoid.max, binary.plus, np.maximum, np.add, -np.inf)
+_register("max_times", monoid.max, binary.times, np.maximum, np.multiply, -np.inf)
+_register("max_first", monoid.max, binary.first, np.maximum, _np_first, -np.inf)
+_register("max_second", monoid.max, binary.second, np.maximum, _np_second, -np.inf)
+_register("max_min", monoid.max, binary.min, np.maximum, np.minimum, -np.inf)
+_register("lor_land", monoid.lor, binary.land, np.logical_or, np.logical_and, False)  # level BFS
+_register("land_lor", monoid.land, binary.lor, np.logical_and, np.logical_or, True)
+_register("lxor_land", monoid.lxor, binary.land, np.logical_xor, np.logical_and, False)
+_register("any_pair", monoid.any, binary.pair, np.maximum, _np_pair, None)   # reachability
+_register("any_first", monoid.any, binary.first, np.maximum, _np_first, None)
+_register("any_second", monoid.any, binary.second, np.maximum, _np_second, None)
+_register("times_times", monoid.times, binary.times, np.multiply, np.multiply, 1)
+_register("times_plus", monoid.times, binary.plus, np.multiply, np.add, 1)

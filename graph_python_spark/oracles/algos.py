@@ -1,0 +1,157 @@
+"""NumPy oracle implementations of the graph algorithms.
+
+Semantics track the reference notebooks exactly:
+  * pagerank_3f  — ``notebooks/Pagerank Demo.ipynb`` cell 9 (LAGraph 3f):
+    dense r, w = t ⊘ (d_out/damping) on the INTERSECTION (dangling vertices
+    contribute nothing — teleport only), r = teleport + Aᵀw via plus_second.
+  * fastsv_components — min-label fixpoint (``Connected Components --
+    FastSV.ipynb``): labels are the minimum vertex id in each component.
+  * label_propagation — synchronous argmax-of-neighbor-labels, deterministic
+    tie-break = smallest label (BASELINE.md).
+  * triangle_count — sum((L@L) * L) on the i<j-canonicalized undirected graph.
+  * bfs_levels / bfs_parents / sssp — standard frontier semantics
+    (``Example B.1/B.3``, SSSP notebook).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pagerank_3f(edges, n, damping=0.85, itermax=100, tol=1e-4):
+    """edges: iterable of (src, dst); binary graph. Returns (scores, iters)."""
+    A = np.zeros((n, n), dtype=bool)
+    for s, d in edges:
+        A[s, d] = True
+    d_out = A.sum(axis=1).astype(float)  # reduce_rowwise(plus) on binarized A
+    has_out = d_out > 0
+    d = np.where(has_out, d_out / damping, np.nan)
+
+    teleport = (1 - damping) / n
+    r = np.full(n, 1.0 / n)
+    rdiff = 1.0
+    iters = 0
+    for _ in range(itermax):
+        if rdiff <= tol:
+            break
+        t = r
+        # w = t ./ d on intersection (only vertices with out-edges)
+        w = np.where(has_out, t / d, 0.0)
+        # r = teleport + A'w  (plus_second semiring: sum of w over in-neighbors)
+        r = teleport + A.T.astype(float) @ w
+        rdiff = np.abs(t - r).sum()
+        iters += 1
+    return r, iters
+
+
+def fastsv_components(edges, n):
+    """Connected components, min-label convention; undirected closure."""
+    f = np.arange(n)
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[s].append(d)
+        adj[d].append(s)
+    changed = True
+    while changed:
+        changed = False
+        # hook: every vertex adopts min(own, neighbors' labels)
+        nf = f.copy()
+        for v in range(n):
+            for u in adj[v]:
+                if f[u] < nf[v]:
+                    nf[v] = f[u]
+        # pointer jumping / shortcut: f = f[f]
+        nf = np.minimum(nf, nf[nf])
+        if not np.array_equal(nf, f):
+            changed = True
+        f = nf
+    return f
+
+
+def label_propagation(edges, n, max_sweeps=100):
+    """Synchronous LPA: label[v] <- most frequent neighbor label, smallest
+    label wins ties; vertices with no neighbors keep their own label."""
+    labels = np.arange(n)
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[s].append(d)
+        adj[d].append(s)
+    for _ in range(max_sweeps):
+        new = labels.copy()
+        for v in range(n):
+            if not adj[v]:
+                continue
+            counts = {}
+            for u in adj[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = min(counts, key=lambda l: (-counts[l], l))
+            new[v] = best
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def triangle_count(edges, n):
+    """Exact triangles on the undirected simple graph: sum((L@L)*L), L = i<j."""
+    L = np.zeros((n, n), dtype=np.int64)
+    for s, d in edges:
+        a, b = min(s, d), max(s, d)
+        if a != b:
+            L[a, b] = 1
+    # wedges a<b<c closed by (a,c)
+    return int(((L @ L) * L).sum())
+
+
+def bfs_levels(edges, n, source):
+    """Level BFS on the directed graph; level[source]=0; unreachable absent."""
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[s].append(d)
+    level = {source: 0}
+    frontier = [source]
+    depth = 0
+    while frontier:
+        depth += 1
+        nxt = []
+        for v in frontier:
+            for u in adj[v]:
+                if u not in level:
+                    level[u] = depth
+                    nxt.append(u)
+        frontier = nxt
+    return level
+
+
+def bfs_parents(edges, n, source):
+    """Parent BFS (min_first: smallest-id parent wins); parent[source]=source."""
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[s].append(d)
+    parent = {source: source}
+    frontier = [source]
+    while frontier:
+        cand = {}
+        for v in frontier:
+            for u in adj[v]:
+                if u not in parent:
+                    cand[u] = min(cand.get(u, v), v)
+        for u, p in cand.items():
+            parent[u] = p
+        frontier = sorted(cand)
+    return parent
+
+
+def sssp(edges_w, n, source):
+    """Min-plus SSSP to fixpoint; distances for reachable vertices only."""
+    dist = {source: 0.0}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, w in edges_w:
+            if s in dist:
+                nd = dist[s] + w
+                if nd < dist.get(d, np.inf):
+                    dist[d] = nd
+                    changed = True
+    return dist
