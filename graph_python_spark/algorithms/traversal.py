@@ -71,6 +71,37 @@ def bfs_parents(edges: DataFrame, source: int) -> DataFrame:
     return parents
 
 
+def minplus_fixed_rounds(edges: DataFrame, source: int, rounds: int,
+                         weight: str | None = None) -> DataFrame:
+    """Exactly ``rounds`` synchronous min-plus relaxations from ``source``
+    (full-merge each round, no frontier/convergence action) — deterministic
+    output for the DuckDB-checked queries.  weight=None means unit weights
+    (result = BFS levels for vertices within ``rounds`` hops).
+
+    Returns dist(id, v) with integer distances when weights are integral.
+    """
+    w_col = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = (
+        edges.select(F.col("i").alias("s"), F.col("j").alias("d"), w_col.alias("w"))
+        .groupBy("s", "d").agg(F.min("w").alias("w"))
+        .cache()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "id long, v long")
+    for _ in range(rounds):
+        cand = (
+            e.join(dist.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min(F.col("v") + F.col("w")).alias("_nd"))
+        )
+        dist = (
+            dist.join(cand, "id", "full_outer")
+            .select("id", F.least(F.col("v"), F.col("_nd")).alias("v"))
+        )
+        dist = materialize(dist)
+    return dist
+
+
 def sssp(edges: DataFrame, source: int, weight: str = "v",
          max_rounds: int = 10**9) -> DataFrame:
     """Min-plus SSSP to fixpoint. edges: (i, j, v); returns dist(id, distance)."""

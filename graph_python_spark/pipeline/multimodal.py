@@ -1,0 +1,141 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partition-aware batching, Arrow UDF
+signatures) is real and tested; the actual codec work is STUBBED — the
+image/audio libraries are not in this container — behind
+``set_decoder``/deterministic fakes, clearly marked.
+
+Pattern: ``mapInPandas`` over an iterator of Arrow batches so each Python
+worker touches a bounded batch (spark.sql.execution.arrow.maxRecordsPerBatch
+controls peak memory), never a per-row UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image | audio | video
+    T.StructField("payload", T.BinaryType(), True),     # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]), True),
+])
+
+# pluggable real decoder; None -> deterministic fake (see _fake_decode)
+_DECODER: Optional[Callable[[bytes, str], list[float]]] = None
+
+
+def set_decoder(fn: Callable[[bytes, str], list[float]]) -> None:
+    """Install a real codec (e.g. PIL/librosa) when available."""
+    global _DECODER
+    _DECODER = fn
+
+
+def _fake_decode(payload: bytes, kind: str, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature vector: byte histogram moments.
+
+    NOT a real decode — marked stub. Real deployments call set_decoder().
+    """
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    acc = [0.0] * dim
+    for idx, byte in enumerate(payload):
+        acc[idx % dim] += byte / 255.0
+    total = max(1.0, float(len(payload)))
+    return [a / total * dim for a in acc]
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """media -> (media_id, kind, feature: array<double>, n_bytes).
+
+    mapInPandas: batches stream through the Python worker via Arrow; the
+    payload column is dropped immediately after featurization so the wide
+    binary never reaches the shuffle.
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ])
+
+    decoder = _DECODER
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                if decoder is not None:
+                    feats.append(decoder(payload, kind))  # pragma: no cover
+                else:
+                    feats.append(_fake_decode(payload, kind, dim))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                "feature": feats,
+            })
+
+    return media.select("media_id", "kind", "payload").mapInPandas(featurize, out_schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: real image resize needs PIL/opencv (absent here).
+
+    The plumbing below is the production shape — per-batch Arrow transform
+    updating payload+meta — but the codec raises until set_decoder-style
+    support is installed.
+    """
+    out_schema = media.schema
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _pdf in batches:
+            raise NotImplementedError(
+                "image resize requires a codec library not present in this "
+                "environment; install one and replace this stub"
+            )
+
+    return media.mapInPandas(do_resize, out_schema)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling metadata plan: computes sampled frame indices
+    from meta.n_frames JVM-side; actual frame extraction is the stubbed
+    decode step."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
+                       F.lit(every_n)).alias("frame_indices"),
+        )
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (seeded bytes from id)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for m in range(n):
+        kind = kinds[m % 3]
+        payload = bytes([(m * 37 + idx * 11) % 256 for idx in range((m % 13 + 1) * 16)])
+        meta = {
+            "width": 64 if kind == "image" else None,
+            "height": 48 if kind == "image" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "n_frames": 120 if kind == "video" else None,
+            "codec": {"image": "png", "audio": "pcm", "video": "h264"}[kind],
+        }
+        rows.append((m, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

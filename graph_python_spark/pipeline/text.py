@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines: tokenization, language ID,
+quality scoring, fingerprinting.
+
+All operators are pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage codegen; no Python in the hot path) over a documents table
+``(doc_id: long, text: string, ...)``, so they hold at 100 TB: every one is
+a single projection or one groupBy away from the scan, with the text column
+pruned out as soon as tokens are derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# deterministic marker-token sets for the n-gram language heuristic;
+# kept tiny so the same sets can be inlined into the DuckDB oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "les", "et", "est"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "is", "a", "to", "in", "on", "for", "with",
+)
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens, empties dropped (split keeps them)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token + char counts per document (token counting operator)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(tokens_col())).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality: length, punctuation density, stopword ratio.
+
+    score = stop_ratio - punct_ratio + min(n_tokens, 64)/64, rounded 1e-6.
+    """
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(F.length("text") > 0,
+                         n_punct.cast("double") / F.length("text")).otherwise(F.lit(0.0))
+    length_term = F.least(n_tokens, F.lit(64)).cast("double") / F.lit(64.0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio - punct_ratio + length_term, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language heuristic: argmax of marker hits per language,
+    deterministic tie-break = lexicographically smallest language code;
+    'und' when no markers hit at all."""
+    toks = tokens_col()
+
+    def marker_pred(markers):
+        # single-arg lambda: a 2-arg lambda would be read as (element, index)
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax with smallest-lang tie-break: CASE through languages in sorted
+    # order, first one matching the max wins
+    hit_counts = [scores[lang] for lang in sorted(LANG_MARKERS)]
+    max_hits = F.greatest(*hit_counts)
+    pred = F.when(max_hits == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):
+        pred = pred.when(scores[lang] == max_hits, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].cast("long").alias(f"hits_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: minimum md5 over token bigrams (winnowing-style
+    min-hash over rolling shingles; single-token docs fall back to the token).
+
+    posexplode + lead() keeps everything JVM-side; the per-doc min is a
+    partial-aggregated groupBy.
+    """
+    toks = docs.select("doc_id", F.posexplode(tokens_col()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("nxt", F.lead("tok").over(w))
+    shingle = F.when(F.col("nxt").isNotNull(),
+                     F.md5(F.concat(F.col("tok"), F.lit(" "), F.col("nxt"))))
+    return (
+        bigrams.select("doc_id", shingle.alias("h"), F.md5(F.col("tok")).alias("h1"))
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.min("h"), F.min("h1")).alias("fingerprint"))
+    )

@@ -1,0 +1,151 @@
+"""Synthetic source-code corpus (the north-rule input) + edge extraction.
+
+Input shape per BASELINE.json input_hint: an Iceberg/parquet table of
+source-code repositories with columns
+(repo: string, path: string, commit: string, lang: string, content: string).
+
+Generation is fully deterministic (hash-derived, seed-free per row, so any
+subset of rows regenerates identically at any parallelism) and distributed
+(mapInPandas over spark.range — data gen is not the query hot path).  The
+``import`` lines inside ``content`` define the link graph; out-degree is
+Zipf(a≈2)-skewed with explicit hub files (~1% of edges each) to exercise
+the salted-repartition path.
+
+Edge extraction is pure DataFrame ops (regexp_extract_all / explode / join
+against the vertex dictionary) and NEVER mutates content — the per-row
+sha256(content) invariant is test-enforced (tests/test_corpus.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), False),
+    T.StructField("lang", T.StringType(), False),
+    T.StructField("content", T.StringType(), False),
+])
+
+
+def _stable_u32(*parts: int) -> int:
+    h = hashlib.md5(":".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(h[:4], "big")
+
+
+def _out_degree(f: int, n_files: int, hub_count: int, hub_degree: int) -> int:
+    if f < hub_count:
+        return hub_degree
+    # Zipf(a=2) via inverse CDF: deg ~ 1/u, capped
+    u = (_stable_u32(f, 7) + 1) / 2**32
+    deg = int(1.0 / u)
+    return max(1, min(deg, 64))
+
+
+def _targets(f: int, n_files: int, deg: int) -> list[int]:
+    out = []
+    seen = {f}
+    m = 0
+    while len(out) < deg and m < deg * 3:
+        t = (_stable_u32(f, m, 13) * 2654435761 + m) % n_files
+        m += 1
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def generate_corpus(spark: SparkSession, n_repos: int = 8, files_per_repo: int = 8,
+                    hub_count: int = 3, hub_fraction: float = 0.01) -> DataFrame:
+    """Deterministic corpus; n_files = n_repos * files_per_repo rows."""
+    n_files = n_repos * files_per_repo
+    hub_degree = max(4, int(n_files * hub_fraction))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
+            for f in pdf["id"]:
+                f = int(f)
+                r, k = divmod(f, files_per_repo)
+                repo = f"repo{r:05d}"
+                path = f"src/m{k:04d}.py"
+                commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
+                is_md = _stable_u32(f, 3) % 20 == 0  # ~5% md rows, no imports
+                if is_md:
+                    lang, body = "md", [f"# notes for {repo}/{path}", "no code here"]
+                else:
+                    lang = "python"
+                    deg = _out_degree(f, n_files, hub_count, hub_degree)
+                    body = [f'"""module m{k:04d} of {repo}"""']
+                    for t in _targets(f, n_files, deg):
+                        tr, tk = divmod(t, files_per_repo)
+                        body.append(f"import repo{tr:05d}.m{tk:04d}")
+                    pad = _stable_u32(f, 5) % 5
+                    body.extend(f"x_{p} = {p}  # pad" for p in range(pad))
+                rows["repo"].append(repo)
+                rows["path"].append(path)
+                rows["commit"].append(commit)
+                rows["lang"].append(lang)
+                rows["content"].append("\n".join(body))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_files).mapInPandas(gen, CORPUS_SCHEMA)
+
+
+def vertex_dictionary(corpus: DataFrame) -> DataFrame:
+    """Dense deterministic ids: sorted (repo, path) -> id (FIXTURES.md §2).
+
+    zipWithIndex on the sorted distinct file list — a single total-order
+    sort, done once per corpus load, never per iteration.
+    """
+    files = corpus.select("repo", "path").distinct().orderBy("repo", "path")
+    spark = corpus.sparkSession
+    rdd = files.rdd.map(lambda r: (r["repo"], r["path"])).zipWithIndex()
+    return spark.createDataFrame(
+        rdd.map(lambda t: (t[1], t[0][0], t[0][1])), "id long, repo string, path string"
+    )
+
+
+def extract_edges(corpus: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Parse import targets from content -> edges (src, dst, w).
+
+    Pure column expressions (regexp_extract_all + explode) — content flows
+    through untouched, preserving sha256(content) per row.  Duplicate links
+    collapse with w = count (dup_op=plus); self-imports dropped.
+    """
+    imports = (
+        corpus.filter(F.col("lang") == "python")
+        .select(
+            "repo", "path",
+            F.explode(
+                F.regexp_extract_all(F.col("content"), F.lit(r"import (repo\d{5}\.m\d{4})"), 1)
+            ).alias("target"),
+        )
+        .select(
+            "repo", "path",
+            F.split(F.col("target"), r"\.").getItem(0).alias("t_repo"),
+            F.concat(F.lit("src/"), F.split(F.col("target"), r"\.").getItem(1), F.lit(".py")).alias("t_path"),
+        )
+    )
+    src = vertices.select(F.col("id").alias("src"), "repo", "path")
+    dst = vertices.select(F.col("id").alias("dst"),
+                          F.col("repo").alias("t_repo"), F.col("path").alias("t_path"))
+    return (
+        imports.join(src, ["repo", "path"])
+        .join(dst, ["t_repo", "t_path"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def content_sha256(corpus: DataFrame) -> DataFrame:
+    """Per-row invariant hashes (input_hint: sha256(content) equality)."""
+    return corpus.select("repo", "path", F.sha2(F.col("content"), 256).alias("sha"))

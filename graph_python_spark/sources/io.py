@@ -1,0 +1,108 @@
+"""Interchange connectors (reference io module, SURVEY.md §2.6).
+
+COO is canonical; parquet is the at-scale persistence format.  scipy /
+networkx / Matrix Market converters are driver-side (test-oracle scale) and
+gated behind import-try, mirroring the reference's optional backends
+(``graphblas/io/_scipy.py``, ``_networkx.py``, ``_matrixmarket.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_python_spark.operators.matrix import MatrixFrame
+from graph_python_spark.operators.vector import VectorFrame
+
+
+# -- parquet (the scale path) -------------------------------------------------
+def write_matrix(m: MatrixFrame, path: str, mode: str = "overwrite") -> None:
+    m.df.write.mode(mode).parquet(path)
+
+
+def read_matrix(spark: SparkSession, path: str,
+                nrows: Optional[int] = None, ncols: Optional[int] = None) -> MatrixFrame:
+    return MatrixFrame(spark.read.parquet(path), nrows, ncols)
+
+
+# -- scipy.sparse (reference io/_scipy.py:8-118) ------------------------------
+def from_scipy(spark: SparkSession, mat, dtype: str = "double") -> MatrixFrame:
+    coo = mat.tocoo()
+    rows = [(int(r), int(c), float(v)) for r, c, v in zip(coo.row, coo.col, coo.data)]
+    df = spark.createDataFrame(rows, f"i long, j long, v {dtype}")
+    return MatrixFrame(df, coo.shape[0], coo.shape[1])
+
+
+def to_scipy(m: MatrixFrame, format: str = "csr"):
+    try:
+        import scipy.sparse as sp
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("scipy not available in this environment") from exc
+    r, c, v = m.to_coo()
+    out = sp.coo_matrix((v, (r, c)), shape=(m.nrows, m.ncols))
+    return out.asformat(format)
+
+
+# -- networkx (reference io/_networkx.py:5-60) --------------------------------
+def from_networkx(spark: SparkSession, graph, weight: Optional[str] = None) -> MatrixFrame:
+    try:
+        import networkx as nx  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("networkx not available in this environment") from exc
+    nodes = sorted(graph.nodes())
+    idx = {n: k for k, n in enumerate(nodes)}
+    rows = [
+        (idx[u], idx[v], float(d.get(weight, 1.0)) if weight else 1.0)
+        for u, v, d in graph.edges(data=True)
+    ]
+    df = spark.createDataFrame(rows, "i long, j long, v double")
+    return MatrixFrame(df, len(nodes), len(nodes))
+
+
+# -- Matrix Market (reference io/_matrixmarket.py:6-63) -----------------------
+def mmread(spark: SparkSession, path: str) -> MatrixFrame:
+    """Minimal MatrixMarket coordinate reader via spark.read.text (parses
+    JVM-side with column expressions; 1-based -> 0-based indices)."""
+    lines = spark.read.text(path)
+    data = lines.filter(~F.col("value").startswith("%"))
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    parsed = data.select(
+        parts.getItem(0).cast("long").alias("a"),
+        parts.getItem(1).cast("long").alias("b"),
+        F.coalesce(parts.getItem(2).cast("double"), F.lit(1.0)).alias("v"),
+        F.monotonically_increasing_id().alias("_ord"),
+    )
+    header = parsed.orderBy("_ord").first()
+    nrows, ncols = int(header["a"]), int(header["b"])
+    body = parsed.join(
+        parsed.select(F.min("_ord").alias("_ord")), "_ord", "left_anti"
+    ).select((F.col("a") - 1).alias("i"), (F.col("b") - 1).alias("j"), "v")
+    return MatrixFrame(body, nrows, ncols)
+
+
+def mmwrite(m: MatrixFrame, path: str) -> None:
+    """Driver-side writer (test scale)."""
+    r, c, v = m.to_coo()
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{m.nrows} {m.ncols} {len(r)}\n")
+        for a, b, x in zip(r, c, v):
+            f.write(f"{a + 1} {b + 1} {x}\n")
+
+
+# -- dense / dicts (reference matrix.py:1458-1901) ----------------------------
+def from_dense(spark: SparkSession, arr, dtype: str = "double") -> MatrixFrame:
+    rows = [
+        (r, c, float(arr[r][c]))
+        for r in range(len(arr))
+        for c in range(len(arr[0]))
+    ]
+    df = spark.createDataFrame(rows, f"i long, j long, v {dtype}")
+    return MatrixFrame(df, len(arr), len(arr[0]))
+
+
+def vector_from_dense(spark: SparkSession, arr, dtype: str = "double") -> VectorFrame:
+    df = spark.createDataFrame([(k, float(x)) for k, x in enumerate(arr)], f"i long, v {dtype}")
+    return VectorFrame(df, len(arr))
