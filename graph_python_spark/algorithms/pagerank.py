@@ -12,19 +12,27 @@ Reference recipe (``/root/reference/notebooks/Pagerank Demo.ipynb`` cell 9):
         r += Aᵀ·w  over plus_second          # sum of w over in-neighbors
         rdiff = sum |t - r|                  # L1 convergence
 
-Spark shape (one irreducible shuffle per iteration):
-  * edges are hash-partitioned by src ONCE and cached — every per-iteration
-    join on src reuses that partitioning (no re-shuffle of the big side);
-  * ranks (n rows ≪ nnz) are the small join side — AQE broadcasts them when
-    they fit;
-  * contributions groupBy(dst) is the per-iteration shuffle, with map-side
-    partial aggregation;
-  * each iteration ends in localCheckpoint (lineage truncation) or a durable
-    IterationState checkpoint for resumability.
+Spark shape — the loop iterates on the SPARSE contribution vector only
+(r is never materialized densely inside the loop):
 
-At 1000-executor / 100 TB scale the same plan holds: the edge table stays
-partitioned by src across iterations, only the O(V) rank vector moves, and
-power-law dst skew is handled by the salted two-stage combine in
+    w_k      = (teleport + contrib_k) ⊙ inv_d     on inv_d's domain
+    contrib' = Σ_{i→j} w_k[i]                     edges ⋈ w, groupBy(dst)
+
+  * identical arithmetic to the dense recipe: r_k = teleport + contrib_k
+    (vertices with no in-edges sit at teleport and, if dangling, never feed
+    back); the dense r materializes once, after the loop;
+  * edges are hash-partitioned by src ONCE and cached — the per-iteration
+    join on src reuses that partitioning; only O(V) vectors move;
+  * the one irreducible O(E) shuffle is the groupBy(dst) with map-side
+    partial aggregation;
+  * lineage is truncated by localCheckpoint every ``checkpoint_every``
+    iterations (old state unpersisted), or durably via IterationState for
+    the north-rule resume guarantee;
+  * rdiff = Σ|contrib' - contrib| exactly (the dense teleport terms cancel).
+
+At 1000-executor / 100 TB scale the plan holds: the edge table stays
+partitioned by src across iterations, the rank vector is the only moving
+state, and power-law dst skew is handled by the salted two-stage combine in
 ``operators/blocks.py`` (⊕ associativity makes partial merges exact).
 """
 
@@ -35,11 +43,28 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import IterationState, materialize
+from graph_python_spark.plans.iterate import IterationState
+
+
+class _Pinned:
+    """Rotating localCheckpoint holder: pin new state, unpersist the old."""
+
+    def __init__(self):
+        self.prev: Optional[DataFrame] = None
+
+    def pin(self, df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        if self.prev is not None:
+            try:
+                self.prev.unpersist()
+            except Exception:
+                pass
+        self.prev = out
+        return out
 
 
 def _prepare(edges: DataFrame, vertices: Optional[DataFrame], partitions: Optional[int]):
-    """Binarize the graph, derive the dense vertex set and out-degrees."""
+    """Binarize the graph, derive the vertex set and inverse scaled degrees."""
     e = edges.select(F.col("i"), F.col("j")).distinct()  # A = one(A): binary graph
     if partitions:
         e = e.repartition(partitions, "i")
@@ -54,6 +79,49 @@ def _prepare(edges: DataFrame, vertices: Optional[DataFrame], partitions: Option
     n = vertices.count()
     d_out = e.groupBy("i").agg(F.count("*").cast("double").alias("d"))
     return e, vertices, n, d_out
+
+
+def _contrib_loop(e, inv_d, teleport, r0, iterations, pinned, contrib=None,
+                  rdiff_cb=None, tol=None):
+    """Shared iteration body. contrib=None means start from dense r0=1/n."""
+    iters_done = 0
+    for k in range(iterations):
+        if contrib is None:
+            w = inv_d.select("i", (F.lit(r0) * F.col("inv_d")).alias("w"))
+        else:
+            w = (
+                inv_d.join(contrib, "i", "left_outer")
+                .select("i", ((F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0)))
+                              * F.col("inv_d")).alias("w"))
+            )
+        new_contrib = (
+            e.join(w, "i")
+            .groupBy(F.col("j").alias("i"))
+            .agg(F.sum("w").alias("c"))
+        )
+        if rdiff_cb is not None:
+            new_contrib = pinned.pin(new_contrib)
+            rdiff = rdiff_cb(contrib, new_contrib, k)
+            contrib = new_contrib
+            iters_done = k + 1
+            if tol is not None and rdiff <= tol:
+                break
+        else:
+            # fixed-iteration mode: truncate lineage only every few rounds
+            if (k + 1) % 3 == 0 or k == iterations - 1:
+                new_contrib = pinned.pin(new_contrib)
+            contrib = new_contrib
+            iters_done = k + 1
+    return contrib, iters_done
+
+
+def _finalize(vertices, contrib, teleport) -> DataFrame:
+    return (
+        vertices.select(F.col("id").alias("i"))
+        .join(contrib, "i", "left_outer")
+        .select(F.col("i").alias("id"),
+                (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0))).alias("score"))
+    )
 
 
 def pagerank(
@@ -77,58 +145,57 @@ def pagerank(
         empty = edges.sparkSession.createDataFrame([], "id long, score double")
         return empty, 0, []
     teleport = (1.0 - damping) / n
-
-    # d = d_out / damping, kept as 1/d to turn the per-iteration ⊘ into a ⊗
     inv_d = d_out.select("i", (F.lit(damping) / F.col("d")).alias("inv_d")).cache()
     inv_d.count()
 
     start_iter = 0
     rdiffs: list[float] = []
-    r = vertices.select(F.col("id").alias("i"), F.lit(1.0 / n).alias("v"))
+    contrib: Optional[DataFrame] = None
     if checkpoint is not None:
         restored = checkpoint.restore()
         if restored is not None:
             start_iter, states, metrics = restored
-            r = states["ranks"]
+            contrib = states["contrib"]
             rdiffs = list(metrics.get("rdiffs", []))
             if rdiffs and rdiffs[-1] <= tol:
-                return r.select(F.col("i").alias("id"), F.col("v").alias("score")), start_iter, rdiffs
-    r = materialize(r)
+                return _finalize(vertices, contrib, teleport), start_iter, rdiffs
 
-    iters = start_iter
-    for k in range(start_iter, itermax):
-        t = r
-        # w = t ⊘ d : inner join == ewise_mult intersection (dangling drop out)
-        w = t.join(inv_d, "i").select("i", (F.col("v") * F.col("inv_d")).alias("w"))
-        # contrib[j] = Σ_{i→j} w[i]  (Aᵀ·w over plus_second)
-        contrib = (
-            e.join(w, "i")
-            .groupBy(F.col("j").alias("i"))
-            .agg(F.sum("w").alias("c"))
-        )
-        # r = teleport + contrib, dense over all n vertices
-        new_r = (
-            vertices.select(F.col("id").alias("i"))
-            .join(contrib, "i", "left_outer")
-            .select("i", (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0))).alias("v"))
-        )
-        new_r = materialize(new_r)
-        rdiff = (
-            t.withColumnRenamed("v", "_t")
-            .join(new_r, "i", "full_outer")
-            .agg(F.sum(F.abs(F.coalesce(F.col("_t"), F.lit(0.0))
-                             - F.coalesce(F.col("v"), F.lit(0.0)))).alias("d"))
-            .first()["d"]
-        )
-        rdiffs.append(float(rdiff))
-        r = new_r
-        iters = k + 1
-        if checkpoint is not None and iters % checkpoint_every == 0:
-            checkpoint.save(iters, {"ranks": r}, {"rdiffs": rdiffs, "n": n})
-        if rdiff <= tol:
-            break
+    pinned = _Pinned()
 
-    return r.select(F.col("i").alias("id"), F.col("v").alias("score")), iters, rdiffs
+    def rdiff_cb(old_contrib, new_contrib, k):
+        # Σ|r_new - r_old|: teleport cancels; vertices never receiving
+        # contributions never change. First iteration diffs against r0=1/n
+        # on contribution-receiving vertices, plus the unchanged remainder:
+        # matches the dense recipe because r0 is uniform.
+        if old_contrib is None:
+            # |r1 - r0| = Σ_receiving |tel + c - 1/n| + (n - receiving)·|tel - 1/n|
+            row = new_contrib.agg(
+                F.sum(F.abs(F.lit(teleport) + F.col("c") - F.lit(1.0 / n))).alias("d"),
+                F.count("*").alias("m"),
+            ).first()
+            rdiff = float(row["d"] or 0.0) + (n - row["m"]) * abs(teleport - 1.0 / n)
+        else:
+            row = (
+                old_contrib.withColumnRenamed("c", "_co")
+                .join(new_contrib, "i", "full_outer")
+                .agg(F.sum(F.abs(F.coalesce(F.col("c"), F.lit(0.0))
+                                 - F.coalesce(F.col("_co"), F.lit(0.0)))).alias("d"))
+                .first()
+            )
+            rdiff = float(row["d"] or 0.0)
+        rdiffs.append(rdiff)
+        iters_now = k + 1
+        if checkpoint is not None and iters_now % checkpoint_every == 0:
+            checkpoint.save(iters_now, {"contrib": new_contrib},
+                            {"rdiffs": rdiffs, "n": n})
+        return rdiff
+
+    remaining = itermax - start_iter
+    contrib, done = _contrib_loop(
+        e, inv_d, teleport, 1.0 / n, remaining, pinned, contrib=contrib,
+        rdiff_cb=rdiff_cb, tol=tol,
+    )
+    return _finalize(vertices, contrib, teleport), start_iter + done, rdiffs
 
 
 def pagerank_fixed(
@@ -144,16 +211,8 @@ def pagerank_fixed(
     if n == 0:
         return edges.sparkSession.createDataFrame([], "id long, score double")
     teleport = (1.0 - damping) / n
-    inv_d = d_out.select("i", (F.lit(damping) / F.col("d")).alias("inv_d"))
+    inv_d = d_out.select("i", (F.lit(damping) / F.col("d")).alias("inv_d")).cache()
 
-    r = vertices.select(F.col("id").alias("i"), F.lit(1.0 / n).alias("v"))
-    for _ in range(iterations):
-        w = r.join(inv_d, "i").select("i", (F.col("v") * F.col("inv_d")).alias("w"))
-        contrib = e.join(w, "i").groupBy(F.col("j").alias("i")).agg(F.sum("w").alias("c"))
-        r = (
-            vertices.select(F.col("id").alias("i"))
-            .join(contrib, "i", "left_outer")
-            .select("i", (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0))).alias("v"))
-        )
-        r = materialize(r)
-    return r.select(F.col("i").alias("id"), F.col("v").alias("score"))
+    pinned = _Pinned()
+    contrib, _ = _contrib_loop(e, inv_d, teleport, 1.0 / n, iterations, pinned)
+    return _finalize(vertices, contrib, teleport)

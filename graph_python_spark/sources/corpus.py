@@ -146,6 +146,22 @@ def extract_edges(corpus: DataFrame, vertices: DataFrame) -> DataFrame:
     )
 
 
+def scale_fixture_edges(spark: SparkSession, n_vertices: int) -> DataFrame:
+    """Zipf-skewed edge table generated entirely JVM-side (xxhash64 +
+    explode(sequence) — no Python row path), for throughput/scaling runs
+    where corpus text generation would dominate.  Same degree law as the
+    corpus generator: deg ~ min(floor(1/u)+1, 64), u uniform from a hash.
+    """
+    v = spark.range(n_vertices)
+    u = (F.abs(F.xxhash64(F.col("id"), F.lit(7))) % 1000000) / 1000000.0 + 1e-9
+    deg = F.least(F.floor(F.lit(1.0) / u).cast("int") + 1, F.lit(64))
+    return (
+        v.select(F.col("id").alias("src"), F.explode(F.sequence(F.lit(1), deg)).alias("m"))
+        .select("src", (F.abs(F.xxhash64(F.col("src"), F.col("m"), F.lit(13))) % n_vertices).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
 def content_sha256(corpus: DataFrame) -> DataFrame:
     """Per-row invariant hashes (input_hint: sha256(content) equality)."""
     return corpus.select("repo", "path", F.sha2(F.col("content"), 256).alias("sha"))
