@@ -184,7 +184,7 @@ def pagerank(
             )
             rdiff = float(row["d"] or 0.0)
         rdiffs.append(rdiff)
-        iters_now = k + 1
+        iters_now = start_iter + k + 1
         if checkpoint is not None and iters_now % checkpoint_every == 0:
             checkpoint.save(iters_now, {"contrib": new_contrib},
                             {"rdiffs": rdiffs, "n": n})

@@ -50,8 +50,9 @@ class MatrixFrame:
     ) -> "MatrixFrame":
         rows, cols = list(rows), list(cols)
         vals = values if isinstance(values, (list, tuple)) else [values] * len(rows)
+        coerce = float if dtype in ("double", "float") else (int if "int" in dtype or dtype == "long" else (lambda x: x))
         df = spark.createDataFrame(
-            [(int(r), int(c), v) for r, c, v in zip(rows, cols, vals)],
+            [(int(r), int(c), coerce(v)) for r, c, v in zip(rows, cols, vals)],
             schema=f"i long, j long, v {dtype}",
         )
         if dup_op is not None:

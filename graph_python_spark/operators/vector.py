@@ -42,8 +42,9 @@ class VectorFrame:
         """Reference: ``Vector.from_coo`` ``graphblas/core/vector.py:694+``."""
         idx = list(indices)
         vals = values if isinstance(values, (list, tuple)) else [values] * len(idx)
+        coerce = float if dtype in ("double", "float") else (int if "int" in dtype or dtype == "long" else (lambda x: x))
         df = spark.createDataFrame(
-            [(int(i), v) for i, v in zip(idx, vals)], schema=f"i long, v {dtype}"
+            [(int(i), coerce(v)) for i, v in zip(idx, vals)], schema=f"i long, v {dtype}"
         )
         if dup_op is not None:
             df = df.groupBy("i").agg(dup_op(F.col("v")).alias("v"))

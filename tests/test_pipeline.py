@@ -1,0 +1,161 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_python_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),   # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog", "en", "s", 42),     # near dup
+        (3, "el gato de la casa que come pescado", "es", "s", 36),
+        (4, "der hund ist und die katze ist da", "de", "s", 33),
+        (5, "completely different words here about spark engines", "en", "s", 52),
+        (6, "zzz", "und", "s", 3),
+        (7, "", "und", "s", 0),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 0 and groups[0]["n_docs"] == 2
+
+
+def test_token_jaccard_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"])
+             for r in dedup.token_jaccard_pairs(docs, 1, 2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)][0] == pairs[(0, 1)][1]  # jaccard 1
+    assert (0, 2) in pairs  # near dup passes 0.5
+    assert all(a != 5 and b != 5 for a, b in pairs)  # unrelated doc pairs with nothing
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs                 # identical docs always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_signatures_deterministic(docs, spark):
+    s1 = dedup.minhash_signatures(docs).orderBy("doc_id").collect()
+    s2 = dedup.minhash_signatures(docs).orderBy("doc_id").collect()
+    assert s1 == s2
+    by_id = {r["doc_id"]: r for r in s1}
+    assert by_id[0]["mh0"] == by_id[1]["mh0"]  # identical text, identical sig
+
+
+def test_simhash(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sig[0] == sig[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(docs, prefix_bits=4, max_hamming=64).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_text_stats_and_lang(docs):
+    stats = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert stats[0]["n_tokens"] == 9
+    assert stats[0]["n_distinct_tokens"] == 8  # 'the' twice
+    assert stats[7]["n_tokens"] == 0
+    lang = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert lang[0] == "en" and lang[3] == "es" and lang[4] == "de"
+    assert lang[6] == "und"
+    q = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert q[0]["stop_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[1]      # identical docs: identical fingerprint
+    assert fp[0] != fp[5]      # unrelated doc: different fingerprint
+    assert fp[6] is not None  # single-token doc falls back to unigram hash
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # closest to 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.9, 0.1], 1),   # closest to 2
+        (4, [-1.0, 0.0, 0.0], 2),  # anti-parallel to 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.cosine_topk(emb, query_ids=[0, 2], k=2)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    assert got[(0, 1)] == 1 and got[(2, 1)] == 3
+    sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in out.collect()}
+    assert sims[(0, 1)] == pytest.approx(0.9 / (0.9055385138137417), abs=1e-5)
+
+
+def test_lsh_and_ivf_rank_identical_vector_first(spark):
+    import math
+
+    rows = []
+    for k in range(40):
+        ang = k * 0.17
+        rows.append((k, [math.cos(ang), math.sin(ang), 0.1 * (k % 3)], 0))
+    rows.append((100, rows[5][1], 1))  # exact copy of vec 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.lsh_cosine_topk(emb, query_ids=[5], dim=3, k=3, planes=4)
+    got = {r["rank"]: r["neighbor_id"] for r in out.collect()}
+    assert got[1] == 100  # the identical vector shares every bucket
+    out = similarity.ivf_topk(emb, query_ids=[5], k=3, n_cells=4, n_probe=2)
+    got = {r["rank"]: r["neighbor_id"] for r in out.collect()}
+    assert got[1] == 100
+
+
+def test_multimodal_features_and_stubs(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media, dim=4).orderBy("media_id").collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 4 for r in feats)
+    assert feats[1]["n_bytes"] == len(multimodal.synthetic_media(spark, n=2).collect()[1]["payload"])
+    # deterministic across runs
+    again = multimodal.extract_features(media, dim=4).orderBy("media_id").collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+    # frame sampling plan is JVM-side and real
+    fs = {r["media_id"]: list(r["frame_indices"])
+          for r in multimodal.frame_sample(media, every_n=30).collect()}
+    assert all(ix == list(range(0, 120, 30)) for ix in fs.values())
+    # the decode stub is clearly marked: resize raises NotImplementedError
+    with pytest.raises(Exception) as exc:
+        multimodal.resize_images(media, 32, 32).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(exc.value, NotImplementedError)
+
+
+def test_streaming_windowed_and_degree(spark, tmp_path):
+    from graph_python_spark.streaming import stream_degree_counts, stream_windowed_events
+    from graph_python_spark.streaming.streams import run_to_memory
+
+    events = spark.createDataFrame(
+        [(k, f"2024-01-01 0{k % 3}:10:00", k % 4, "click" if k % 2 else "view",
+          float(k), "{}") for k in range(30)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+             "event_type", "value", "props")
+    path = str(tmp_path / "events")
+    events.write.parquet(path)
+
+    # update mode: append would hold results until the watermark passes the
+    # last window, which never happens on a bounded directory
+    agg = stream_windowed_events(spark, path, window="1 hour")
+    run_to_memory(agg, "win_out", "update")
+    got = spark.sql("SELECT * FROM win_out").collect()
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n")).collect()
+    )
+    assert len(got) == len(batch) > 0
+
+    edges = spark.createDataFrame(
+        [(k % 5, k, "2024-01-01 00:00:00") for k in range(50)],
+        "src long, dst long, ts string",
+    ).select("src", "dst", F.col("ts").cast("timestamp").alias("ts"))
+    epath = str(tmp_path / "edges")
+    edges.write.parquet(epath)
+    deg = stream_degree_counts(spark, epath)
+    run_to_memory(deg, "deg_out", "complete")
+    got = {r["src"]: r["out_degree"] for r in spark.sql("SELECT * FROM deg_out").collect()}
+    assert got == {k: 10 for k in range(5)}
