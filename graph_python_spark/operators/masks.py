@@ -55,3 +55,39 @@ class Mask:
         """Rows of ``old`` OUTSIDE the mask (survive a replace=True write)."""
         how = "left_semi" if self.complement else "left_anti"
         return old.join(self._true_keys(), on=self.keys, how=how)
+
+    # -- combinators (reference core/mask.py:210-458: 20+ specialized
+    #    recipes; here one generic composition in delta space — complements
+    #    never materialize, they stay anti-joins) ---------------------------
+    def __and__(self, other: "Mask") -> "CompositeMask":
+        return CompositeMask(self, other, "and")
+
+    def __or__(self, other: "Mask") -> "CompositeMask":
+        return CompositeMask(self, other, "or")
+
+
+class CompositeMask:
+    """mask1 & mask2 / mask1 | mask2 — applied by join composition."""
+
+    def __init__(self, a, b, op: str):
+        assert a.keys == b.keys, "mask key arity mismatch"
+        self.a, self.b, self.op = a, b, op
+
+    @property
+    def keys(self) -> list[str]:
+        return self.a.keys
+
+    def __invert__(self) -> "CompositeMask":
+        # De Morgan: ~(a & b) = ~a | ~b
+        return CompositeMask(~self.a, ~self.b, "or" if self.op == "and" else "and")
+
+    def apply(self, delta: DataFrame) -> DataFrame:
+        if self.op == "and":
+            return self.b.apply(self.a.apply(delta))
+        # or: drop rows where BOTH masks are false
+        false_both = self.b.keep_outside(self.a.keep_outside(delta))
+        return delta.join(false_both.select(*self.keys), on=self.keys, how="left_anti")
+
+    def keep_outside(self, old: DataFrame) -> DataFrame:
+        inside = self.apply(old)
+        return old.join(inside.select(*self.keys), on=self.keys, how="left_anti")

@@ -217,6 +217,27 @@ class MatrixFrame:
         out = self.df.groupBy(F.col("j").alias("i")).agg(op.agg(F.col("v")).alias("v"))
         return VectorFrame(out, self._ncols)
 
+    def reduce_rowwise_agg(self, aggfn) -> VectorFrame:
+        """Per-row reduction with an Aggregator recipe (mean, std, norms,
+        count — reference agg/__init__.py; multi-phase recipes map to
+        Spark's partial+final aggregation automatically)."""
+        out = self.df.groupBy("i").agg(aggfn(F.col("v")).alias("v"))
+        return VectorFrame(out, self._nrows)
+
+    def argmin_rowwise(self) -> VectorFrame:
+        """ss argmin aggregator: per-row column index of the smallest value
+        (ties -> smallest j). Returns Vector of positions."""
+        out = self.df.groupBy("i").agg(
+            F.min_by(F.col("j"), F.struct(F.col("v"), F.col("j"))).alias("v")
+        )
+        return VectorFrame(out, self._nrows)
+
+    def argmax_rowwise(self) -> VectorFrame:
+        out = self.df.groupBy("i").agg(
+            F.max_by(F.col("j"), F.struct(F.col("v"), -F.col("j"))).alias("v")
+        )
+        return VectorFrame(out, self._nrows)
+
     def reduce_scalar(self, op: Monoid, allow_empty: bool = True) -> Any:
         row = self.df.agg(op.agg(F.col("v")).alias("v")).first()
         if row["v"] is None and not allow_empty:

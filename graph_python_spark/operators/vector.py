@@ -236,6 +236,52 @@ class VectorFrame:
         )
         return VectorFrame(out, self._size)
 
+    def sort(self, ascending: bool = True) -> "VectorFrame":
+        """ss.sort: values re-indexed by sort rank (reference
+        ss/vector.py:1562-1622)."""
+        order = [F.col("v").asc(), F.col("i").asc()] if ascending else [F.col("v").desc(), F.col("i").asc()]
+        w = Window.orderBy(*order)
+        out = self.df.select((F.row_number().over(w) - 1).alias("i"), "v")
+        return VectorFrame(out, self._size)
+
+    def compactify(self, how: str = "first") -> "VectorFrame":
+        """ss.compactify: squeeze stored values left (reference
+        ss/vector.py:1456-1561)."""
+        order = {
+            "first": [F.col("i").asc()],
+            "last": [F.col("i").desc()],
+            "smallest": [F.col("v").asc(), F.col("i").asc()],
+            "largest": [F.col("v").desc(), F.col("i").asc()],
+        }[how]
+        w = Window.orderBy(*order)
+        out = self.df.select((F.row_number().over(w) - 1).alias("i"), "v")
+        return VectorFrame(out, self._size)
+
+    def reposition(self, offset: int) -> "VectorFrame":
+        """Shift indices (reference vector.py:1695-1762); out-of-bounds drop."""
+        n = self.size
+        out = (
+            self.df.select((F.col("i") + offset).alias("i"), "v")
+            .filter((F.col("i") >= 0) & (F.col("i") < n))
+        )
+        return VectorFrame(out, n)
+
+    def reduce_agg(self, aggfn) -> Any:
+        """Whole-vector reduction with an Aggregator (reference
+        agg/__init__.py catalog — mean, std, norms, ...)."""
+        return self.df.agg(aggfn(F.col("v")).alias("v")).first()["v"]
+
+    def argmin(self) -> Optional[int]:
+        """ss argmin: index of the smallest value (ties -> smallest index)."""
+        row = self.df.agg(F.min_by(F.col("i"), F.struct(F.col("v"), F.col("i"))).alias("i")).first()
+        return row["i"]
+
+    def argmax(self) -> Optional[int]:
+        row = self.df.agg(
+            F.max_by(F.col("i"), F.struct(F.col("v"), -F.col("i"))).alias("i")
+        ).first()
+        return row["i"]
+
     def scan(self, op: Monoid = None) -> "VectorFrame":
         """Prefix scan (reference core/ss/prefix_scan.py:12-183) — Spark
         windows replace the whole blocked up/down-sweep recipe."""
