@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_python_spark import MatrixFrame, VectorFrame, semiring
+from graph_python_spark.functions.ops import agg as agg_ns
 from graph_python_spark.functions.ops import binary, indexunary, monoid
 from graph_python_spark.algorithms import (
     cc_fixed_rounds,
@@ -30,8 +31,10 @@ from graph_python_spark.algorithms import (
     pagerank,
     pagerank_fixed,
 )
-from graph_python_spark.algorithms.traversal import minplus_fixed_rounds
+from graph_python_spark.algorithms.traversal import bfs_parents_fixed, minplus_fixed_rounds
 from graph_python_spark.algorithms.triangles import triangles_df
+from graph_python_spark.operators.matrix import concat as matrix_concat
+from graph_python_spark.operators.merge import merge_into
 from graph_python_spark.pipeline import dedup, similarity, text
 from graph_python_spark.sources.tpch_graph import (
     customer_graph,
@@ -255,6 +258,109 @@ def q_label_prop(spark, sf_dir):
     return labels.select("id", F.col("label").cast("long").alias("label"))
 
 
+def q_bfs_parents(spark, sf_dir):
+    e = customer_graph(spark, sf_dir)
+    p = bfs_parents_fixed(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        source=0, rounds=MINPLUS_ROUNDS,
+    )
+    return p.select("id", F.col("parent").cast("long").alias("parent"))
+
+
+def q_outer_product(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    a = VectorFrame(nation.select(F.col("n_nationkey").cast("long").alias("i"),
+                                  (F.col("n_regionkey") + 1).cast("long").alias("v")), 25)
+    b = VectorFrame(region.select(F.col("r_regionkey").cast("long").alias("i"),
+                                  (F.col("r_regionkey") + 2).cast("long").alias("v")), 5)
+    c = a.outer(b, binary.times)
+    return c.df.select("i", "j", F.col("v").cast("long").alias("v"))
+
+
+def q_inner_product(spark, sf_dir):
+    m = _sp(spark, sf_dir)
+    v1 = m.reduce_rowwise(monoid.plus)
+    v2 = VectorFrame(
+        m.df.select("i").distinct().select("i", ((F.col("i") % 5) + 1).cast("long").alias("v"))
+    )
+    s = v1.inner(v2, semiring.plus_times)
+    return spark.createDataFrame([(int(s),)], "ip long")
+
+
+def q_vector_diag(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    v = VectorFrame(nation.select(F.col("n_nationkey").cast("long").alias("i"),
+                                  (F.col("n_regionkey") + 1).cast("long").alias("v")), 25)
+    m = v.diag(2)
+    return m.df.select("i", "j", F.col("v").cast("long").alias("v"))
+
+
+def q_reposition(spark, sf_dir):
+    m = _sp(spark, sf_dir)
+    out = MatrixFrame(m.df, 200000, 200000).reposition(-3, 5)
+    return out.df.select("i", "j", F.col("v").cast("long").alias("v"))
+
+
+def q_ewise_add_vector(spark, sf_dir):
+    a = _eg(spark, sf_dir)
+    vv = VectorFrame(
+        a.df.select(F.col("j").alias("i")).distinct()
+        .filter(F.col("i") % 3 == 0)
+        .select("i", ((F.col("i") % 7) + 1).cast("long").alias("v"))
+    )
+    out = a.ewise_add_vector(vv, binary.plus, axis="cols")
+    return out.df.select("i", "j", F.col("v").cast("long").alias("v"))
+
+
+def q_agg_rowwise(spark, sf_dir):
+    m = _sp(spark, sf_dir)
+    mean = m.reduce_rowwise_agg(agg_ns.mean).df.select("i", F.round("v", 6).alias("mean_w"))
+    stdp = m.reduce_rowwise_agg(agg_ns.stdp).df.select("i", F.round("v", 6).alias("std_w"))
+    l2 = m.reduce_rowwise_agg(agg_ns.L2_norm).df.select("i", F.round("v", 6).alias("l2_w"))
+    return mean.join(stdp, "i").join(l2, "i")
+
+
+def q_flatten(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    a = MatrixFrame(
+        nation.select(F.col("n_nationkey").cast("long").alias("i"),
+                      F.col("n_regionkey").cast("long").alias("j"),
+                      (F.col("n_nationkey") + F.col("n_regionkey")).cast("long").alias("v")),
+        25, 5,
+    )
+    vec = a.flatten("rowwise")
+    return vec.df.select("i", F.col("v").cast("long").alias("v"))
+
+
+def q_concat_tiles(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    a = MatrixFrame(
+        nation.select(F.col("n_nationkey").cast("long").alias("i"),
+                      F.col("n_regionkey").cast("long").alias("j"),
+                      (F.col("n_nationkey") + 1).cast("long").alias("v")),
+        25, 5,
+    )
+    b = MatrixFrame(
+        region.select(F.col("r_regionkey").cast("long").alias("i"),
+                      F.col("r_regionkey").cast("long").alias("j"),
+                      (F.col("r_regionkey") + 100).cast("long").alias("v")),
+        5, 5,
+    )
+    c = matrix_concat([[a], [b]])
+    return c.df.select("i", "j", F.col("v").cast("long").alias("v"))
+
+
+def q_assign_masked(spark, sf_dir):
+    # C(M.S, accum=plus) << A.T with M = A's structure: the generic
+    # merge_into covering the reference's 437-line assign decision tree
+    a = _eg(spark, sf_dir)
+    out = merge_into(a.df, a.T.df, ["i", "j"], mask=a.S, accum=binary.plus,
+                     replace=False)
+    return out.select("i", "j", F.col("v").cast("long").alias("v"))
+
+
 # -- training-data pipeline -------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
@@ -287,6 +393,14 @@ def q_quality(spark, sf_dir):
 
 def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_near_dup_cosine(spark, sf_dir):
+    return similarity.cosine_near_dup(_emb(spark, sf_dir), threshold=0.45)
+
+
+def q_bpe_tokens(spark, sf_dir):
+    return text.bpe_token_stats(_docs(spark, sf_dir))
 
 
 def q_windowed_events(spark, sf_dir):
@@ -329,6 +443,10 @@ def q_lsh_cosine_topk(spark, sf_dir):
                                       dim=64, k=5, planes=6)
 
 
+def q_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
 def q_multimodal_features(spark, sf_dir):
     from graph_python_spark.pipeline.multimodal import extract_features, synthetic_media
 
@@ -359,8 +477,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels": q_cc_labels,
         "triangle_count": q_triangle_count,
         "bfs_levels": q_bfs_levels,
+        "bfs_parents": q_bfs_parents,
         "sssp": q_sssp,
         "label_prop": q_label_prop,
+        "outer_product": q_outer_product,
+        "inner_product": q_inner_product,
+        "vector_diag": q_vector_diag,
+        "reposition": q_reposition,
+        "ewise_add_vector": q_ewise_add_vector,
+        "agg_rowwise": q_agg_rowwise,
+        "flatten": q_flatten,
+        "concat_tiles": q_concat_tiles,
+        "assign_masked": q_assign_masked,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "token_jaccard": q_token_jaccard,
@@ -369,12 +497,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "near_dup_cosine": q_near_dup_cosine,
+        "bpe_tokens": q_bpe_tokens,
         "windowed_events": q_windowed_events,
         # rows-only checks (no SQL oracle)
         "cc_converged": q_cc_converged,
         "pagerank_converged": q_pagerank_converged,
         "simhash_pairs": q_simhash_pairs,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -448,6 +579,36 @@ d{k} AS MATERIALIZED (
 )""")
     return head + "".join(steps) + f"""
 SELECT id, CAST(v AS BIGINT) AS {out_col} FROM d{rounds}"""
+
+
+def _bfs_parents_sql(rounds: int) -> str:
+    """dist via the unit-weight min-plus CTE chain, then
+    parent[d] = MIN s with s→d and dist[s]+1 = dist[d]; parent[0] = 0."""
+    head = f"""WITH {customer_graph_sql().strip().rstrip(')')}
+),
+rel AS (SELECT src AS s, dst AS d, MIN(1) AS w FROM eg GROUP BY 1, 2),
+d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS v)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, m.id) AS id, LEAST(d.v, m.mv) AS v
+  FROM d{k - 1} d FULL OUTER JOIN (
+    SELECT e.d AS id, MIN(d2.v + e.w) AS mv
+    FROM rel e JOIN d{k - 1} d2 ON e.s = d2.id
+    GROUP BY e.d
+  ) m ON d.id = m.id
+)""")
+    return head + "".join(steps) + f""",
+par AS (
+  SELECT e.d AS id, MIN(e.s) AS parent
+  FROM rel e JOIN d{rounds} ds ON e.s = ds.id JOIN d{rounds} dd ON e.d = dd.id
+  WHERE ds.v + 1 = dd.v
+  GROUP BY e.d
+)
+SELECT d.id, CAST(CASE WHEN d.id = 0 THEN 0 ELSE p.parent END AS BIGINT) AS parent
+FROM d{rounds} d LEFT JOIN par p ON d.id = p.id
+WHERE d.id = 0 OR p.parent IS NOT NULL"""
 
 
 def _lpa_sql(sweeps: int) -> str:
@@ -569,8 +730,57 @@ FROM sp"""
     sqls["pagerank"] = _pagerank_sql(PR_ITERS)
     sqls["cc_labels"] = _cc_sql(CC_ROUNDS)
     sqls["bfs_levels"] = _minplus_sql(MINPLUS_ROUNDS, weighted=False, out_col="level")
+    sqls["bfs_parents"] = _bfs_parents_sql(MINPLUS_ROUNDS)
     sqls["sssp"] = _minplus_sql(MINPLUS_ROUNDS, weighted=True, out_col="distance")
     sqls["label_prop"] = _lpa_sql(LPA_SWEEPS)
+
+    sqls["outer_product"] = """
+SELECT CAST(n.n_nationkey AS BIGINT) AS i, CAST(r.r_regionkey AS BIGINT) AS j,
+       CAST((n.n_regionkey + 1) * (r.r_regionkey + 2) AS BIGINT) AS v
+FROM nation n CROSS JOIN region r"""
+
+    sqls["inner_product"] = f"""WITH {sp},
+d AS (SELECT src, SUM(w) AS s FROM sp GROUP BY src)
+SELECT CAST(SUM(s * ((src % 5) + 1)) AS BIGINT) AS ip FROM d"""
+
+    sqls["vector_diag"] = """
+SELECT CAST(n_nationkey AS BIGINT) AS i, CAST(n_nationkey + 2 AS BIGINT) AS j,
+       CAST(n_regionkey + 1 AS BIGINT) AS v
+FROM nation"""
+
+    sqls["reposition"] = f"""WITH {sp}
+SELECT src - 3 AS i, dst + 5 AS j, CAST(w AS BIGINT) AS v
+FROM sp WHERE src - 3 >= 0 AND src - 3 < 200000 AND dst + 5 >= 0 AND dst + 5 < 200000"""
+
+    sqls["ewise_add_vector"] = f"""WITH {eg},
+vv AS (SELECT DISTINCT dst AS j, CAST((dst % 7) + 1 AS BIGINT) AS v
+       FROM eg WHERE dst % 3 = 0)
+SELECT a.src AS i, a.dst AS j, CAST(a.w + COALESCE(vv.v, 0) AS BIGINT) AS v
+FROM eg a LEFT JOIN vv ON vv.j = a.dst"""
+
+    sqls["agg_rowwise"] = f"""WITH {sp}
+SELECT src AS i, ROUND(AVG(w), 6) AS mean_w,
+       ROUND(STDDEV_POP(w), 6) AS std_w,
+       ROUND(SQRT(SUM(CAST(w AS DOUBLE) * w)), 6) AS l2_w
+FROM sp GROUP BY src"""
+
+    sqls["flatten"] = """
+SELECT CAST(n_nationkey * 5 + n_regionkey AS BIGINT) AS i,
+       CAST(n_nationkey + n_regionkey AS BIGINT) AS v
+FROM nation"""
+
+    sqls["concat_tiles"] = """
+SELECT CAST(n_nationkey AS BIGINT) AS i, CAST(n_regionkey AS BIGINT) AS j,
+       CAST(n_nationkey + 1 AS BIGINT) AS v
+FROM nation
+UNION ALL
+SELECT CAST(r_regionkey + 25 AS BIGINT), CAST(r_regionkey AS BIGINT),
+       CAST(r_regionkey + 100 AS BIGINT)
+FROM region"""
+
+    sqls["assign_masked"] = f"""WITH {eg}
+SELECT a.src AS i, a.dst AS j, CAST(a.w + COALESCE(b.w, 0) AS BIGINT) AS v
+FROM eg a LEFT JOIN eg b ON b.src = a.dst AND b.dst = a.src"""
 
     sqls["triangle_count"] = f"""WITH {eg},
 ue AS (
@@ -720,6 +930,28 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5"""
+
+    sqls["near_dup_cosine"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45"""
+
+    sqls["bpe_tokens"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(toks, t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS n_alpha,
+       CAST(len(list_filter(toks, t -> regexp_full_match(t, '[0-9]+'))) AS BIGINT) AS n_num,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+FROM base"""
 
     sqls["windowed_events"] = """
 SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,

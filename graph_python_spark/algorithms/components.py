@@ -7,8 +7,8 @@ stop changing.  The fixpoint assigns every vertex the MINIMUM vertex id of
 its (undirected) component — exact and permutation-invariant.
 
 Spark shape per round (both are single-shuffle joins):
-  * neighbor-min hook: edges ⋈ labels on src, groupBy(dst).min  — the
-    min_second SpMV;
+  * neighbor-min hook: cached adjacency ⋈ labels on src (O(V) probe),
+    explode + groupBy(dst).min — the min_second SpMV;
   * pointer jumping (shortcut): labels self-join ``f[f]`` halves tree depth,
     giving O(log n) rounds instead of O(diameter) — this is what makes the
     plan survive a 100×-diameter scale-up.
@@ -37,12 +37,12 @@ def connected_components(
     checkpoint: Optional[IterationState] = None,
 ) -> tuple[DataFrame, int]:
     """Returns (labels(id, component), rounds). component = min id in component."""
+    from graph_python_spark.operators.blocks import adjacency_table
+
     esym = _symmetrize(edges)
-    if partitions:
-        esym = esym.repartition(partitions, "s")
-    esym = esym.cache()
+    adj = adjacency_table(esym, "s", "d", partitions)
     if vertices is None:
-        vertices = esym.select(F.col("s").alias("id")).distinct()
+        vertices = adj.select(F.col("s").alias("id"))  # symmetric: s covers all
     vertices = vertices.select("id").cache()
 
     start = 0
@@ -56,10 +56,12 @@ def connected_components(
 
     rounds = start
     for k in range(start, max_rounds):
-        # hook: mngp[d] = min over neighbors s of f[s]   (min_second SpMV)
+        # hook: mngp[d] = min over neighbors s of f[s]   (min_second SpMV,
+        # adjacency form: O(V) join probe, O(E) explode inline)
         nbrmin = (
-            esym.join(f.withColumnRenamed("i", "s"), "s")
-            .groupBy(F.col("d").alias("i"))
+            adj.join(f.withColumnRenamed("i", "s"), "s")
+            .select(F.explode("ds").alias("i"), "v")
+            .groupBy("i")
             .agg(F.min("v").alias("_nm"))
         )
         # shortcut/grandparent: gp[v] = f[f[v]]

@@ -34,13 +34,13 @@ def label_propagation(
     ``fixed_sweeps``: run exactly that many synchronous sweeps with no
     convergence action (deterministic, used by the oracle-checked query).
     """
+    from graph_python_spark.operators.blocks import adjacency_table
+
     fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
     esym = fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    if partitions:
-        esym = esym.repartition(partitions, "s")
-    esym = esym.cache()
+    adj = adjacency_table(esym, "s", "d", partitions)
     if vertices is None:
-        vertices = esym.select(F.col("s").alias("id")).distinct()
+        vertices = adj.select(F.col("s").alias("id"))  # symmetric: s covers all
     vertices = vertices.select("id").cache()
 
     labels = vertices.select(F.col("id").alias("i"), F.col("id").alias("lbl"))
@@ -48,10 +48,12 @@ def label_propagation(
     sweeps = 0
     total = fixed_sweeps if fixed_sweeps is not None else max_sweeps
     for k in range(total):
-        # count neighbor labels per vertex (one shuffle, partial agg free)
+        # count neighbor labels per vertex (adjacency form: O(V) join probe,
+        # O(E) explode inline with the partial agg; one shuffle)
         counts = (
-            esym.join(labels.withColumnRenamed("i", "s"), "s")
-            .groupBy(F.col("d").alias("i"), F.col("lbl"))
+            adj.join(labels.withColumnRenamed("i", "s"), "s")
+            .select(F.explode("ds").alias("i"), "lbl")
+            .groupBy("i", "lbl")
             .agg(F.count("*").alias("n"))
         )
         # argmax with smallest-label tie-break: min over (-n, lbl) lexicographic

@@ -102,6 +102,36 @@ def minplus_fixed_rounds(edges: DataFrame, source: int, rounds: int,
     return dist
 
 
+def bfs_parents_fixed(edges: DataFrame, source: int, rounds: int) -> DataFrame:
+    """Deterministic parent BFS (min_first semantics, Parent BFS notebook):
+    dist = ``rounds`` unit-weight min-plus relaxations, then
+    parent[d] = MIN src s with an edge s→d and dist[s] + 1 = dist[d]
+    (the smallest-id predecessor on a shortest path — exactly the
+    ``min_first`` semiring's tie-break); parent[source] = source.
+
+    Non-iterative given dist — one join + groupBy(min), no extra loop.
+    """
+    dist = minplus_fixed_rounds(edges, source, rounds)
+    rel = (
+        edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct()
+    )
+    ds = dist.select(F.col("id").alias("s"), F.col("v").alias("_vs"))
+    dd = dist.select(F.col("id").alias("d"), F.col("v").alias("_vd"))
+    par = (
+        rel.join(ds, "s").join(dd, "d")
+        .filter(F.col("_vs") + 1 == F.col("_vd"))
+        .groupBy(F.col("d").alias("id"))
+        .agg(F.min("s").alias("parent"))
+    )
+    return (
+        dist.select("id")
+        .join(par, "id", "left_outer")
+        .select("id", F.when(F.col("id") == source, F.lit(source).cast("long"))
+                .otherwise(F.col("parent")).alias("parent"))
+        .filter(F.col("parent").isNotNull())
+    )
+
+
 def sssp(edges: DataFrame, source: int, weight: str = "v",
          max_rounds: int = 10**9) -> DataFrame:
     """Min-plus SSSP to fixpoint. edges: (i, j, v); returns dist(id, distance)."""

@@ -130,6 +130,30 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
     )
 
 
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    round(cos, 6) >= threshold — the exact baseline for near-dup removal.
+
+    Brute-force O(n²) pairs is the CORRECTNESS oracle path; at 100 TB the
+    LSH-bucketed variant (``lsh_signatures`` equi-join, same filter) bounds
+    candidates per bucket — same final filter, so results agree wherever the
+    bucket recall holds.
+    """
+    n = with_norm(emb, vec_col)
+    a = n.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_a"),
+                 F.col("_norm").alias("_na"))
+    b = n.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_b"),
+                 F.col("_norm").alias("_nb"))
+    return (
+        a.join(b, a["doc_a"] < b["doc_b"])
+        .select("doc_a", "doc_b",
+                F.round(_dot(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb")), 6)
+                .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 16,
              n_probe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF-style ANN: centroids = deterministic sample (every (n/n_cells)-th

@@ -94,6 +94,25 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization classes: alpha runs, digit runs, single symbols.
+# Same RE2/Java-compatible pattern is inlined into the DuckDB oracle.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (alpha / numeric /
+    symbol classes) — the coarse "how many tokens will the trainer see"
+    estimator. Pure regexp_extract_all projection, codegen'd JVM-side."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))).cast("long").alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long").alias("n_num"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: minimum md5 over token bigrams (winnowing-style
     min-hash over rolling shingles; single-token docs fall back to the token).

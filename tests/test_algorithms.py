@@ -147,3 +147,14 @@ def test_sssp_a7(spark):
     got = {r["id"]: r["distance"] for r in sssp(e, source=1).collect()}
     want = O.sssp(list(zip(A7_ROWS, A7_COLS, [float(v) for v in A7_VALS])), A7_N, 1)
     assert got == want
+
+
+def test_bfs_parents_fixed_rounds(spark):
+    from graph_python_spark.algorithms.traversal import bfs_parents_fixed
+
+    e = spark.createDataFrame(
+        list(zip(PR5_ROWS, PR5_COLS)), "i long, j long"
+    )
+    got = {r["id"]: r["parent"] for r in bfs_parents_fixed(e, source=0, rounds=8).collect()}
+    # dist: 0:0, 1:1, 2:1, 3:2, 4:2; min-id predecessor on a shortest path
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2}

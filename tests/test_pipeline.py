@@ -159,3 +159,23 @@ def test_streaming_windowed_and_degree(spark, tmp_path):
     run_to_memory(deg, "deg_out", "complete")
     got = {r["src"]: r["out_degree"] for r in spark.sql("SELECT * FROM deg_out").collect()}
     assert got == {k: 10 for k in range(5)}
+
+
+def test_bpe_token_stats(docs):
+    s = {r["doc_id"]: r for r in text.bpe_token_stats(docs).collect()}
+    assert s[0]["n_bpe_tokens"] == 9 and s[0]["n_alpha"] == 9
+    assert s[0]["n_num"] == 0 and s[0]["n_distinct"] == 8
+    assert s[7]["n_bpe_tokens"] == 0
+
+
+def test_cosine_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.01], 0),   # cos ~0.99995 with 0
+        (2, [0.0, 1.0], 1),    # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
+             for r in similarity.cosine_near_dup(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.999
