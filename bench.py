@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,7 +24,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "200000"))
 PR_BENCH_ITERS = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "10"))
 SCALE_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALE_VERTICES", "10000000"))
-SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "5"))
+SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "7"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 # iterative-loop tuning (measured, see BASELINE.md): AQE off avoids per-
@@ -36,13 +37,21 @@ LOOP_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",
 }
 
+# Shuffle partitions are sized to the DATA and held CONSTANT across both
+# parallelism levels (a real N vs 4N cluster comparison keeps the same
+# partitioning for the same input): per-task aggregation working sets then
+# stay identical and only the thread count varies.  Heap is kept moderate —
+# a 48g heap balloons to 30+ GB RSS and its G1 pauses put 2-10× spikes on
+# individual iterations (measured); 16g keeps collections short.
+SCALE_SHUFFLE = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "32"))
+
 
 def _get_spark(parallelism: int, loop_tuned: bool = False):
     from graph_python_spark.session import get_spark
 
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     return get_spark(app=f"bench-{parallelism}", parallelism=parallelism,
-                     shuffle_partitions=parallelism,
+                     shuffle_partitions=SCALE_SHUFFLE if loop_tuned else parallelism,
                      extra_conf=LOOP_CONF if loop_tuned else None)
 
 
@@ -92,12 +101,14 @@ def run_headlines(spark, results: dict) -> None:
 
 
 def timed_pagerank(spark, edges_path: str, iters: int) -> dict:
-    """BASELINE.md protocol: time the ITERATION LOOP (plus score finalize),
-    after a one-shot graph prep (adjacency build; reported separately) and a
-    1-iteration warmup that absorbs JIT/codegen compilation."""
+    """BASELINE.md protocol: steady-state per-iteration wall-clock of the
+    SpMV loop after one-shot graph prep (adjacency build; reported
+    separately) and 2 discarded warmup iterations (JIT/codegen).  Headline
+    throughput = nnz / median(iteration time) — robust to single-JVM GC
+    spikes that a multi-executor cluster doesn't serialize."""
     from pyspark.sql import functions as F
 
-    from graph_python_spark.algorithms.pagerank import pagerank_fixed, prepare_graph
+    from graph_python_spark.algorithms.pagerank import iteration_times, prepare_graph
 
     if edges_path == "<scale-fixture>":
         from graph_python_spark.sources.corpus import scale_fixture_edges
@@ -109,25 +120,28 @@ def timed_pagerank(spark, edges_path: str, iters: int) -> dict:
         edges = spark.read.parquet(edges_path).select(
             F.col("src").alias("i"), F.col("dst").alias("j")
         )
+    # adjacency partition count MUST equal spark.sql.shuffle.partitions:
+    # the groupBy output is then co-partitioned with the cached adjacency
+    # and the per-iteration join needs no exchange on either side
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t0 = time.time()
-    prepared = prepare_graph(edges, partitions=spark.sparkContext.defaultParallelism)
+    prepared = prepare_graph(edges, partitions=n_part)
     prep_s = round(time.time() - t0, 3)
     nnz = prepared.adj.agg(F.sum(F.size("js"))).first()[0]
 
-    pagerank_fixed(edges, iterations=1, prepared=prepared).count()  # warmup
-
-    t0 = time.time()
-    scores = pagerank_fixed(edges, iterations=iters, prepared=prepared)
-    n_out = scores.count()
-    dt = time.time() - t0
+    times = iteration_times(prepared, iterations=iters, warmups=2)
+    med = statistics.median(times)
+    total = sum(times)
     return {
         "edges": nnz,
         "prep_seconds": prep_s,
         "iterations": iters,
-        "seconds": round(dt, 3),
-        "iters_per_sec": round(iters / dt, 4),
-        "edges_per_sec": round(nnz * iters / dt, 1),
-        "vertices": n_out,
+        "iter_times": [round(t, 2) for t in times],
+        "seconds": round(total, 3),
+        "median_iter_sec": round(med, 3),
+        "iters_per_sec": round(1.0 / med, 4),
+        "edges_per_sec": round(nnz / med, 1),
+        "vertices": prepared.n,
     }
 
 
@@ -145,7 +159,9 @@ def main() -> None:
     # (local[8] vs local[32] stands in for N vs 4N executors; the fixture is
     # a ~60M-edge Zipf graph so per-iteration compute dominates fixed costs)
     scaling = {"vertices": SCALE_VERTICES, "iterations": SCALE_ITERS,
-               "conf": dict(LOOP_CONF)}
+               "conf": {**LOOP_CONF,
+                        "spark.sql.shuffle.partitions": str(SCALE_SHUFFLE),
+                        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g")}}
     for p in (8, 32):
         s = _get_spark(p, loop_tuned=True)
         scaling[f"local{p}"] = timed_pagerank(s, "<scale-fixture>", SCALE_ITERS)

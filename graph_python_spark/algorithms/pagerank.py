@@ -120,24 +120,31 @@ def prepare_graph(edges: DataFrame, vertices: Optional[DataFrame] = None,
     return PreparedGraph(adj, vertices, n, damping)
 
 
+def _step(adj, teleport: float, r0: float, contrib: Optional[DataFrame]) -> DataFrame:
+    """One pagerank_3f SpMV step: w = (teleport + contrib) ⊙ inv_d on adj's
+    domain, then contrib' = Σ_{i→j} w[i] (explode + partial-agg groupBy).
+    contrib=None is the first step from the dense uniform r0."""
+    if contrib is None:
+        src = adj.select((F.lit(r0) * F.col("inv_d")).alias("w"), "js")
+    else:
+        src = (
+            adj.join(contrib, "i", "left_outer")
+            .select(((F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0)))
+                     * F.col("inv_d")).alias("w"), "js")
+        )
+    return (
+        src.select(F.explode("js").alias("i"), "w")
+        .groupBy("i")
+        .agg(F.sum("w").alias("c"))
+    )
+
+
 def _contrib_loop(adj, teleport, r0, iterations, pinned, contrib=None,
                   rdiff_cb=None, tol=None):
     """Shared iteration body. contrib=None means start from dense r0=1/n."""
     iters_done = 0
     for k in range(iterations):
-        if contrib is None:
-            src = adj.select((F.lit(r0) * F.col("inv_d")).alias("w"), "js")
-        else:
-            src = (
-                adj.join(contrib, "i", "left_outer")
-                .select(((F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0)))
-                         * F.col("inv_d")).alias("w"), "js")
-            )
-        new_contrib = (
-            src.select(F.explode("js").alias("i"), "w")
-            .groupBy("i")
-            .agg(F.sum("w").alias("c"))
-        )
+        new_contrib = _step(adj, teleport, r0, contrib)
         if rdiff_cb is not None:
             new_contrib = pinned.pin(new_contrib)
             rdiff = rdiff_cb(contrib, new_contrib, k)
@@ -239,6 +246,35 @@ def pagerank(
         rdiff_cb=rdiff_cb, tol=tol,
     )
     return _finalize(vertices, contrib, teleport), start_iter + done, rdiffs
+
+
+def iteration_times(prepared: PreparedGraph, iterations: int = 7,
+                    warmups: int = 2) -> list[float]:
+    """Steady-state per-iteration wall-clock of the SpMV loop (BASELINE.md
+    measurement protocol): each iteration is eagerly materialized
+    (localCheckpoint) so the timing covers the full join + explode +
+    partial-agg + shuffle + pin cycle; the first ``warmups`` iterations are
+    discarded (the first compiles the no-join path, the second the join
+    path — whole-stage codegen + JIT).  Report the MEDIAN of the returned
+    list: individual iterations spike 2-3× on GC pauses in a single shared
+    JVM, which a multi-executor cluster doesn't serialize.
+    """
+    import time
+
+    adj, n = prepared.adj, prepared.n
+    teleport = (1.0 - prepared.damping) / n
+    contrib = None
+    times: list[float] = []
+    for k in range(warmups + iterations):
+        t0 = time.time()
+        nc = _step(adj, teleport, 1.0 / n, contrib).localCheckpoint(eager=True)
+        if contrib is not None:
+            contrib.unpersist()
+        contrib = nc
+        if k >= warmups:
+            times.append(time.time() - t0)
+    contrib.unpersist()
+    return times
 
 
 def pagerank_fixed(

@@ -53,6 +53,53 @@ def stream_degree_counts(spark: SparkSession, path: str,
     return edges.groupBy("src").agg(F.count("*").alias("out_degree"))
 
 
+def stream_user_stats(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    incremental per-user running aggregates (event count, value sum, first/
+    last event time) carried in GroupState across micro-batches.
+
+    This is the extension point for operators Structured Streaming's
+    built-in aggregations can't express (arbitrary per-key state machines);
+    the state is a single fixed-width row per user, so at scale state size
+    is O(users) and each micro-batch shuffles only its delta (grouped by
+    user_id).  Output mode: update (one refreshed row per user per batch).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(path)
+
+    out_schema = ("user_id long, n_events long, total_value double, "
+                  "first_ts timestamp, last_ts timestamp")
+    state_schema = "n long, total double, first_us long, last_us long"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, first_us, last_us = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, total, first_us, last_us))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [total],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drive a bounded stream to completion into an in-memory table."""
     q = (

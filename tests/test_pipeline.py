@@ -179,3 +179,28 @@ def test_cosine_near_dup(spark):
              for r in similarity.cosine_near_dup(emb, threshold=0.9).collect()}
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] > 0.999
+
+
+def test_streaming_stateful_user_stats(spark, tmp_path):
+    from graph_python_spark.streaming.streams import run_to_memory, stream_user_stats
+
+    events = spark.createDataFrame(
+        [(k, f"2024-01-01 00:{k:02d}:00", k % 3, "click", float(k), "{}")
+         for k in range(12)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+             "event_type", "value", "props")
+    path = str(tmp_path / "sevents")
+    events.write.parquet(path)
+
+    out = stream_user_stats(spark, path)
+    run_to_memory(out, "ustats", "update")
+    # last emitted row per user holds the final running aggregate
+    got = {r["user_id"]: r for r in spark.sql(
+        """SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+             FROM ustats) WHERE rn = 1"""
+    ).collect()}
+    assert got[0]["n_events"] == 4 and got[0]["total_value"] == 0 + 3 + 6 + 9
+    assert got[1]["n_events"] == 4 and got[2]["n_events"] == 4
+    assert got[0]["first_ts"].minute == 0 and got[0]["last_ts"].minute == 9
