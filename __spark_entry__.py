@@ -352,6 +352,27 @@ def q_concat_tiles(spark, sf_dir):
     return c.df.select("i", "j", F.col("v").cast("long").alias("v"))
 
 
+def q_matrix_power(spark, sf_dir):
+    # A^3 over min_plus on a 5-ring: exercises the repeated-squaring recipe
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    m = MatrixFrame(
+        region.select(F.col("r_regionkey").cast("long").alias("i"),
+                      ((F.col("r_regionkey") + 1) % 5).cast("long").alias("j"),
+                      (F.col("r_regionkey") + 1).cast("long").alias("v")),
+        5, 5,
+    )
+    p = m.power(3, semiring.min_plus)
+    return p.df.select("i", "j", F.col("v").cast("long").alias("v"))
+
+
+def q_extract_reindex(spark, sf_dir):
+    m = _sp(spark, sf_dir)
+    rows = [2, 4, 6, 8, 10]
+    cols = [100001, 100003, 100005, 100007, 100011]
+    out = m.extract(rows=rows, cols=cols, reindex=True)
+    return out.df.select("i", "j", F.col("v").cast("long").alias("v"))
+
+
 def q_assign_masked(spark, sf_dir):
     # C(M.S, accum=plus) << A.T with M = A's structure: the generic
     # merge_into covering the reference's 437-line assign decision tree
@@ -489,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten": q_flatten,
         "concat_tiles": q_concat_tiles,
         "assign_masked": q_assign_masked,
+        "matrix_power": q_matrix_power,
+        "extract_reindex": q_extract_reindex,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "token_jaccard": q_token_jaccard,
@@ -781,6 +804,19 @@ FROM region"""
     sqls["assign_masked"] = f"""WITH {eg}
 SELECT a.src AS i, a.dst AS j, CAST(a.w + COALESCE(b.w, 0) AS BIGINT) AS v
 FROM eg a LEFT JOIN eg b ON b.src = a.dst AND b.dst = a.src"""
+
+    sqls["matrix_power"] = """
+WITH m AS (SELECT r_regionkey AS i, (r_regionkey + 1) % 5 AS j,
+                  CAST(r_regionkey + 1 AS BIGINT) AS v FROM region),
+m2 AS (SELECT a.i, b.j, MIN(a.v + b.v) AS v FROM m a JOIN m b ON a.j = b.i GROUP BY a.i, b.j),
+m3 AS (SELECT a.i, b.j, MIN(a.v + b.v) AS v FROM m2 a JOIN m b ON a.j = b.i GROUP BY a.i, b.j)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(v AS BIGINT) AS v FROM m3"""
+
+    sqls["extract_reindex"] = f"""WITH {sp},
+rmap(oi, ni) AS (VALUES (2, 0), (4, 1), (6, 2), (8, 3), (10, 4)),
+cmap(oj, nj) AS (VALUES (100001, 0), (100003, 1), (100005, 2), (100007, 3), (100011, 4))
+SELECT CAST(r.ni AS BIGINT) AS i, CAST(c.nj AS BIGINT) AS j, CAST(sp.w AS BIGINT) AS v
+FROM sp JOIN rmap r ON sp.src = r.oi JOIN cmap c ON sp.dst = c.oj"""
 
     sqls["triangle_count"] = f"""WITH {eg},
 ue AS (

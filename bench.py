@@ -157,15 +157,25 @@ def main() -> None:
 
     # scaling differential: N vs 4N parallelism on the SAME input/job
     # (local[8] vs local[32] stands in for N vs 4N executors; the fixture is
-    # a ~60M-edge Zipf graph so per-iteration compute dominates fixed costs)
+    # a ~60M-edge Zipf graph so per-iteration compute dominates fixed costs).
+    # Each level runs in its OWN subprocess so both get an identical JVM
+    # lifecycle — sharing one process lets the second level inherit the
+    # first's JIT-compiled code and skews the ratio (scripts/scale_runner.py)
+    import subprocess
+
     scaling = {"vertices": SCALE_VERTICES, "iterations": SCALE_ITERS,
                "conf": {**LOOP_CONF,
                         "spark.sql.shuffle.partitions": str(SCALE_SHUFFLE),
                         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g")}}
+    runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "scale_runner.py")
     for p in (8, 32):
-        s = _get_spark(p, loop_tuned=True)
-        scaling[f"local{p}"] = timed_pagerank(s, "<scale-fixture>", SCALE_ITERS)
-        s.stop()
+        proc = subprocess.run(
+            [sys.executable, runner, str(p), str(SCALE_VERTICES), str(SCALE_ITERS)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        scaling[f"local{p}"] = json.loads(line)
     eff = scaling["local32"]["edges_per_sec"] / (4.0 * scaling["local8"]["edges_per_sec"])
     scaling["efficiency_8_to_32"] = round(eff, 4)
     results["scaling"] = scaling
