@@ -393,7 +393,10 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_token_jaccard(spark, sf_dir):
-    return dedup.token_jaccard_pairs(_docs(spark, sf_dir), threshold_num=1, threshold_den=2)
+    # df_cap = frequency-pruned inverted index (caps posting-list blowup at
+    # scale); the oracle applies the same cap
+    return dedup.token_jaccard_pairs(_docs(spark, sf_dir), threshold_num=1,
+                                     threshold_den=2, df_cap=400)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -417,7 +420,10 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_near_dup_cosine(spark, sf_dir):
-    return similarity.cosine_near_dup(_emb(spark, sf_dir), threshold=0.45)
+    # banded sign-LSH candidates + exact cosine filter (no all-pairs join);
+    # oracle replicates the identical banding, see _near_dup_sql
+    return similarity.cosine_near_dup(_emb(spark, sf_dir), threshold=0.45,
+                                      dim=64, bands=8, band_bits=4)
 
 
 def q_bpe_tokens(spark, sf_dir):
@@ -456,7 +462,10 @@ def q_pagerank_converged(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), prefix_bits=8, max_hamming=16)
+    # 8 disjoint 8-bit blocks with max_hamming=7 < blocks: pigeonhole makes
+    # the banded plan EXACT, so the brute-force SQL scan is a true oracle
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), blocks=8, max_hamming=7) \
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_lsh_cosine_topk(spark, sf_dir):
@@ -558,6 +567,64 @@ r{k} AS MATERIALIZED (
 )""")
     return head + "".join(steps) + f"""
 SELECT i AS id, ROUND(CAST(v AS DOUBLE), 6) AS score FROM r{iters}"""
+
+
+def _cc_converged_sql() -> str:
+    """Fixpoint oracle for cc_converged: component(v) = min id reachable via
+    undirected paths — a pure graph property, independent of the FastSV
+    iteration strategy, computed by a recursive reachability CTE (labels
+    only propagate downward: lbl < target prunes the pair space)."""
+    return f"""WITH RECURSIVE {customer_graph_sql().strip().rstrip(')')}
+),
+sym AS (SELECT src AS s, dst AS d FROM eg UNION SELECT dst, src FROM eg),
+verts AS (SELECT s AS id FROM sym UNION SELECT d FROM sym),
+reach(v, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.v WHERE r.lbl < e.d
+)
+SELECT v AS id, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY v"""
+
+
+def _pagerank_converged_sql(itermax: int, tol: float) -> str:
+    """Adaptive-stop oracle for pagerank_converged: unrolled damped
+    iteration with a per-step FREEZE — once the L1 step difference d_k
+    drops to tol, every later step keeps the frozen scores, so a fixed
+    unroll of ``itermax`` steps returns exactly the scores at the FIRST
+    converged iteration (the engine's stopping point).  Sound because the
+    damped PageRank step is an L1 contraction (factor = damping), so d_k
+    decreases monotonically and the freeze condition stays true."""
+    head = f"""WITH {customer_graph_sql().strip().rstrip(')')}
+),
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+nvv AS (SELECT count(*) AS n FROM verts),
+deg AS (SELECT src, count(*) AS d FROM eb GROUP BY src),
+r0 AS (SELECT id AS i, 1.0 / (SELECT n FROM nvv) AS v FROM verts)"""
+    steps = []
+    for k in range(1, itermax + 1):
+        steps.append(f""",
+s{k} AS MATERIALIZED (
+  SELECT vt.id AS i,
+         (0.15 / (SELECT n FROM nvv)) + COALESCE(c.c, 0.0) AS v
+  FROM verts vt LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.v * (0.85 / deg.d)) AS c
+    FROM eb e JOIN r{k - 1} r ON e.src = r.i JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON vt.id = c.id
+),
+d{k} AS (SELECT SUM(ABS(s.v - r.v)) AS rd FROM s{k} s JOIN r{k - 1} r ON s.i = r.i)""")
+        if k == 1:
+            steps.append(f""",
+r1 AS MATERIALIZED (SELECT i, v FROM s1)""")
+        else:
+            steps.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT s.i, CASE WHEN (SELECT rd FROM d{k - 1}) <= {tol!r} THEN r.v ELSE s.v END AS v
+  FROM s{k} s JOIN r{k - 1} r ON s.i = r.i
+)""")
+    return head + "".join(steps) + f"""
+SELECT i AS id, ROUND(CAST(v AS DOUBLE), 6) AS score FROM r{itermax}"""
 
 
 def _cc_sql(rounds: int) -> str:
@@ -670,6 +737,117 @@ toks AS (
 )"""
 
 
+def _hyperplane_lit(dim: int, plane: int) -> str:
+    """The sign-sketch hyperplane as a DuckDB DOUBLE[] literal — the same
+    md5-derived constants the Spark side inlines (similarity._hyperplane),
+    so both engines compute identical bucket bits."""
+    from graph_python_spark.pipeline.similarity import _hyperplane
+
+    return "[" + ", ".join(repr(x) for x in _hyperplane(dim, plane)) + "]"
+
+
+def _emb_head_sql() -> str:
+    return """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v
+      WHERE sqrt(list_dot_product(emb, emb)) > 0)"""
+
+
+def _near_dup_sql(threshold: float, dim: int, bands: int, band_bits: int) -> str:
+    """Banded sign-LSH near-dup pairs — replicates cosine_near_dup(method=
+    'lsh') exactly: same hyperplanes, same band/bucket packing, same exact
+    cosine filter on bucket collisions."""
+    band_selects = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {_hyperplane_lit(dim, b * band_bits + r)}) >= 0"
+            f" THEN {1 << r} ELSE 0 END)"
+            for r in range(band_bits)
+        )
+        band_selects.append(
+            f"SELECT vec_id AS id, {b} AS band, {bits} AS bucket FROM v"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_emb_head_sql()},
+bb AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM cand c JOIN n na ON na.vec_id = c.doc_a JOIN n nb ON nb.vec_id = c.doc_b
+WHERE ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) >= {threshold}"""
+
+
+def _lsh_topk_sql(n_queries: int, dim: int, k: int, planes: int) -> str:
+    """Single-bucket sign-LSH top-k — replicates lsh_cosine_topk."""
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {_hyperplane_lit(dim, p)}) >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH {_emb_head_sql()},
+sig AS (SELECT vec_id, emb, nrm, {bits} AS bucket FROM n),
+q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, bucket
+      FROM sig WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qe, s.emb) / (q.qn * s.nrm), 6) AS cos_sim
+  FROM q JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+def _ivf_topk_sql(n_queries: int, k: int, n_cells: int, n_probe: int) -> str:
+    """IVF top-k — replicates ivf_topk: md5-ordered centroid sample,
+    nearest-centroid routing, n_probe probed cells, exact re-rank."""
+    return f"""
+WITH {_emb_head_sql()},
+cents AS (
+  SELECT vec_id AS cell, emb AS cemb FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {n_cells}
+),
+routed AS (
+  SELECT v.vec_id, v.emb, c.cell,
+         list_dot_product(v.emb, c.cemb) AS aff,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_dot_product(v.emb, c.cemb) DESC,
+                                     c.cell ASC) AS rn
+  FROM v CROSS JOIN cents c
+),
+base AS (
+  SELECT r.vec_id AS neighbor_id, r.emb, n.nrm, r.cell
+  FROM routed r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1
+),
+qprobe AS (
+  SELECT n.vec_id AS query_id, n.emb AS qe, n.nrm AS qn, c.cell,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_dot_product(n.emb, c.cemb) DESC,
+                                     c.cell ASC) AS rn
+  FROM n CROSS JOIN cents c WHERE n.vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, b.neighbor_id,
+         ROUND(list_dot_product(q.qe, b.emb) / (q.qn * b.nrm), 6) AS cos_sim
+  FROM qprobe q JOIN base b ON b.cell = q.cell AND b.neighbor_id <> q.query_id
+  WHERE q.rn <= {n_probe}
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sp = supplier_part_graph_sql().strip().rstrip(")") + "\n)"
     eg = customer_graph_sql().strip()
@@ -752,6 +930,8 @@ FROM sp"""
 
     sqls["pagerank"] = _pagerank_sql(PR_ITERS)
     sqls["cc_labels"] = _cc_sql(CC_ROUNDS)
+    sqls["pagerank_converged"] = _pagerank_converged_sql(itermax=100, tol=1e-6)
+    sqls["cc_converged"] = _cc_converged_sql()
     sqls["bfs_levels"] = _minplus_sql(MINPLUS_ROUNDS, weighted=False, out_col="level")
     sqls["bfs_parents"] = _bfs_parents_sql(MINPLUS_ROUNDS)
     sqls["sssp"] = _minplus_sql(MINPLUS_ROUNDS, weighted=True, out_col="distance")
@@ -860,10 +1040,12 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
 WHERE i.inter * 2 >= (sa.sz + sb.sz - i.inter) * 1"""
 
     sqls["token_jaccard"] = f"""WITH {_TOKENS_SQL.strip()},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+keep AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 400),
+tc AS (SELECT t.doc_id, t.tok FROM toks t JOIN keep k ON k.tok = t.tok),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.doc_a, i.doc_b, i.inter,
@@ -871,6 +1053,24 @@ SELECT i.doc_a, i.doc_b, i.inter,
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
              JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.inter * 2 >= (sa.sz + sb.sz - i.inter) * 1"""
+
+    # simhash: brute-force all-pairs Hamming scan — exact because the Spark
+    # plan's 8-block banding with max_hamming 7 < 8 blocks has recall 1
+    sim_terms = []
+    for j in range(64):
+        val = (1 << j) if j < 63 else -(1 << 63)
+        sim_terms.append(
+            f"(CASE WHEN SUM(CASE WHEN (((strpos('0123456789abcdef', "
+            f"substring(md5(tok), {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN CAST({val} AS BIGINT) ELSE 0 END)"
+        )
+    sim_expr = " + ".join(sim_terms)
+    sqls["simhash_pairs"] = f"""WITH {_TOKENS_SQL.strip()},
+sig AS (SELECT doc_id, {sim_expr} AS simhash FROM toks GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 7"""
 
     sqls["fingerprint"] = """
 WITH raw AS (
@@ -967,15 +1167,9 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
   FROM scored
 ) WHERE rank <= 5"""
 
-    sqls["near_dup_cosine"] = """
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-),
-n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v)
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45"""
+    sqls["near_dup_cosine"] = _near_dup_sql(0.45, dim=64, bands=8, band_bits=4)
+    sqls["lsh_cosine_topk"] = _lsh_topk_sql(n_queries=10, dim=64, k=5, planes=6)
+    sqls["ivf_topk"] = _ivf_topk_sql(n_queries=10, k=5, n_cells=16, n_probe=2)
 
     sqls["bpe_tokens"] = r"""
 WITH base AS (

@@ -269,7 +269,11 @@ def iteration_times(prepared: PreparedGraph, iterations: int = 7,
         t0 = time.time()
         nc = _step(adj, teleport, 1.0 / n, contrib).localCheckpoint(eager=True)
         if contrib is not None:
-            contrib.unpersist()
+            # blocking: the default async unpersist lets old checkpoint
+            # blocks linger while the next iteration writes new ones —
+            # storage pressure + eviction showed up as 2-3× iteration-time
+            # variance in the scaling bench
+            contrib.unpersist(blocking=True)
         contrib = nc
         if k >= warmups:
             times.append(time.time() - t0)

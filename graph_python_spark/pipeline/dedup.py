@@ -76,6 +76,14 @@ def lsh_bands(signatures: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
     )
 
 
+def doc_token_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks: sorted array<string>, sz) — one row per document."""
+    return doc_tokens(docs).groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count("*").cast("long").alias("sz"),
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
                       threshold_num: int = 1, threshold_den: int = 2) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with EXACT token
@@ -83,8 +91,19 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
     jaccard >= threshold_num/threshold_den.
 
     Returns (doc_a, doc_b, inter, union_sz) with doc_a < doc_b.
+
+    Plan shape for 100 TB: candidate generation is a (band, bucket)
+    equi-join on band digests — never all pairs.  Verification attaches each
+    side's full (bounded-length) token array and computes
+    ``size(array_intersect)`` as a single whole-stage-codegen expression —
+    O(candidates) rows with NO post-candidate shuffle, versus the exploded
+    cand ⋈ tokens ⋈ tokens plan whose groupBy re-shuffles
+    O(candidates × tokens-per-doc) rows (measured 3× slower at sf0.1).
+    The token-set relation is one row per document (arrays bounded by
+    document length); it broadcasts when small and hash-joins on doc id
+    otherwise.
     """
-    toks = doc_tokens(docs).cache()
+    tsets = doc_token_sets(docs).cache()
     sig = minhash_signatures(docs, k)
     bb = lsh_bands(sig, k, bands)
     left = bb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
@@ -95,34 +114,51 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+    sa = tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta"),
+                      F.col("sz").alias("sza"))
+    sb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb"),
+                      F.col("sz").alias("szb"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("inter"),
+            "sza", "szb",
+        )
         .select(
             "doc_a", "doc_b", "inter",
             (F.col("sza") + F.col("szb") - F.col("inter")).cast("long").alias("union_sz"),
         )
         .filter(F.col("inter") * threshold_den >= F.col("union_sz") * threshold_num)
     )
-    return out
 
 
 def token_jaccard_pairs(docs: DataFrame, threshold_num: int = 1,
-                        threshold_den: int = 2) -> DataFrame:
-    """Exact all-pairs token Jaccard via the inverted index (token join key).
+                        threshold_den: int = 2,
+                        df_cap: int | None = None) -> DataFrame:
+    """All-pairs token Jaccard via the inverted index (token join key).
 
     O(sum of squared posting-list lengths) — the classic exact baseline the
     LSH path approximates; integer math keeps it oracle-exact.
+
+    ``df_cap`` is the scale guard: tokens appearing in more than ``df_cap``
+    documents are dropped from the token sets BEFORE sizes and
+    intersections (Jaccard is then computed over the capped sets, on both
+    the Spark and oracle side).  Without a cap, one stop-token with 10^6
+    postings alone generates 10^12 candidate pairs — a capped posting list
+    bounds the self-join at df_cap² per token, and near-universal tokens
+    carry ~zero Jaccard discrimination anyway (PPJoin-style frequency
+    pruning).  None = uncapped exact baseline for small inputs only.
     """
-    toks = doc_tokens(docs).cache()
+    toks = doc_tokens(docs)
+    if df_cap is not None:
+        dfreq = (
+            toks.groupBy("tok").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("tok")
+        )
+        toks = toks.join(dfreq, "tok")
+    toks = toks.cache()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
@@ -133,8 +169,10 @@ def token_jaccard_pairs(docs: DataFrame, threshold_num: int = 1,
         .agg(F.count("*").cast("long").alias("inter"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("szb")), "doc_b")
         .select("doc_a", "doc_b", "inter",
                 (F.col("sza") + F.col("szb") - F.col("inter")).cast("long").alias("union_sz"))
         .filter(F.col("inter") * threshold_den >= F.col("union_sz") * threshold_num)
@@ -142,18 +180,24 @@ def token_jaccard_pairs(docs: DataFrame, threshold_num: int = 1,
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """SimHash signature: per-bit majority over xxhash64(token).
+    """SimHash signature: per-bit majority vote over the md5 bits of each
+    distinct token.
 
-    bit_j(doc) = 1 iff sum over distinct tokens of sign(bit_j(hash(tok)))
-    is positive.  Built from shiftright/bitwise-and — fully JVM-side.
-    Near-duplicate detection then buckets on signature prefixes.
+    bit_j(doc) = 1 iff Σ_tokens (2·bit_j(md5(tok)) − 1) > 0, where
+    bit_j(md5) = bit (j mod 4) of hex nibble ⌊j/4⌋ of the digest.  md5 (not
+    xxhash64) so any engine with md5 + string ops reproduces the signature
+    bit-for-bit for the correctness oracle.  All expressions are JVM-side
+    built-ins (md5 / substring / instr / shift) — whole-stage codegen, one
+    groupBy(doc_id) shuffle.
     """
     toks = doc_tokens(docs)
-    h = F.xxhash64(F.col("tok"))
-    votes = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(bits)
-    ]
+    votes = []
+    for j in range(bits):
+        nibble = F.expr(
+            f"instr('0123456789abcdef', substring(md5(tok), {j // 4 + 1}, 1)) - 1"
+        )
+        bit = F.shiftright(nibble, j % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{j}"))
     agg = toks.groupBy("doc_id").agg(*votes)
     sig = None
     for j in range(bits):
@@ -163,17 +207,45 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, prefix_bits: int = 16, max_hamming: int = 8) -> DataFrame:
-    """Candidate pairs sharing a simhash prefix, filtered by Hamming distance
-    (bit_count is a built-in)."""
+def simhash_near_pairs(docs: DataFrame, blocks: int = 8,
+                       max_hamming: int = 7) -> DataFrame:
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
+    hamming <= max_hamming, doc_a < doc_b.
+
+    Candidates = pairs agreeing exactly on at least one of ``blocks``
+    disjoint bit-blocks of the 64-bit signature (standard Hamming-distance
+    LSH).  By pigeonhole, any pair within Hamming distance
+    ``blocks - 1`` shares a full block, so with max_hamming < blocks the
+    banded result is EXACT — identical to the brute-force all-pairs scan
+    the small-scale oracle runs — while candidate generation stays an
+    equi-join on (block index, block bits), never an all-pairs product.
+    """
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs blocks > max_hamming "
+            f"(pigeonhole exactness); got blocks={blocks}"
+        )
     sig = simhash(docs).cache()
-    pre = sig.withColumn("prefix", F.shiftright(F.col("simhash"), 64 - prefix_bits))
-    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "prefix")
-    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "prefix")
+    width = (64 + blocks - 1) // blocks
+    keys = F.array(*[
+        F.struct(
+            F.lit(b).cast("long").alias("blk"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << min(width, 64 - b * width)) - 1)).alias("key"),
+        )
+        for b in range(blocks)
+    ])
+    bb = (
+        sig.select("doc_id", "simhash", F.explode(keys).alias("bk"))
+        .select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    )
+    a = bb.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "blk", "key")
+    b = bb.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "blk", "key")
     return (
-        a.join(b, "prefix")
+        a.join(b, ["blk", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b",
                 F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -45,11 +45,11 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     Returns (query_id, neighbor_id, rank, cos_sim) with cos_sim rounded to
     1e-6 and rank ties broken by neighbor id — fully deterministic.
     """
-    base = with_norm(emb, vec_col).select(
+    base = with_norm(emb, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "_norm"
     )
     queries = (
-        with_norm(emb, vec_col)
+        with_norm(emb, vec_col).filter(F.col("_norm") > 0)
         .filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"),
                 F.col("_norm").alias("_qnorm"))
@@ -104,11 +104,11 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
     difference between nnz×queries and nnz×queries/2^planes comparisons.
     """
     sig = lsh_signatures(emb, dim, planes, vec_col, id_col).cache()
-    base = with_norm(sig, vec_col).select(
+    base = with_norm(sig, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "_norm", "bucket"
     )
     queries = (
-        with_norm(sig, vec_col)
+        with_norm(sig, vec_col).filter(F.col("_norm") > 0)
         .filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"),
                 F.col("_norm").alias("_qnorm"), "bucket")
@@ -130,40 +130,89 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
     )
 
 
-def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
-                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a < b) with
-    round(cos, 6) >= threshold — the exact baseline for near-dup removal.
+def lsh_band_buckets(emb: DataFrame, dim: int, bands: int, band_bits: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Multi-band sign-sketch buckets: rows (id, band, bucket).
 
-    Brute-force O(n²) pairs is the CORRECTNESS oracle path; at 100 TB the
-    LSH-bucketed variant (``lsh_signatures`` equi-join, same filter) bounds
-    candidates per bucket — same final filter, so results agree wherever the
-    bucket recall holds.
+    Band ``b`` packs the sign bits of hyperplanes ``b*band_bits ..
+    (b+1)*band_bits - 1`` into one long — two vectors are candidates iff
+    they agree on ALL bits of at least one band (standard banding: recall
+    1 - (1 - p^r)^b for per-bit agreement probability p = 1 - θ/π).
     """
-    n = with_norm(emb, vec_col)
+    structs = []
+    for b in range(bands):
+        sig = None
+        for r in range(band_bits):
+            p = b * band_bits + r
+            hp = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+            bit = F.when(_dot(F.col(vec_col), hp) >= 0,
+                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, r)
+            sig = term if sig is None else sig.bitwiseOR(term)
+        structs.append(F.struct(F.lit(b).cast("long").alias("band"),
+                                sig.alias("bucket")))
+    return (
+        emb.select(F.col(id_col).alias("id"), F.explode(F.array(*structs)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    dim: int = 64, bands: int = 8, band_bits: int = 4,
+                    method: str = "lsh") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a < b) with
+    round(cos, 6) >= threshold, zero-norm vectors excluded (0/0 would be
+    NaN, which Spark orders above every double).
+
+    method="lsh" (default, the 100 TB path): candidates come from a
+    multi-band sign-sketch bucket EQUI-join (``lsh_band_buckets``) — never
+    an all-pairs product; the exact cosine filter then runs only on bucket
+    collisions.  The band/bucket pair is the shuffle key, so candidate
+    generation is one hash join + distinct.  Recall is the standard banding
+    bound (tested against the exact path in tests/test_pipeline.py).
+
+    method="exact": the brute-force O(n²) baseline — the small-scale recall
+    oracle only; its join is a cartesian under a range condition and must
+    never run at scale.
+    """
+    n = with_norm(emb, vec_col).filter(F.col("_norm") > 0)
     a = n.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_a"),
                  F.col("_norm").alias("_na"))
     b = n.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_b"),
                  F.col("_norm").alias("_nb"))
+    if method == "exact":
+        pairs = a.join(b, a["doc_a"] < b["doc_b"])
+    else:
+        bb = lsh_band_buckets(emb, dim, bands, band_bits, vec_col, id_col)
+        cand = (
+            bb.select(F.col("id").alias("doc_a"), "band", "bucket")
+            .join(bb.select(F.col("id").alias("doc_b"), "band", "bucket"),
+                  ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        pairs = cand.join(a, "doc_a").join(b, "doc_b")
     return (
-        a.join(b, a["doc_a"] < b["doc_b"])
-        .select("doc_a", "doc_b",
-                F.round(_dot(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb")), 6)
-                .alias("cos_sim"))
+        pairs.select("doc_a", "doc_b",
+                     F.round(_dot(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb")), 6)
+                     .alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 16,
              n_probe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF-style ANN: centroids = deterministic sample (every (n/n_cells)-th
-    vector by id), vectors routed to nearest centroid, queries probe the
-    ``n_probe`` nearest cells."""
-    ids = [r[0] for r in emb.select(id_col).orderBy(id_col).limit(n_cells * 1000).collect()]
-    step = max(1, len(ids) // n_cells)
-    cent_ids = ids[::step][:n_cells]
+    """IVF-style ANN: centroids = the ``n_cells`` vectors with the smallest
+    md5(id) digest — a deterministic uniform pseudo-random sample computed
+    entirely in the plan (orderBy+limit is a distributed TakeOrdered; no
+    driver-side collect), reproducible in any engine with md5.  Vectors are
+    routed to their nearest centroid; queries probe the ``n_probe`` nearest
+    cells."""
     cents = (
-        emb.filter(F.col(id_col).isin(cent_ids))
+        emb.orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_c"))
     )
     # route every vector to its nearest centroid (broadcast centroid join)
@@ -173,12 +222,13 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 16
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_aff").desc(), F.col("cell").asc())
     assigned = routed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    base = with_norm(assigned, vec_col).select(
+    base = with_norm(assigned, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "_norm", "cell"
     )
     # queries probe their top-n_probe cells
     qprobe = (
-        with_norm(emb, vec_col).filter(F.col(id_col).isin(query_ids))
+        with_norm(emb, vec_col).filter(F.col("_norm") > 0)
+        .filter(F.col(id_col).isin(query_ids))
         .crossJoin(F.broadcast(cents))
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"),
                 F.col("_norm").alias("_qnorm"), "cell",

@@ -53,8 +53,17 @@ def test_simhash(docs):
     sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert sig[0] == sig[1]
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
-             for r in dedup.simhash_near_pairs(docs, prefix_bits=4, max_hamming=64).collect()}
+             for r in dedup.simhash_near_pairs(docs, blocks=8, max_hamming=7).collect()}
     assert pairs.get((0, 1)) == 0
+    # pigeonhole exactness: banded candidates recover every pair a brute
+    # force Hamming scan finds when max_hamming < blocks
+    sigs = sorted(sig.items())
+    brute = {
+        (a, b): bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+        for ai, (a, sa) in enumerate(sigs) for (b, sb) in sigs[ai + 1:]
+        if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    assert pairs == brute
 
 
 def test_text_stats_and_lang(docs):
@@ -176,9 +185,24 @@ def test_cosine_near_dup(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     pairs = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
-             for r in similarity.cosine_near_dup(emb, threshold=0.9).collect()}
+             for r in similarity.cosine_near_dup(emb, threshold=0.9, dim=2).collect()}
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] > 0.999
+
+
+def test_cosine_near_dup_lsh_recall(spark):
+    # banded LSH path vs the exact all-pairs baseline on the sf0.001
+    # embeddings: every LSH pair must be a true pair (precision 1 by
+    # construction — same exact filter), and recall at this threshold must
+    # be total on the fixture
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["doc_a"], r["doc_b"]) for r in similarity.cosine_near_dup(
+        emb, threshold=0.45, dim=64, method="exact").collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in similarity.cosine_near_dup(
+        emb, threshold=0.45, dim=64, bands=8, band_bits=4).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) == 1.0
 
 
 def test_streaming_stateful_user_stats(spark, tmp_path):
