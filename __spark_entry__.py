@@ -477,6 +477,17 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
 
 
+def q_louvain(spark, sf_dir):
+    from graph_python_spark.algorithms.louvain import louvain_sweeps
+
+    e = customer_graph(spark, sf_dir)
+    return louvain_sweeps(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j"),
+                 F.col("w").alias("v")),
+        sweeps=4,
+    ).select("id", F.col("community").cast("long").alias("community"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from graph_python_spark.pipeline.multimodal import extract_features, synthetic_media
 
@@ -520,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_tiles": q_concat_tiles,
         "assign_masked": q_assign_masked,
         "matrix_power": q_matrix_power,
+        "louvain": q_louvain,
         "extract_reindex": q_extract_reindex,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
@@ -625,6 +637,48 @@ r{k} AS MATERIALIZED (
 )""")
     return head + "".join(steps) + f"""
 SELECT i AS id, ROUND(CAST(v AS DOUBLE), 6) AS score FROM r{itermax}"""
+
+
+def _louvain_sql(sweeps: int) -> str:
+    """Synchronous Louvain sweeps unrolled (mirrors louvain_sweeps exactly:
+    same score formula, same smallest-community tie-break; all-integer
+    inputs keep the score doubles bit-identical across engines)."""
+    head = f"""WITH {customer_graph_sql().strip().rstrip(')')}
+),
+sym AS (
+  SELECT i, j, SUM(w) AS w FROM (
+    SELECT src AS i, dst AS j, CAST(w AS DOUBLE) AS w FROM eg
+    UNION ALL
+    SELECT dst, src, CAST(w AS DOUBLE) FROM eg
+  ) WHERE i <> j GROUP BY i, j
+),
+deg AS (SELECT i, SUM(w) AS k FROM sym GROUP BY i),
+mm AS (SELECT SUM(w) AS m2 FROM sym),
+l0 AS (SELECT i, i AS c FROM deg)"""
+    steps = []
+    for s in range(1, sweeps + 1):
+        steps.append(f""",
+sig{s} AS (SELECT l.c, SUM(d.k) AS sig FROM l{s - 1} l JOIN deg d ON d.i = l.i GROUP BY l.c),
+kvc{s} AS (SELECT e.i, l.c AS cn, SUM(e.w) AS kvc
+           FROM sym e JOIN l{s - 1} l ON l.i = e.j GROUP BY e.i, l.c),
+sc{s} AS (
+  SELECT v.i, v.cn,
+         v.kvc - d.k * (g.sig - CASE WHEN v.cn = cur.c THEN d.k ELSE 0 END)
+                 / (SELECT m2 FROM mm) AS score
+  FROM kvc{s} v JOIN l{s - 1} cur ON cur.i = v.i
+       JOIN deg d ON d.i = v.i JOIN sig{s} g ON g.c = v.cn
+),
+b{s} AS (
+  SELECT i, cn AS c FROM (
+    SELECT i, cn, row_number() OVER (PARTITION BY i ORDER BY score DESC, cn ASC) AS rn
+    FROM sc{s} WHERE i % 2 = {(s - 1) % 2}
+  ) WHERE rn = 1
+),
+l{s} AS MATERIALIZED (
+  SELECT l.i, COALESCE(b.c, l.c) AS c FROM l{s - 1} l LEFT JOIN b{s} b ON b.i = l.i
+)""")
+    return head + "".join(steps) + f"""
+SELECT i AS id, CAST(c AS BIGINT) AS community FROM l{sweeps}"""
 
 
 def _cc_sql(rounds: int) -> str:
@@ -932,6 +986,7 @@ FROM sp"""
     sqls["cc_labels"] = _cc_sql(CC_ROUNDS)
     sqls["pagerank_converged"] = _pagerank_converged_sql(itermax=100, tol=1e-6)
     sqls["cc_converged"] = _cc_converged_sql()
+    sqls["louvain"] = _louvain_sql(sweeps=4)
     sqls["bfs_levels"] = _minplus_sql(MINPLUS_ROUNDS, weighted=False, out_col="level")
     sqls["bfs_parents"] = _bfs_parents_sql(MINPLUS_ROUNDS)
     sqls["sssp"] = _minplus_sql(MINPLUS_ROUNDS, weighted=True, out_col="distance")
@@ -957,9 +1012,14 @@ FROM sp WHERE src - 3 >= 0 AND src - 3 < 200000 AND dst + 5 >= 0 AND dst + 5 < 2
 
     sqls["ewise_add_vector"] = f"""WITH {eg},
 vv AS (SELECT DISTINCT dst AS j, CAST((dst % 7) + 1 AS BIGINT) AS v
-       FROM eg WHERE dst % 3 = 0)
-SELECT a.src AS i, a.dst AS j, CAST(a.w + COALESCE(vv.v, 0) AS BIGINT) AS v
-FROM eg a LEFT JOIN vv ON vv.j = a.dst"""
+       FROM eg WHERE dst % 3 = 0),
+ext AS (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM eg),
+dense_rows AS (SELECT unnest(range((SELECT n FROM ext))) AS i),
+tmp AS (SELECT r.i, vv.j, vv.v FROM dense_rows r CROSS JOIN vv)
+SELECT COALESCE(a.src, t.i) AS i, COALESCE(a.dst, t.j) AS j,
+       CAST(CASE WHEN a.w IS NOT NULL AND t.v IS NOT NULL THEN a.w + t.v
+                 WHEN a.w IS NOT NULL THEN a.w ELSE t.v END AS BIGINT) AS v
+FROM eg a FULL OUTER JOIN tmp t ON a.src = t.i AND a.dst = t.j"""
 
     sqls["agg_rowwise"] = f"""WITH {sp}
 SELECT src AS i, ROUND(AVG(w), 6) AS mean_w,
@@ -1166,6 +1226,30 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5"""
+
+    # multimodal: synthetic_media payloads are a pure function of media_id
+    # (byte idx -> (m*37 + idx*11) % 256), so the deterministic fake-decode
+    # feature (byte-histogram moment 0) is recomputable in closed-form SQL —
+    # this oracles the whole mapInPandas/Arrow plumbing end to end
+    sqls["multimodal_features"] = """
+WITH ids AS (SELECT unnest(range(128)) AS m),
+spec AS (
+  SELECT m, ((m % 13) + 1) * 16 AS len,
+         CASE m % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM ids
+),
+bytes AS (
+  SELECT s.m, s.len, s.kind, t.idx
+  FROM spec s, unnest(range(s.len)) AS t(idx)
+),
+f0 AS (
+  SELECT m, SUM(CASE WHEN idx % 8 = 0 THEN ((m * 37 + idx * 11) % 256) / 255.0
+                ELSE 0 END) AS acc
+  FROM bytes GROUP BY m
+)
+SELECT s.m AS media_id, s.kind, CAST(s.len AS BIGINT) AS n_bytes,
+       ROUND(f.acc / s.len * 8, 6) AS f0
+FROM spec s JOIN f0 f ON f.m = s.m"""
 
     sqls["near_dup_cosine"] = _near_dup_sql(0.45, dim=64, bands=8, band_bits=4)
     sqls["lsh_cosine_topk"] = _lsh_topk_sql(n_queries=10, dim=64, k=5, planes=6)

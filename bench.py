@@ -149,13 +149,18 @@ def main() -> None:
     results = {"metric": "headline_queries_total_sec", "unit": "sec",
                "sf": SF_DIR, "queries": {}}
 
+    # Scaling FIRST, before this process starts any JVM: a stopped
+    # SparkSession leaves its py4j gateway JVM alive (observed burning a
+    # full core on GC), which would contaminate the pinned subprocess
+    # probes.  The calibration + probes run on an otherwise idle machine.
+    results["scaling"] = run_scaling()
+
     spark = _get_spark(CPUS)
     run_headlines(spark, results)
     edges_path = ensure_bench_graph(spark)
     results["pagerank_bench"] = timed_pagerank(spark, edges_path, PR_BENCH_ITERS)
     spark.stop()
 
-    results["scaling"] = run_scaling()
     results["value"] = round(sum(results["queries"].values()), 3)
     print(json.dumps(results))
 

@@ -3,6 +3,11 @@ from graph_python_spark.algorithms.components import connected_components, cc_fi
 from graph_python_spark.algorithms.labelprop import label_propagation
 from graph_python_spark.algorithms.triangles import triangle_count
 from graph_python_spark.algorithms.traversal import bfs_levels, bfs_parents, sssp
+from graph_python_spark.algorithms.louvain import (
+    louvain_levels,
+    louvain_sweeps,
+    modularity,
+)
 
 __all__ = [
     "pagerank",
@@ -14,4 +19,7 @@ __all__ = [
     "bfs_levels",
     "bfs_parents",
     "sssp",
+    "louvain_levels",
+    "louvain_sweeps",
+    "modularity",
 ]

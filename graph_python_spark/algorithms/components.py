@@ -42,7 +42,7 @@ def connected_components(
     esym = _symmetrize(edges)
     adj = adjacency_table(esym, "s", "d", partitions)
     if vertices is None:
-        vertices = adj.select(F.col("s").alias("id"))  # symmetric: s covers all
+        vertices = adj.select(F.col("s").alias("id")).distinct()  # s covers all; distinct: hub rows may be chunked
     vertices = vertices.select("id").cache()
 
     start = 0

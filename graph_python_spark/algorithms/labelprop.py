@@ -40,7 +40,7 @@ def label_propagation(
     esym = fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     adj = adjacency_table(esym, "s", "d", partitions)
     if vertices is None:
-        vertices = adj.select(F.col("s").alias("id"))  # symmetric: s covers all
+        vertices = adj.select(F.col("s").alias("id")).distinct()  # s covers all; distinct: hub rows may be chunked
     vertices = vertices.select("id").cache()
 
     labels = vertices.select(F.col("id").alias("i"), F.col("id").alias("lbl"))

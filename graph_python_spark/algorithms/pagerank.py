@@ -96,9 +96,11 @@ def _prepare(edges: DataFrame, vertices: Optional[DataFrame], damping: float,
     from graph_python_spark.operators.blocks import adjacency_table
 
     e = edges.select(F.col("i"), F.col("j"))
+    # deg (not size(js)): hub rows may be segmented into several bounded
+    # chunks, each carrying the vertex's TOTAL out-degree
     adj = adjacency_table(e, "i", "j", partitions).select(
         F.col("s").alias("i"), F.col("ds").alias("js"),
-        (F.lit(damping) / F.size("ds")).alias("inv_d"),
+        (F.lit(damping) / F.col("deg")).alias("inv_d"),
     )
     if vertices is None:
         vertices = (

@@ -210,6 +210,29 @@ indexunary = _Namespace(
 # beyond plain monoids. Composite ones (mean, std, ...) are multi-agg +
 # finalize, exactly like the reference's 2-phase recipes (agg.py:156-288).
 # ---------------------------------------------------------------------------
+class PositionalAgg:
+    """Aggregator over (value, index) pairs — the reference's positional
+    aggregators first/last/first_index/last_index (agg/__init__.py:1-75),
+    which plain single-column aggregates can't express.  ``build(v, idx)``
+    returns the Spark aggregate Column; 'first' = value at the smallest
+    stored index, 'last' at the largest."""
+
+    def __init__(self, name, build):
+        self.name = name
+        self.build = build
+
+    def __repr__(self):
+        return f"agg.{self.name}"
+
+    # single-column call intentionally unsupported: positional aggregators
+    # need the index column; reduce_*_agg detects this type and supplies it
+    def __call__(self, *_args, **_kw):
+        raise TypeError(
+            f"agg.{self.name} is positional — use reduce_rowwise_agg / "
+            f"reduce_columnwise_agg / Vector.reduce_agg, which pass the index"
+        )
+
+
 agg = _Namespace(
     sum=F.sum,
     prod=_prod_agg,
@@ -240,4 +263,8 @@ agg = _Namespace(
     L1_norm=lambda c: F.sum(F.abs(c)),
     L2_norm=lambda c: F.sqrt(F.sum(c * c)),
     Linf_norm=lambda c: F.max(F.abs(c)),
+    first=PositionalAgg("first", lambda v, idx: F.min_by(v, idx)),
+    last=PositionalAgg("last", lambda v, idx: F.max_by(v, idx)),
+    first_index=PositionalAgg("first_index", lambda v, idx: F.min(idx)),
+    last_index=PositionalAgg("last_index", lambda v, idx: F.max(idx)),
 )

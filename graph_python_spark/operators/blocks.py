@@ -103,10 +103,20 @@ def spmv_salted(edges: DataFrame, x: VectorFrame, op: Semiring,
 
 
 def adjacency_table(edges: DataFrame, src: str = "s", dst: str = "d",
-                    partitions: Optional[int] = None) -> DataFrame:
+                    partitions: Optional[int] = None,
+                    max_chunk: int = 4_000_000) -> DataFrame:
     """Group an edge list into cached, deduplicated adjacency rows
-    ``(s, ds: array<long>)`` hash-partitioned by s — the per-partition CSR
-    block of the north star, built ONCE per job.
+    ``(s, ds: array<long>, deg: long)`` hash-partitioned by s — the
+    per-partition CSR block of the north star, built ONCE per job.
+
+    Hub rows are SEGMENTED: a vertex with degree above ``max_chunk`` emits
+    ⌈deg/max_chunk⌉ rows, each carrying a bounded ``ds`` slice plus the
+    vertex's TOTAL degree in ``deg``.  On power-law graphs a 10⁸-degree hub
+    would otherwise be a single ~800 MB array cell that blows Arrow batch /
+    record limits during build and cache; chunking bounds every cell at
+    max_chunk×8 B, and downstream explode+⊕ consumers are associative so
+    the split is exact (chunks are disjoint slices of the sorted, deduped
+    neighbor list).
 
     This is the loop-invariant operand of every iterative sweep: the
     per-iteration join then probes O(V) adjacency rows instead of O(E) edge
@@ -135,6 +145,7 @@ def adjacency_table(edges: DataFrame, src: str = "s", dst: str = "d",
     def build(batches):
         buf_s: list[int] = []
         buf_ds: list[np.ndarray] = []
+        buf_deg: list[int] = []
         pend_s = None
         pend: list[np.ndarray] = []
 
@@ -142,8 +153,14 @@ def adjacency_table(edges: DataFrame, src: str = "s", dst: str = "d",
             nonlocal pend_s, pend
             if pend_s is not None:
                 arr = np.concatenate(pend) if len(pend) > 1 else pend[0]
-                buf_s.append(pend_s)
-                buf_ds.append(np.unique(arr))
+                uniq = np.unique(arr)
+                deg = len(uniq)
+                # hub segmentation: bounded array cells, total degree on
+                # every chunk row so consumers never need a second pass
+                for lo in range(0, deg, max_chunk):
+                    buf_s.append(pend_s)
+                    buf_ds.append(uniq[lo:lo + max_chunk])
+                    buf_deg.append(deg)
             pend_s = None
             pend = []
 
@@ -163,13 +180,13 @@ def adjacency_table(edges: DataFrame, src: str = "s", dst: str = "d",
                     pend_s = key
                     pend = [dd[lo:hi]]
             if len(buf_s) >= 200000:
-                yield pd.DataFrame({"s": buf_s, "ds": buf_ds})
-                buf_s, buf_ds = [], []
+                yield pd.DataFrame({"s": buf_s, "ds": buf_ds, "deg": buf_deg})
+                buf_s, buf_ds, buf_deg = [], [], []
         flush_group()
         if buf_s:
-            yield pd.DataFrame({"s": buf_s, "ds": buf_ds})
+            yield pd.DataFrame({"s": buf_s, "ds": buf_ds, "deg": buf_deg})
 
-    built = sorted_e.mapInPandas(build, "s long, ds array<long>")
+    built = sorted_e.mapInPandas(build, "s long, ds array<long>, deg long")
     # mapInPandas output carries no partitioning metadata; re-assert hash(s)
     # (one extra O(V) shuffle at build time) so the cached plan advertises
     # HashPartitioning and the per-iteration join needs NO exchange on the

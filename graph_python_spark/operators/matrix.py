@@ -72,6 +72,136 @@ class MatrixFrame:
                         v.alias("v"))
         return cls(out, nrows, ncols)
 
+    # -- CSR/CSC/DCSR/DCSC + dicts (reference matrix.py:1136-1397 from_*,
+    #    1704-1853 to_*, 1577-1901 from_dicts/to_dicts).  These are LOCAL
+    #    construction/export entry points like from_coo — driver-side numpy
+    #    expansion in, driver-side collect out; distributed data flows in
+    #    through from_edgelist / parquet instead. ---------------------------
+    @classmethod
+    def _from_compressed(cls, spark, major_ids, indptr, minor_indices, values,
+                         rowwise: bool, nrows, ncols, dtype):
+        import numpy as np
+
+        indptr = np.asarray(indptr, dtype=np.int64)
+        minor = np.asarray(minor_indices, dtype=np.int64)
+        counts = np.diff(indptr)
+        major = np.repeat(np.asarray(major_ids, dtype=np.int64), counts)
+        nnz = len(minor)
+        vals = (np.full(nnz, values) if np.isscalar(values)
+                else np.asarray(values))
+        rows, cols = (major, minor) if rowwise else (minor, major)
+        return cls.from_coo(spark, rows.tolist(), cols.tolist(),
+                            list(vals.tolist()) if nnz else [],
+                            nrows=nrows, ncols=ncols, dtype=dtype)
+
+    @classmethod
+    def from_csr(cls, spark: SparkSession, indptr, col_indices, values=1.0,
+                 nrows: Optional[int] = None, ncols: Optional[int] = None,
+                 dtype: str = "double") -> "MatrixFrame":
+        """Standard CSR import: row i's columns are
+        col_indices[indptr[i]:indptr[i+1]] (reference matrix.py:1136-1180)."""
+        n = len(indptr) - 1
+        if nrows is not None and nrows != n:
+            raise ValueError(f"nrows must equal len(indptr) - 1 = {n}")
+        return cls._from_compressed(spark, range(n), indptr, col_indices,
+                                    values, True, n, ncols, dtype)
+
+    @classmethod
+    def from_csc(cls, spark: SparkSession, indptr, row_indices, values=1.0,
+                 nrows: Optional[int] = None, ncols: Optional[int] = None,
+                 dtype: str = "double") -> "MatrixFrame":
+        """Standard CSC import (reference matrix.py:1182-1226)."""
+        n = len(indptr) - 1
+        if ncols is not None and ncols != n:
+            raise ValueError(f"ncols must equal len(indptr) - 1 = {n}")
+        return cls._from_compressed(spark, range(n), indptr, row_indices,
+                                    values, False, nrows, n, dtype)
+
+    @classmethod
+    def from_dcsr(cls, spark: SparkSession, compressed_rows, indptr,
+                  col_indices, values=1.0, nrows: Optional[int] = None,
+                  ncols: Optional[int] = None, dtype: str = "double") -> "MatrixFrame":
+        """Doubly-compressed (hypersparse) CSR: only rows in
+        ``compressed_rows`` are stored (reference matrix.py:1228-1312)."""
+        return cls._from_compressed(spark, compressed_rows, indptr,
+                                    col_indices, values, True, nrows, ncols, dtype)
+
+    @classmethod
+    def from_dcsc(cls, spark: SparkSession, compressed_cols, indptr,
+                  row_indices, values=1.0, nrows: Optional[int] = None,
+                  ncols: Optional[int] = None, dtype: str = "double") -> "MatrixFrame":
+        """Doubly-compressed CSC (reference matrix.py:1314-1397)."""
+        return cls._from_compressed(spark, compressed_cols, indptr,
+                                    row_indices, values, False, nrows, ncols, dtype)
+
+    @classmethod
+    def from_dicts(cls, spark: SparkSession, nested, order: str = "rowwise",
+                   nrows: Optional[int] = None, ncols: Optional[int] = None,
+                   dtype: str = "double") -> "MatrixFrame":
+        """{major: {minor: val}} dict-of-dicts, or [{minor: val}, ...] list
+        where position is the major index (reference matrix.py:1577-1673)."""
+        rowwise = order == "rowwise"
+        items = (enumerate(nested) if isinstance(nested, (list, tuple))
+                 else nested.items())
+        rows, cols, vals = [], [], []
+        for maj, d in items:
+            for mnr, v in d.items():
+                r, c = (maj, mnr) if rowwise else (mnr, maj)
+                rows.append(int(r))
+                cols.append(int(c))
+                vals.append(v)
+        if isinstance(nested, (list, tuple)):
+            n = len(nested)
+            if rowwise:
+                nrows = n if nrows is None else nrows
+            else:
+                ncols = n if ncols is None else ncols
+        return cls.from_coo(spark, rows, cols, vals, nrows=nrows, ncols=ncols,
+                            dtype=dtype)
+
+    def _to_compressed(self, rowwise: bool, dense_majors: Optional[int]):
+        import numpy as np
+
+        maj_c, mnr_c = ("i", "j") if rowwise else ("j", "i")
+        rows = self.df.orderBy(maj_c, mnr_c).collect()
+        majors = np.array([r[maj_c] for r in rows], dtype=np.int64)
+        minors = np.array([r[mnr_c] for r in rows], dtype=np.int64)
+        values = np.array([r["v"] for r in rows])
+        if dense_majors is None:  # doubly compressed: only present majors
+            uniq, starts = np.unique(majors, return_index=True)
+            indptr = np.r_[starts, len(majors)].astype(np.int64)
+            return uniq, indptr, minors, values
+        counts = np.bincount(majors, minlength=dense_majors)
+        indptr = np.r_[0, np.cumsum(counts)].astype(np.int64)
+        return indptr, minors, values
+
+    def to_csr(self):
+        """(indptr, col_indices, values) — reference matrix.py:1704-1735."""
+        return self._to_compressed(True, self.nrows)
+
+    def to_csc(self):
+        """(indptr, row_indices, values) — reference matrix.py:1737-1768."""
+        return self._to_compressed(False, self.ncols)
+
+    def to_dcsr(self):
+        """(compressed_rows, indptr, col_indices, values) —
+        reference matrix.py:1770-1810."""
+        return self._to_compressed(True, None)
+
+    def to_dcsc(self):
+        """(compressed_cols, indptr, row_indices, values) —
+        reference matrix.py:1812-1853."""
+        return self._to_compressed(False, None)
+
+    def to_dicts(self, order: str = "rowwise") -> dict:
+        """{major: {minor: val}} (reference matrix.py:1855-1901)."""
+        rowwise = order == "rowwise"
+        out: dict = {}
+        for r in self.df.collect():
+            maj, mnr = (r["i"], r["j"]) if rowwise else (r["j"], r["i"])
+            out.setdefault(maj, {})[mnr] = r["v"]
+        return {k: dict(sorted(v.items())) for k, v in sorted(out.items())}
+
     # -- metadata -------------------------------------------------------------
     @property
     def nrows(self) -> int:
@@ -147,25 +277,35 @@ class MatrixFrame:
 
     def ewise_add_vector(self, vec: VectorFrame, op: Callable = _binary.plus,
                          axis: str = "cols") -> "MatrixFrame":
-        """Matrix⊕Vector broadcast (recipe _m_add_v, reference matrix.py:57-89).
+        """Matrix⊕Vector broadcast with the reference's UNION semantics
+        (recipe _m_add_v, reference matrix.py:57-89): temp = dense-extent
+        outer(full, v) — i.e. temp[i, j] = v[j] for EVERY row i of the
+        matrix extent (axis='cols') — then ewise_add(self, temp).  Cells
+        present only in the matrix keep their value; cells (i, j∈supp(v))
+        absent from the matrix get v[j].
 
-        Broadcasts the vector along rows (axis='cols': v indexed by j).
-        Implemented as a broadcast hash join — no shuffle of the matrix.
+        Plan: the vector broadcasts into a crossJoin with a range() of the
+        dense axis (the output is inherently extent × |v| cells — that cost
+        is the semantics, not the plan), merged with the matrix by a
+        full-outer join on (i, j).
         """
         key = "j" if axis == "cols" else "i"
+        other_key = "i" if axis == "cols" else "j"
+        extent = self.nrows if axis == "cols" else self.ncols
+        spark = self.df.sparkSession
+        dense_axis = spark.range(extent).select(F.col("id").alias(other_key))
         vdf = vec.df.select(F.col("i").alias(key), F.col("v").alias("_vb"))
+        temp = dense_axis.crossJoin(F.broadcast(vdf))
         a = self.df.withColumnRenamed("v", "_va")
-        out = a.join(F.broadcast(vdf), key, "full_outer")
         both = F.col("_va").isNotNull() & F.col("_vb").isNotNull()
         merged = (
             F.when(both, op(F.col("_va"), F.col("_vb")))
             .when(F.col("_va").isNotNull(), F.col("_va"))
             .otherwise(F.col("_vb"))
         )
-        # rows where the matrix had no entry in that column are dropped
-        # (union broadcast needs full row extent; reference keeps vector rows
-        # paired with every row index — only intersection-present cells here)
-        out = out.filter(F.col("_va").isNotNull()).select("i", "j", merged.alias("v"))
+        out = a.join(temp, ["i", "j"], "full_outer").select(
+            "i", "j", merged.alias("v")
+        )
         return MatrixFrame(out, self._nrows, self._ncols)
 
     def ewise_mult_vector(self, vec: VectorFrame, op: Callable = _binary.times,
@@ -220,9 +360,23 @@ class MatrixFrame:
     def reduce_rowwise_agg(self, aggfn) -> VectorFrame:
         """Per-row reduction with an Aggregator recipe (mean, std, norms,
         count — reference agg/__init__.py; multi-phase recipes map to
-        Spark's partial+final aggregation automatically)."""
-        out = self.df.groupBy("i").agg(aggfn(F.col("v")).alias("v"))
+        Spark's partial+final aggregation automatically).  Positional
+        aggregators (first/last/first_index/last_index) get the column
+        index as their position."""
+        from graph_python_spark.functions.ops import PositionalAgg
+
+        expr = (aggfn.build(F.col("v"), F.col("j"))
+                if isinstance(aggfn, PositionalAgg) else aggfn(F.col("v")))
+        out = self.df.groupBy("i").agg(expr.alias("v"))
         return VectorFrame(out, self._nrows)
+
+    def reduce_columnwise_agg(self, aggfn) -> VectorFrame:
+        from graph_python_spark.functions.ops import PositionalAgg
+
+        expr = (aggfn.build(F.col("v"), F.col("i"))
+                if isinstance(aggfn, PositionalAgg) else aggfn(F.col("v")))
+        out = self.df.groupBy(F.col("j").alias("i")).agg(expr.alias("v"))
+        return VectorFrame(out, self._ncols)
 
     def argmin_rowwise(self) -> VectorFrame:
         """ss argmin aggregator: per-row column index of the smallest value
@@ -357,12 +511,20 @@ class MatrixFrame:
         return default if row is None else row["v"]
 
     def extract(self, rows: Optional[Sequence[int]] = None,
-                cols: Optional[Sequence[int]] = None, reindex: bool = True) -> "MatrixFrame":
+                cols: Optional[Sequence[int]] = None, reindex: bool = True,
+                input_mask: Optional[Mask] = None) -> "MatrixFrame":
         """A[rows, cols] with dense output reindexing (reference
         _prep_for_extract matrix.py:2840-2876).  Index maps are broadcast
-        joins — tiny dimension tables against the big edge relation."""
+        joins — tiny dimension tables against the big edge relation.
+
+        ``input_mask`` (reference expr.py:333-377 _input_mask_to_mask):
+        filters the INPUT matrix to positions the mask allows before the
+        extraction — one semi-join (anti-join for a complemented mask) on
+        (i, j), pushed ahead of the index maps."""
         spark = self.df.sparkSession
         df = self.df
+        if input_mask is not None:
+            df = input_mask.apply(df)
         nr, nc = self._nrows, self._ncols
         if rows is not None:
             rmap = spark.createDataFrame(
@@ -409,24 +571,49 @@ class MatrixFrame:
                            self._nrows, self._ncols)
 
     # -- ss extensions (reference core/ss/matrix.py) -----------------------------------
-    def sort_rowwise(self, ascending: bool = True) -> "MatrixFrame":
-        """ss.sort: sort values within each row; returns values compacted
-        left with the sort permutation as new column index
-        (reference ss/matrix.py:3991-4056)."""
-        order = [F.col("v").asc(), F.col("j").asc()] if ascending else [F.col("v").desc(), F.col("j").asc()]
-        w = Window.partitionBy("i").orderBy(*order)
-        out = self.df.select("i", (F.row_number().over(w) - 1).alias("j"), "v")
-        return MatrixFrame(out, self._nrows, self._ncols)
-
-    def selectk_rowwise(self, k: int, how: str = "smallest") -> "MatrixFrame":
-        """ss.selectk: keep k entries per row (reference ss/matrix.py:3815-3876)."""
-        order = {
+    @staticmethod
+    def _row_order(how: str, seed: int = 0):
+        """Per-row orderings for sort/selectk/compactify.  'random' is a
+        deterministic seeded-hash shuffle (xxhash64 of (i, j, seed)) — the
+        reproducible stand-in for the reference's RNG-based ``random`` mode
+        (ss/matrix.py:3815-3876); every engine with xxhash64 replays it."""
+        return {
             "smallest": [F.col("v").asc(), F.col("j").asc()],
             "largest": [F.col("v").desc(), F.col("j").asc()],
             "first": [F.col("j").asc()],
             "last": [F.col("j").desc()],
+            "random": [F.xxhash64(F.col("i"), F.col("j"), F.lit(seed)).asc(),
+                       F.col("j").asc()],
         }[how]
+
+    def sort_rowwise(self, ascending: bool = True, permutation: bool = False):
+        """ss.sort: sort values within each row; returns values compacted
+        left with the sort rank as new column index
+        (reference ss/matrix.py:3991-4056).
+
+        ``permutation=True`` additionally returns P with P[i, rank] =
+        original column index of the rank'th value — the reference's
+        (C, P) pair — computed from the same window, no second shuffle."""
+        order = [F.col("v").asc(), F.col("j").asc()] if ascending else [F.col("v").desc(), F.col("j").asc()]
         w = Window.partitionBy("i").orderBy(*order)
+        ranked = self.df.select(
+            "i", "j", "v", (F.row_number().over(w) - 1).alias("_rk")
+        )
+        values = MatrixFrame(
+            ranked.select("i", F.col("_rk").alias("j"), "v"),
+            self._nrows, self._ncols,
+        )
+        if not permutation:
+            return values
+        perm = MatrixFrame(
+            ranked.select("i", F.col("_rk").alias("j"), F.col("j").cast("long").alias("v")),
+            self._nrows, self._ncols,
+        )
+        return values, perm
+
+    def selectk_rowwise(self, k: int, how: str = "smallest", seed: int = 0) -> "MatrixFrame":
+        """ss.selectk: keep k entries per row (reference ss/matrix.py:3815-3876)."""
+        w = Window.partitionBy("i").orderBy(*self._row_order(how, seed))
         out = (
             self.df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
@@ -434,16 +621,10 @@ class MatrixFrame:
         )
         return MatrixFrame(out, self._nrows, self._ncols)
 
-    def compactify_rowwise(self, how: str = "first") -> "MatrixFrame":
+    def compactify_rowwise(self, how: str = "first", seed: int = 0) -> "MatrixFrame":
         """ss.compactify: squeeze stored values left (reference
         ss/matrix.py:3877-3990)."""
-        order = {
-            "first": [F.col("j").asc()],
-            "last": [F.col("j").desc()],
-            "smallest": [F.col("v").asc(), F.col("j").asc()],
-            "largest": [F.col("v").desc(), F.col("j").asc()],
-        }[how]
-        w = Window.partitionBy("i").orderBy(*order)
+        w = Window.partitionBy("i").orderBy(*self._row_order(how, seed))
         out = self.df.select("i", (F.row_number().over(w) - 1).alias("j"), "v")
         return MatrixFrame(out, self._nrows, self._ncols)
 
@@ -499,11 +680,20 @@ class MatrixFrame:
         rows = self.df.orderBy("i", "j").collect()
         return ([r["i"] for r in rows], [r["j"] for r in rows], [r["v"] for r in rows])
 
-    def to_dicts(self) -> dict[int, dict[int, Any]]:
-        out: dict[int, dict[int, Any]] = {}
-        for r in self.df.collect():
-            out.setdefault(r["i"], {})[r["j"]] = r["v"]
-        return out
+    # (to_dicts defined with the csr/dict import-export block above)
+
+    def head(self, n: int = 10) -> list[tuple[int, int, Any]]:
+        """First n stored triples in (i, j) order (reference ss head —
+        a bounded limit, never a full collect)."""
+        return [(r["i"], r["j"], r["v"])
+                for r in self.df.orderBy("i", "j").limit(n).collect()]
+
+    def iter_triples(self, prefetch_partitions: int = 1):
+        """Streaming iterator over stored triples via toLocalIterator —
+        one partition in driver memory at a time (reference iterator
+        surface ss/matrix.py itervalues/iterkeys)."""
+        for r in self.df.orderBy("i", "j").toLocalIterator(prefetch_partitions):
+            yield (r["i"], r["j"], r["v"])
 
 
 # -- ss.concat / ss.split (reference ss/matrix.py:281-382, ss/_core.py:73-109) ------

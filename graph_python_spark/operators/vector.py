@@ -220,41 +220,77 @@ class VectorFrame:
         return self.update(dense, mask=mask, accum=accum)
 
     # -- ss extensions ---------------------------------------------------------
-    def selectk(self, k: int, how: str = "smallest") -> "VectorFrame":
-        """Keep k entries (reference ss/vector.py:1407-1455)."""
-        order = {
+    @staticmethod
+    def _order(how: str, seed: int = 0):
+        """'random' = deterministic seeded-hash shuffle (stand-in for the
+        reference's RNG mode, reproducible across engines)."""
+        return {
             "smallest": [F.col("v").asc(), F.col("i").asc()],
             "largest": [F.col("v").desc(), F.col("i").asc()],
             "first": [F.col("i").asc()],
             "last": [F.col("i").desc()],
+            "random": [F.xxhash64(F.col("i"), F.lit(seed)).asc(), F.col("i").asc()],
         }[how]
-        w = Window.orderBy(*order)
-        out = (
-            self.df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
+
+    def _global_ranked(self, order) -> DataFrame:
+        """(i, v, _rn): deterministic global rank under a TOTAL order (every
+        ``order`` variant tie-breaks on i) WITHOUT a global single-task
+        window.  Two-phase: range-repartition on the sort key, rank locally
+        per partition (Window.partitionBy(partition id) — parallel), then
+        add per-partition offsets.  The offset relation is one row per
+        partition (bounded by the partition count, not the data), so its
+        ordering window and broadcast are O(P)."""
+        rp = (
+            self.df.repartitionByRange(*order)
+            .withColumn("_pid", F.spark_partition_id())
         )
+        counts = rp.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+        woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+        )
+        wloc = Window.partitionBy("_pid").orderBy(*order)
+        return (
+            rp.join(F.broadcast(offsets), "_pid")
+            .withColumn("_rn", F.row_number().over(wloc) + F.col("_off"))
+            .drop("_pid", "_off")
+        )
+
+    def selectk(self, k: int, how: str = "smallest", seed: int = 0) -> "VectorFrame":
+        """Keep k entries (reference ss/vector.py:1407-1455).
+
+        orderBy + limit plans as a distributed TakeOrdered (per-partition
+        top-k then a k-row merge on the driver) — no global sort, no
+        single-task window."""
+        out = self.df.orderBy(*self._order(how, seed)).limit(k).select("i", "v")
         return VectorFrame(out, self._size)
 
-    def sort(self, ascending: bool = True) -> "VectorFrame":
+    def sort(self, ascending: bool = True, permutation: bool = False):
         """ss.sort: values re-indexed by sort rank (reference
-        ss/vector.py:1562-1622)."""
-        order = [F.col("v").asc(), F.col("i").asc()] if ascending else [F.col("v").desc(), F.col("i").asc()]
-        w = Window.orderBy(*order)
-        out = self.df.select((F.row_number().over(w) - 1).alias("i"), "v")
-        return VectorFrame(out, self._size)
+        ss/vector.py:1562-1622); two-phase distributed ranking.
 
-    def compactify(self, how: str = "first") -> "VectorFrame":
+        ``permutation=True`` also returns P with P[rank] = original index —
+        the reference's (w, p) pair, from the same ranked relation."""
+        order = self._order("smallest" if ascending else "largest")
+        ranked = self._global_ranked(order)
+        values = VectorFrame(
+            ranked.select((F.col("_rn") - 1).alias("i"), "v"), self._size
+        )
+        if not permutation:
+            return values
+        perm = VectorFrame(
+            ranked.select((F.col("_rn") - 1).alias("_k"), F.col("i").cast("long").alias("v"))
+            .select(F.col("_k").alias("i"), "v"),
+            self._size,
+        )
+        return values, perm
+
+    def compactify(self, how: str = "first", seed: int = 0) -> "VectorFrame":
         """ss.compactify: squeeze stored values left (reference
-        ss/vector.py:1456-1561)."""
-        order = {
-            "first": [F.col("i").asc()],
-            "last": [F.col("i").desc()],
-            "smallest": [F.col("v").asc(), F.col("i").asc()],
-            "largest": [F.col("v").desc(), F.col("i").asc()],
-        }[how]
-        w = Window.orderBy(*order)
-        out = self.df.select((F.row_number().over(w) - 1).alias("i"), "v")
+        ss/vector.py:1456-1561); two-phase distributed ranking."""
+        out = self._global_ranked(self._order(how, seed)).select(
+            (F.col("_rn") - 1).alias("i"), "v"
+        )
         return VectorFrame(out, self._size)
 
     def reposition(self, offset: int) -> "VectorFrame":
@@ -268,8 +304,12 @@ class VectorFrame:
 
     def reduce_agg(self, aggfn) -> Any:
         """Whole-vector reduction with an Aggregator (reference
-        agg/__init__.py catalog — mean, std, norms, ...)."""
-        return self.df.agg(aggfn(F.col("v")).alias("v")).first()["v"]
+        agg/__init__.py catalog — mean, std, norms, positional first/last)."""
+        from graph_python_spark.functions.ops import PositionalAgg
+
+        expr = (aggfn.build(F.col("v"), F.col("i"))
+                if isinstance(aggfn, PositionalAgg) else aggfn(F.col("v")))
+        return self.df.agg(expr.alias("v")).first()["v"]
 
     def argmin(self) -> Optional[int]:
         """ss argmin: index of the smallest value (ties -> smallest index)."""
@@ -283,13 +323,33 @@ class VectorFrame:
         return row["i"]
 
     def scan(self, op: Monoid = None) -> "VectorFrame":
-        """Prefix scan (reference core/ss/prefix_scan.py:12-183) — Spark
-        windows replace the whole blocked up/down-sweep recipe."""
+        """Prefix scan (reference core/ss/prefix_scan.py:12-183) as the
+        classic two-phase distributed scan: range-partition by i, local
+        prefix per partition (parallel windows), then ⊕-combine each
+        partition's exclusive prefix of totals — the same up/down-sweep
+        shape as the reference's blocked recipe, with partitions as blocks.
+        The totals relation is one row per partition (O(P))."""
         from graph_python_spark.functions.ops import monoid as _monoid
 
         op = op or _monoid.plus
-        w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        out = self.df.select("i", op.agg(F.col("v")).over(w).alias("v"))
+        rp = self.df.repartitionByRange(F.col("i").asc()).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        wloc = Window.partitionBy("_pid").orderBy("i").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        local = rp.select("_pid", "i", op.agg(F.col("v")).over(wloc).alias("_lv"))
+        totals = rp.groupBy("_pid").agg(op.agg(F.col("v")).alias("_tot"))
+        woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = totals.select("_pid", op.agg(F.col("_tot")).over(woff).alias("_off"))
+        out = (
+            local.join(F.broadcast(offsets), "_pid")
+            .select(
+                "i",
+                F.when(F.col("_off").isNull(), F.col("_lv"))
+                .otherwise(op.pairwise(F.col("_off"), F.col("_lv"))).alias("v"),
+            )
+        )
         return VectorFrame(out, self._size)
 
     # -- comparison (test oracle surface; matrix.py:357-444) -------------------
@@ -320,3 +380,20 @@ class VectorFrame:
 
     def to_dict(self) -> dict[int, Any]:
         return {r["i"]: r["v"] for r in self.df.collect()}
+
+    @classmethod
+    def from_dict(cls, spark: SparkSession, d: dict, size: Optional[int] = None,
+                  dtype: str = "double") -> "VectorFrame":
+        """{index: value} import (reference vector.py from_dict)."""
+        idx = sorted(d)
+        return cls.from_coo(spark, idx, [d[i] for i in idx], size, dtype=dtype)
+
+    def head(self, n: int = 10) -> list[tuple[int, Any]]:
+        """First n stored entries in index order (bounded limit)."""
+        return [(r["i"], r["v"]) for r in self.df.orderBy("i").limit(n).collect()]
+
+    def iter_pairs(self, prefetch_partitions: int = 1):
+        """Streaming (i, v) iterator — one partition in driver memory at a
+        time via toLocalIterator."""
+        for r in self.df.orderBy("i").toLocalIterator(prefetch_partitions):
+            yield (r["i"], r["v"])

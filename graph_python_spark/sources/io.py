@@ -63,8 +63,19 @@ def from_networkx(spark: SparkSession, graph, weight: Optional[str] = None) -> M
 
 # -- Matrix Market (reference io/_matrixmarket.py:6-63) -----------------------
 def mmread(spark: SparkSession, path: str) -> MatrixFrame:
-    """Minimal MatrixMarket coordinate reader via spark.read.text (parses
-    JVM-side with column expressions; 1-based -> 0-based indices)."""
+    """Minimal MatrixMarket coordinate reader: the tiny header line is read
+    driver-side (robust for multi-split files — no reliance on Spark's
+    partition ordering), the body parses JVM-side with column expressions
+    (1-based -> 0-based indices)."""
+    with open(path) as f:
+        for line in f:
+            if not line.startswith("%"):
+                hdr = line.split()
+                break
+        else:
+            raise ValueError(f"no MatrixMarket header in {path}")
+    nrows, ncols, nnz = int(hdr[0]), int(hdr[1]), int(hdr[2])
+
     lines = spark.read.text(path)
     data = lines.filter(~F.col("value").startswith("%"))
     parts = F.split(F.trim(F.col("value")), r"\s+")
@@ -74,11 +85,15 @@ def mmread(spark: SparkSession, path: str) -> MatrixFrame:
         F.coalesce(parts.getItem(2).cast("double"), F.lit(1.0)).alias("v"),
         F.monotonically_increasing_id().alias("_ord"),
     )
-    header = parsed.orderBy("_ord").first()
-    nrows, ncols = int(header["a"]), int(header["b"])
-    body = parsed.join(
-        parsed.select(F.min("_ord").alias("_ord")), "_ord", "left_anti"
-    ).select((F.col("a") - 1).alias("i"), (F.col("b") - 1).alias("j"), "v")
+    # drop exactly the header row: it is line 1 of the file, so among rows
+    # carrying the header's values it has the minimal file position
+    hmatch = parsed.filter(
+        (F.col("a") == nrows) & (F.col("b") == ncols) & (F.col("v") == float(nnz))
+    )
+    drop = hmatch.agg(F.min("_ord").alias("_ord"))
+    body = parsed.join(drop, "_ord", "left_anti").select(
+        (F.col("a") - 1).alias("i"), (F.col("b") - 1).alias("j"), "v"
+    )
     return MatrixFrame(body, nrows, ncols)
 
 

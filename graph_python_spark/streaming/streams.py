@@ -82,17 +82,24 @@ def stream_user_stats(spark: SparkSession, path: str,
             state.get if state.exists else (0, 0.0, None, None)
         )
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             n += len(pdf)
             total += float(pdf["value"].sum())
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            # dropna first: NaT.astype('int64') silently becomes INT64_MIN
+            # and .min() on an empty series raises
+            ts = pdf["ts"].dropna()
+            if len(ts) == 0:
+                continue
+            ts_us = ts.astype("int64") // 1000  # ns -> us
             lo, hi = int(ts_us.min()), int(ts_us.max())
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
         state.update((n, total, first_us, last_us))
         yield pd.DataFrame({
             "user_id": [key[0]], "n_events": [n], "total_value": [total],
-            "first_ts": [pd.Timestamp(first_us, unit="us")],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "first_ts": [pd.Timestamp(first_us, unit="us") if first_us is not None else pd.NaT],
+            "last_ts": [pd.Timestamp(last_us, unit="us") if last_us is not None else pd.NaT],
         })
 
     return events.groupBy("user_id").applyInPandasWithState(
