@@ -70,27 +70,25 @@ def connected_components(
             .join(f.select(F.col("i").alias("_p"), F.col("v").alias("_gp")), "_p")
             .select("i", "_gp")
         )
+        nv = F.least(
+            F.col("v"),
+            F.coalesce(F.col("_nm"), F.col("v")),
+            F.coalesce(F.col("_gp"), F.col("v")),
+        )
+        # _chg rides along in the materialized frame, so the convergence
+        # check is one cheap aggregate over the cached checkpoint instead
+        # of a second join + recompute per round
         new_f = (
             f.join(nbrmin, "i", "left_outer")
             .join(gp, "i", "left_outer")
-            .select(
-                "i",
-                F.least(
-                    F.col("v"),
-                    F.coalesce(F.col("_nm"), F.col("v")),
-                    F.coalesce(F.col("_gp"), F.col("v")),
-                ).alias("v"),
-            )
+            .select("i", nv.alias("_nv"), (nv != F.col("v")).alias("_chg"))
+            .select("i", F.col("_nv").alias("v"), "_chg")
         )
         new_f = materialize(new_f)
-        changed = (
-            f.withColumnRenamed("v", "_old")
-            .join(new_f, "i")
-            .filter(F.col("_old") != F.col("v"))
-            .limit(1)
-            .count()
-        )
-        f = new_f
+        changed = int(new_f.agg(
+            F.coalesce(F.max(F.col("_chg").cast("int")), F.lit(0))
+        ).first()[0])
+        f = new_f.drop("_chg")
         rounds = k + 1
         if checkpoint is not None:
             checkpoint.save(rounds, {"labels": f}, {"changed": changed})

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graph_python_spark.pipeline.text import tokens_col
 
@@ -92,45 +93,82 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
 
     Returns (doc_a, doc_b, inter, union_sz) with doc_a < doc_b.
 
-    Plan shape for 100 TB: candidate generation is a (band, bucket)
-    equi-join on band digests — never all pairs.  Verification attaches each
-    side's full (bounded-length) token array and computes
-    ``size(array_intersect)`` as a single whole-stage-codegen expression —
-    O(candidates) rows with NO post-candidate shuffle, versus the exploded
-    cand ⋈ tokens ⋈ tokens plan whose groupBy re-shuffles
-    O(candidates × tokens-per-doc) rows (measured 3× slower at sf0.1).
-    The token-set relation is one row per document (arrays bounded by
-    document length); it broadcasts when small and hash-joins on doc id
-    otherwise.
+    Plan shape for 100 TB:
+
+      1. REPRESENTATIVE COLLAPSE — documents with identical token SETS
+         (md5 fingerprint of the sorted set) form one group; banding and
+         exact verification run only on the min-id representative of each
+         group.  Exact because Jaccard depends only on the token set:
+         every member pair inherits its representatives' (inter, union),
+         and same-set pairs are always band collisions with Jaccard 1.
+         On duplicate-heavy corpora (the whole point of dedup) this
+         divides the quadratic candidate work by the squared mean group
+         size; the final expansion is two cheap equi-joins on the
+         fingerprint.
+      2. Candidate generation: (band, bucket) equi-join on the reps'
+         band digests — never all pairs.
+      3. Verification: exploded token inverted-index join + count —
+         narrow rows through whole-stage codegen + partial aggregation
+         (measured 2.5x faster than per-pair array_intersect at sf0.1,
+         whose per-row hash-set build is the bottleneck).
     """
-    tsets = doc_token_sets(docs).cache()
-    sig = minhash_signatures(docs, k)
-    bb = lsh_bands(sig, k, bands)
-    left = bb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = bb.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    toks_all = doc_tokens(docs).cache()
+    groups = (
+        toks_all.groupBy("doc_id")
+        .agg(F.md5(F.concat_ws("\x01", F.sort_array(F.collect_list("tok")))).alias("_fp"),
+             F.count("*").alias("sz"))
+        .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("_fp")))
+    ).cache()
+    reps = groups.filter(F.col("doc_id") == F.col("_rep"))
+    toks = toks_all.join(reps.select("doc_id"), "doc_id")
+
+    sig = minhash_signatures(docs.join(reps.select("doc_id"), "doc_id"), k)
+    # set sizes ride along from the band relation (a tiny pre-join on the
+    # O(reps) side), so no post-aggregation join is needed — joining sizes
+    # onto the multi-million-row verified-pair relation planned as a
+    # sort-merge join and dominated the wall-clock (measured ~40s of 99s
+    # at sf0.1)
+    bb = lsh_bands(sig, k, bands).join(reps.select("doc_id", "sz"), "doc_id")
+    left = bb.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"),
+                     "band", "bucket")
+    right = bb.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"),
+                      "band", "bucket")
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "sza", "szb")
         .distinct()
     )
-    sa = tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("_ta"),
-                      F.col("sz").alias("sza"))
-    sb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("_tb"),
-                      F.col("sz").alias("szb"))
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("inter"),
-            "sza", "szb",
-        )
-        .select(
-            "doc_a", "doc_b", "inter",
-            (F.col("sza") + F.col("szb") - F.col("inter")).cast("long").alias("union_sz"),
-        )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    rep_pairs = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(F.count("*").cast("long").alias("inter"))
+        .select("doc_a", "doc_b", "inter",
+                (F.col("sza") + F.col("szb") - F.col("inter")).cast("long").alias("union_sz"))
         .filter(F.col("inter") * threshold_den >= F.col("union_sz") * threshold_num)
     )
+    # expand rep pairs to member pairs via the fingerprint groups
+    members = groups.select(F.col("_rep"), F.col("doc_id").alias("_m"))
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("_rep").alias("doc_a"), F.col("_m").alias("_da")), "doc_a")
+        .join(members.select(F.col("_rep").alias("doc_b"), F.col("_m").alias("_db")), "doc_b")
+        .select(F.least("_da", "_db").alias("doc_a"),
+                F.greatest("_da", "_db").alias("doc_b"), "inter", "union_sz")
+    )
+    # within-group pairs: identical sets, Jaccard exactly 1
+    within = (
+        groups.select("_fp", F.col("doc_id").alias("_da"), "sz")
+        .join(groups.select("_fp", F.col("doc_id").alias("_db")), "_fp")
+        .filter(F.col("_da") < F.col("_db"))
+        .select(F.col("_da").alias("doc_a"), F.col("_db").alias("doc_b"),
+                F.col("sz").cast("long").alias("inter"),
+                F.col("sz").cast("long").alias("union_sz"))
+        .filter(F.lit(threshold_den >= threshold_num))
+    )
+    return cross.unionByName(within)
 
 
 def token_jaccard_pairs(docs: DataFrame, threshold_num: int = 1,

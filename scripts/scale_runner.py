@@ -10,8 +10,9 @@ process lets the second level inherit the first's fully JIT-compiled code
 (plus a long headline phase's warmth), which skews the ratio by up to 2.5×
 in either direction depending on order (observed 0.17, 0.62, 1.65 for the
 same workload).  A fresh process per level — exactly how two real cluster
-deployments of different sizes would run — with 2 discarded warmup
-iterations gives a stable 0.90–1.06 band.  See BASELINE.md.
+deployments of different sizes would run — with 3 discarded warmup
+iterations (JIT compilation takes visibly longer at low core counts).
+See BASELINE.md.
 """
 
 from __future__ import annotations
@@ -90,7 +91,7 @@ def main() -> None:
     prep_s = round(time.time() - t0, 3)
     nnz = prepared.adj.agg(F.sum(F.size("js"))).first()[0]
 
-    times = iteration_times(prepared, iterations=iters, warmups=2)
+    times = iteration_times(prepared, iterations=iters, warmups=3)
     med = statistics.median(times)
     print(json.dumps({
         "parallelism": parallelism,

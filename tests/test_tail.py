@@ -128,3 +128,31 @@ def test_positional_aggregators(spark, A):
     assert v.reduce_agg(agg.last_index) == 9
     with pytest.raises(TypeError):
         agg.first(None)
+
+
+def test_struct_valued_cells(spark):
+    """Complex dtypes (reference core/dtypes.py:76-151 UDTs) map to
+    StructType value columns: ops take/return struct columns via
+    user-supplied lambdas — exercised through ewise_mult, apply and
+    transpose."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, 1, (1.0, 2.0)), (1, 0, (3.0, -1.0)), (1, 2, (0.5, 4.0))]
+    df = spark.createDataFrame(
+        rows, "i long, j long, v struct<re: double, im: double>"
+    )
+    m = MatrixFrame(df, 3, 3)
+
+    # apply: complex conjugate
+    conj = m.apply(lambda v: F.struct(v["re"].alias("re"), (-v["im"]).alias("im")))
+    got = {(r["i"], r["j"]): (r["v"]["re"], r["v"]["im"]) for r in conj.df.collect()}
+    assert got[(0, 1)] == (1.0, -2.0) and got[(1, 2)] == (0.5, -4.0)
+
+    # ewise_mult with a complex-product lambda against the transpose view
+    prod = m.ewise_mult(m.T, lambda a, b: F.struct(
+        (a["re"] * b["re"] - a["im"] * b["im"]).alias("re"),
+        (a["re"] * b["im"] + a["im"] * b["re"]).alias("im"),
+    ))
+    got = {(r["i"], r["j"]): (r["v"]["re"], r["v"]["im"]) for r in prod.df.collect()}
+    # (0,1): (1+2i)*(3-1i) = 5 + 5i ; (1,0): (3-1i)*(1+2i) = 5 + 5i
+    assert got == {(0, 1): (5.0, 5.0), (1, 0): (5.0, 5.0)}
