@@ -127,6 +127,16 @@ binary = _Namespace(
     band=lambda a, b: a.bitwiseAND(b),
     bxor=lambda a, b: a.bitwiseXOR(b),
     bxnor=lambda a, b: F.bitwise_not(a.bitwiseXOR(b)),
+    # bit-position ops (reference operator catalog bget/bset/bclr/bshift):
+    # b = bit index for get/set/clr; negative b shifts right for bshift.
+    # call_function: the SQL shift functions accept column bit counts,
+    # while the F.shiftleft/right Python wrappers only take int literals
+    bget=lambda a, b: F.call_function("shiftright", a, b).bitwiseAND(F.lit(1)),
+    bset=lambda a, b: a.bitwiseOR(F.call_function("shiftleft", F.lit(1).cast("long"), b)),
+    bclr=lambda a, b: a.bitwiseAND(
+        F.bitwise_not(F.call_function("shiftleft", F.lit(1).cast("long"), b))),
+    bshift=lambda a, b: F.when(b >= 0, F.call_function("shiftleft", a, b))
+    .otherwise(F.call_function("shiftright", a, -b)),
 )
 
 

@@ -308,6 +308,28 @@ class MatrixFrame:
         )
         return MatrixFrame(out, self._nrows, self._ncols)
 
+    def ewise_union_vector(self, vec: VectorFrame, op: Callable = _binary.minus,
+                           left_default: Any = 0, right_default: Any = 0,
+                           axis: str = "cols") -> "MatrixFrame":
+        """Matrix⊕Vector union with defaults (recipe _m_union_v, reference
+        matrix.py:82-89): same dense-extent broadcast as ewise_add_vector,
+        but one-sided cells combine against the given default instead of
+        passing through."""
+        key = "j" if axis == "cols" else "i"
+        other_key = "i" if axis == "cols" else "j"
+        extent = self.nrows if axis == "cols" else self.ncols
+        spark = self.df.sparkSession
+        dense_axis = spark.range(extent).select(F.col("id").alias(other_key))
+        vdf = vec.df.select(F.col("i").alias(key), F.col("v").alias("_vb"))
+        temp = dense_axis.crossJoin(F.broadcast(vdf))
+        a = self.df.withColumnRenamed("v", "_va")
+        out = a.join(temp, ["i", "j"], "full_outer").select(
+            "i", "j",
+            op(F.coalesce(F.col("_va"), F.lit(left_default)),
+               F.coalesce(F.col("_vb"), F.lit(right_default))).alias("v"),
+        )
+        return MatrixFrame(out, self._nrows, self._ncols)
+
     def ewise_mult_vector(self, vec: VectorFrame, op: Callable = _binary.times,
                           axis: str = "cols") -> "MatrixFrame":
         """A ⊗ v broadcast over matching axis (recipe _m_mult_v)."""

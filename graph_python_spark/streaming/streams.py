@@ -44,6 +44,34 @@ def stream_windowed_events(spark: SparkSession, path: str,
     )
 
 
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def stream_dedup_exact(spark: SparkSession, path: str,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: emit each distinct text's FIRST arrival and
+    drop later byte-identical copies — the streaming twin of
+    ``pipeline.dedup.exact_duplicates``.
+
+    ``dropDuplicatesWithinWatermark`` keys the dedup state on the md5 text
+    hash (32 bytes/doc, not the document body) and expires state once an
+    entry's event time falls behind the watermark: state stays O(distinct
+    docs within the watermark horizon), which is what makes this run
+    indefinitely at ingest scale.
+    """
+    docs = spark.readStream.schema(DOC_SCHEMA).parquet(path)
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("doc_id", "ts", "text_hash")
+    )
+
+
 def stream_degree_counts(spark: SparkSession, path: str,
                          watermark: str = "1 hour") -> DataFrame:
     """Incremental out-degree over an arriving edge stream — the streaming

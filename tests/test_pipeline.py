@@ -228,3 +228,25 @@ def test_streaming_stateful_user_stats(spark, tmp_path):
     assert got[0]["n_events"] == 4 and got[0]["total_value"] == 0 + 3 + 6 + 9
     assert got[1]["n_events"] == 4 and got[2]["n_events"] == 4
     assert got[0]["first_ts"].minute == 0 and got[0]["last_ts"].minute == 9
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    from graph_python_spark.streaming.streams import run_to_memory, stream_dedup_exact
+
+    docs = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", "aaa"),
+         (1, "2024-01-01 00:01:00", "bbb"),
+         (2, "2024-01-01 00:02:00", "aaa"),   # dup of 0
+         (3, "2024-01-01 00:03:00", "ccc"),
+         (4, "2024-01-01 00:04:00", "bbb")],  # dup of 1
+        "doc_id long, ts string, text string",
+    ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+    out = stream_dedup_exact(spark, path, watermark="10 minutes")
+    run_to_memory(out, "dedup_stream", "append")
+    rows = spark.sql("SELECT doc_id FROM dedup_stream").collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    # one survivor per distinct text
+    assert len(kept) == 3
+    assert 3 in kept

@@ -156,3 +156,37 @@ def test_struct_valued_cells(spark):
     got = {(r["i"], r["j"]): (r["v"]["re"], r["v"]["im"]) for r in prod.df.collect()}
     # (0,1): (1+2i)*(3-1i) = 5 + 5i ; (1,0): (3-1i)*(1+2i) = 5 + 5i
     assert got == {(0, 1): (5.0, 5.0), (1, 0): (5.0, 5.0)}
+
+
+def test_ewise_union_vector(spark):
+    """_m_union_v parity (reference matrix.py:82-89): union with defaults
+    over the dense row extent."""
+    m = MatrixFrame.from_coo(spark, [0, 1], [0, 1], [10.0, 20.0], 2, 3)
+    v = VectorFrame.from_coo(spark, [1, 2], [1.0, 2.0], 3)
+    out = {(r["i"], r["j"]): r["v"]
+           for r in m.ewise_union_vector(v, left_default=0.0,
+                                         right_default=0.0).df.collect()}
+    # temp covers rows {0,1} x cols {1,2}; minus with defaults
+    assert out == {
+        (0, 0): 10.0,            # matrix-only: 10 - 0
+        (0, 1): -1.0,            # vector-only: 0 - 1
+        (0, 2): -2.0,
+        (1, 1): 19.0,            # both: 20 - 1
+        (1, 2): -2.0,
+    }
+
+
+def test_bit_position_ops(spark, A):
+    """bget/bset/bclr/bshift (reference binary catalog) over stored values."""
+    from graph_python_spark.functions.ops import binary
+
+    m = MatrixFrame.from_coo(spark, [0, 0, 1], [0, 1, 0], [5, 12, 7], 2, 2,
+                             dtype="long")
+    def vals(mm):
+        return {(r["i"], r["j"]): r["v"] for r in mm.df.collect()}
+
+    assert vals(m.apply(binary.bget, right=2)) == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+    assert vals(m.apply(binary.bset, right=1)) == {(0, 0): 7, (0, 1): 14, (1, 0): 7}
+    assert vals(m.apply(binary.bclr, right=2)) == {(0, 0): 1, (0, 1): 8, (1, 0): 3}
+    assert vals(m.apply(binary.bshift, right=2)) == {(0, 0): 20, (0, 1): 48, (1, 0): 28}
+    assert vals(m.apply(binary.bshift, right=-1)) == {(0, 0): 2, (0, 1): 6, (1, 0): 3}
