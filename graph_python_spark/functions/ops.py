@@ -78,6 +78,67 @@ unary = _Namespace(
 )
 
 
+def _scalar_math_udf(fn_name: str):
+    """Arrow-batched pandas UDF around a C-library scalar kernel from
+    ``math`` — for the few transcendentals Spark SQL lacks (erf/erfc/
+    lgamma/tgamma).  The reference delegates these to C ufuncs too
+    (operator catalog unary.erf etc.); here the batch transfer is Arrow
+    and the per-element call is the same C function, off the hot path
+    (graph kernels never use them)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    kern = getattr(math, fn_name)
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def _udf(s):
+        arr = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = np.empty_like(arr)
+        for idx in range(arr.shape[0]):
+            x = arr[idx]
+            try:
+                out[idx] = kern(x)
+            except ValueError:
+                out[idx] = np.nan
+        return pd.Series(out)
+
+    return _udf
+
+
+# transcendentals without Spark SQL builtins (reference unary catalog):
+# resolved lazily so importing ops.py needs no active session
+unary.erf = lambda x: _scalar_math_udf("erf")(x)
+unary.erfc = lambda x: _scalar_math_udf("erfc")(x)
+unary.lgamma = lambda x: _scalar_math_udf("lgamma")(x)
+unary.tgamma = lambda x: _scalar_math_udf("gamma")(x)
+
+
+def _frexp_udf():
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("struct<mantissa: double, exponent: int>", PandasUDFType.SCALAR)
+    def _udf(s):
+        pairs = [math.frexp(x) if pd.notna(x) else (float("nan"), 0) for x in s]
+        return pd.DataFrame({"mantissa": [p[0] for p in pairs],
+                             "exponent": [p[1] for p in pairs]})
+
+    return _udf
+
+
+unary.frexpx = lambda x: _frexp_udf()(x)["mantissa"]
+unary.frexpe = lambda x: _frexp_udf()(x)["exponent"].cast("long")
+
+
 # ---------------------------------------------------------------------------
 # BinaryOp: (left, right) -> value
 # ---------------------------------------------------------------------------

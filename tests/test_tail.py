@@ -190,3 +190,24 @@ def test_bit_position_ops(spark, A):
     assert vals(m.apply(binary.bclr, right=2)) == {(0, 0): 1, (0, 1): 8, (1, 0): 3}
     assert vals(m.apply(binary.bshift, right=2)) == {(0, 0): 20, (0, 1): 48, (1, 0): 28}
     assert vals(m.apply(binary.bshift, right=-1)) == {(0, 0): 2, (0, 1): 6, (1, 0): 3}
+
+
+def test_transcendental_unary_ops(spark):
+    """erf/erfc/lgamma/tgamma/frexp — the C-scalar-kernel unaries Spark SQL
+    lacks, via Arrow-batched pandas UDFs (reference unary catalog)."""
+    import math
+
+    from graph_python_spark.functions.ops import unary
+
+    m = MatrixFrame.from_coo(spark, [0, 0, 1], [0, 1, 0], [0.5, 1.5, 3.0], 2, 2)
+    for name, ref in [("erf", math.erf), ("erfc", math.erfc),
+                      ("lgamma", math.lgamma), ("tgamma", math.gamma)]:
+        got = {(r["i"], r["j"]): r["v"]
+               for r in m.apply(unary[name]).df.collect()}
+        for (i, j), v in {(0, 0): 0.5, (0, 1): 1.5, (1, 0): 3.0}.items():
+            assert abs(got[(i, j)] - ref(v)) < 1e-12, name
+    mant = {(r["i"], r["j"]): r["v"] for r in m.apply(unary.frexpx).df.collect()}
+    expo = {(r["i"], r["j"]): r["v"] for r in m.apply(unary.frexpe).df.collect()}
+    for (i, j), v in {(0, 0): 0.5, (0, 1): 1.5, (1, 0): 3.0}.items():
+        wm, we = math.frexp(v)
+        assert mant[(i, j)] == wm and expo[(i, j)] == we
