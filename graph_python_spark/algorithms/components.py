@@ -21,7 +21,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import IterationState, materialize
+from graph_python_spark.plans.iterate import IterationState, materialize, iterative
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -29,6 +29,7 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
 
 
+@iterative
 def connected_components(
     edges: DataFrame,
     vertices: Optional[DataFrame] = None,
@@ -97,6 +98,7 @@ def connected_components(
     return f.select(F.col("i").alias("id"), F.col("v").alias("component")), rounds
 
 
+@iterative
 def cc_fixed_rounds(edges: DataFrame, vertices: Optional[DataFrame] = None,
                     rounds: int = 12) -> DataFrame:
     """Exactly ``rounds`` hook+shortcut rounds (no convergence action) —

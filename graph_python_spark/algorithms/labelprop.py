@@ -19,9 +19,10 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import materialize
+from graph_python_spark.plans.iterate import materialize, iterative
 
 
+@iterative
 def label_propagation(
     edges: DataFrame,
     vertices: Optional[DataFrame] = None,

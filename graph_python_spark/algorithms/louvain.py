@@ -38,6 +38,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph_python_spark.plans.iterate import iterative
+
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected weighted edge relation: both directions, weights summed
@@ -53,6 +55,7 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+@iterative
 def louvain_sweeps(edges: DataFrame, sweeps: int = 4,
                    materialize=None) -> DataFrame:
     """Fixed-sweep synchronous Louvain; returns (id, community).
@@ -133,6 +136,7 @@ class LouvainLevel:
     n_communities: int
 
 
+@iterative
 def louvain_levels(edges: DataFrame, sweeps: int = 4,
                    max_levels: int = 3) -> list[LouvainLevel]:
     """Multi-level Louvain: sweep, contract communities to vertices

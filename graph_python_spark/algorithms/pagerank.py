@@ -53,7 +53,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import IterationState
+from graph_python_spark.plans.iterate import IterationState, loop_conf
 
 
 class _Pinned:
@@ -243,10 +243,11 @@ def pagerank(
         return rdiff
 
     remaining = itermax - start_iter
-    contrib, done = _contrib_loop(
-        adj, teleport, 1.0 / n, remaining, pinned, contrib=contrib,
-        rdiff_cb=rdiff_cb, tol=tol,
-    )
+    with loop_conf(adj.sparkSession):
+        contrib, done = _contrib_loop(
+            adj, teleport, 1.0 / n, remaining, pinned, contrib=contrib,
+            rdiff_cb=rdiff_cb, tol=tol,
+        )
     return _finalize(vertices, contrib, teleport), start_iter + done, rdiffs
 
 
@@ -267,18 +268,23 @@ def iteration_times(prepared: PreparedGraph, iterations: int = 7,
     teleport = (1.0 - prepared.damping) / n
     contrib = None
     times: list[float] = []
-    for k in range(warmups + iterations):
-        t0 = time.time()
-        nc = _step(adj, teleport, 1.0 / n, contrib).localCheckpoint(eager=True)
-        if contrib is not None:
-            # blocking: the default async unpersist lets old checkpoint
-            # blocks linger while the next iteration writes new ones —
-            # storage pressure + eviction showed up as 2-3× iteration-time
-            # variance in the scaling bench
-            contrib.unpersist(blocking=True)
-        contrib = nc
-        if k >= warmups:
-            times.append(time.time() - t0)
+    ctx = loop_conf(adj.sparkSession)
+    ctx.__enter__()
+    try:
+        for k in range(warmups + iterations):
+            t0 = time.time()
+            nc = _step(adj, teleport, 1.0 / n, contrib).localCheckpoint(eager=True)
+            if contrib is not None:
+                # blocking: the default async unpersist lets old checkpoint
+                # blocks linger while the next iteration writes new ones —
+                # storage pressure + eviction showed up as 2-3x iteration-
+                # time variance in the scaling bench
+                contrib.unpersist(blocking=True)
+            contrib = nc
+            if k >= warmups:
+                times.append(time.time() - t0)
+    finally:
+        ctx.__exit__(None, None, None)
     contrib.unpersist()
     return times
 
@@ -303,5 +309,6 @@ def pagerank_fixed(
     teleport = (1.0 - damping) / n
 
     pinned = _Pinned()
-    contrib, _ = _contrib_loop(adj, teleport, 1.0 / n, iterations, pinned)
+    with loop_conf(adj.sparkSession):
+        contrib, _ = _contrib_loop(adj, teleport, 1.0 / n, iterations, pinned)
     return _finalize(vertices, contrib, teleport)

@@ -18,9 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import materialize
+from graph_python_spark.plans.iterate import materialize, iterative
 
 
+@iterative
 def bfs_levels(edges: DataFrame, source: int, max_depth: int = 10**9) -> DataFrame:
     """Returns levels(id, level) for reachable vertices; level[source]=0."""
     e = edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct().cache()
@@ -48,6 +49,7 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 10**9) -> DataFra
     return visited
 
 
+@iterative
 def bfs_parents(edges: DataFrame, source: int) -> DataFrame:
     """Returns parents(id, parent); parent[source]=source; min-id parent wins."""
     e = edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct().cache()
@@ -71,6 +73,7 @@ def bfs_parents(edges: DataFrame, source: int) -> DataFrame:
     return parents
 
 
+@iterative
 def minplus_fixed_rounds(edges: DataFrame, source: int, rounds: int,
                          weight: str | None = None) -> DataFrame:
     """Exactly ``rounds`` synchronous min-plus relaxations from ``source``
@@ -102,6 +105,7 @@ def minplus_fixed_rounds(edges: DataFrame, source: int, rounds: int,
     return dist
 
 
+@iterative
 def bfs_parents_fixed(edges: DataFrame, source: int, rounds: int) -> DataFrame:
     """Deterministic parent BFS (min_first semantics, Parent BFS notebook):
     dist = ``rounds`` unit-weight min-plus relaxations, then
@@ -132,6 +136,7 @@ def bfs_parents_fixed(edges: DataFrame, source: int, rounds: int) -> DataFrame:
     )
 
 
+@iterative
 def sssp(edges: DataFrame, source: int, weight: str = "v",
          max_rounds: int = 10**9) -> DataFrame:
     """Min-plus SSSP to fixpoint. edges: (i, j, v); returns dist(id, distance)."""
