@@ -442,7 +442,11 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
-# -- rows-only (no exact SQL oracle; iterative-to-convergence or ANN) --------
+# -- converged / LSH / multimodal queries ------------------------------------
+# (all oracled since r2: convergence via recursive-reachability and
+# frozen-step SQL, LSH/IVF via algorithm-replicating SQL with inlined
+# hyperplanes, multimodal via closed-form SQL over the deterministic
+# synthetic payloads)
 def q_cc_converged(spark, sf_dir):
     from graph_python_spark.algorithms import connected_components
 
@@ -544,7 +548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cosine": q_near_dup_cosine,
         "bpe_tokens": q_bpe_tokens,
         "windowed_events": q_windowed_events,
-        # rows-only checks (no SQL oracle)
         "cc_converged": q_cc_converged,
         "pagerank_converged": q_pagerank_converged,
         "simhash_pairs": q_simhash_pairs,

@@ -94,11 +94,19 @@ def run_headlines(spark, results: dict) -> None:
         "louvain", "simhash_pairs", "near_dup_cosine",
     ]
     qs = entry.queries()
+    # each query timed twice, scored by the faster run: the first pass pays
+    # JIT/codegen warmup and any hypervisor-noise window (observed 2x
+    # run-to-run swings); the second approximates steady state.  Both are
+    # recorded.
     for name in headliners:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        results["queries"][name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            runs.append(round(time.time() - t0, 3))
+        results["queries"][name] = min(runs)
+        results.setdefault("query_runs", {})[name] = runs
         results.setdefault("rows", {})[name] = n
 
 

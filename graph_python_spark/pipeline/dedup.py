@@ -10,12 +10,14 @@ Four families, all shuffle-architected for 100 TB:
   * token Jaccard — exact all-pairs via token inverted index (token is the
                    join key); integer-only math so results are exact.
   * SimHash      — 64-bit per-doc signature via per-bit majority vote over
-                   token hashes; near-dups collide on rotated prefixes.
+                   md5 token bits; candidates collide on one of 8 disjoint
+                   8-bit blocks (Hamming LSH), EXACT for distance < blocks
+                   by pigeonhole.
 
-Everything is built-in expressions (md5/xxhash64, explode, groupBy) — no
-Python UDFs — so it scales with whole-stage codegen.  Hash functions are
-md5-hex with string-min, chosen deliberately so DuckDB can replicate them
-bit-for-bit in the correctness oracle.
+Everything is built-in expressions (md5, explode, groupBy) — no Python
+UDFs — so it scales with whole-stage codegen.  Hash functions are md5-hex,
+chosen deliberately so DuckDB can replicate them bit-for-bit in the
+correctness oracle.
 """
 
 from __future__ import annotations

@@ -8,9 +8,13 @@
     (sign sketch) so each query only scans its bucket's candidates; recall
     traded for a ~buckets× scan reduction.  At 100 TB the bucket id is the
     shuffle/partition key and the query set is broadcast.
-  * ``ivf_topk``         — IVF-style: k-means-lite centroids (deterministic
-    seeded sample), route each vector to nearest centroid, probe n_probe
-    cells per query.
+  * ``ivf_topk``         — IVF-style: centroids = md5-ordered deterministic
+    sample selected fully in-plan (TakeOrdered, no driver collect), route
+    each vector to nearest centroid, probe n_probe cells per query.
+  * ``cosine_near_dup``  — near-duplicate pairs via multi-band sign-LSH
+    bucket equi-join + exact cosine filter (never an all-pairs product);
+    ``method="exact"`` keeps the brute-force baseline as the small-scale
+    recall oracle.
 """
 
 from __future__ import annotations
