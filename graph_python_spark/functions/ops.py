@@ -34,6 +34,62 @@ class _Namespace(SimpleNamespace):
     def __contains__(self, name: str) -> bool:
         return hasattr(self, name)
 
+    def register(self, name: str, fn=None, *, np_fn=None, dtype: str = "double"):
+        """User-defined op registration (reference ``UnaryOp.register_new`` /
+        ``BinaryOp.register_new``, core/operator/unary.py:207-260 and
+        binary.py:440-520).  Dotted names create nested namespaces, matching
+        the reference's ``register_new("math.plus_one", ...)`` behavior.
+
+        ``fn`` is a Column-expression builder ``(Column, ...) -> Column`` —
+        the fast path, staying JVM-side in whole-stage codegen.  Supply
+        ``np_fn`` instead (a numpy ufunc-like over ndarrays) to register a
+        Python kernel; it is wrapped as an Arrow-batched pandas UDF
+        returning ``dtype`` — the slow path, mirroring the reference's
+        numba-jitted UDFs.
+        """
+        if fn is None and np_fn is None:
+            raise ValueError("register needs fn (Column builder) or np_fn")
+        if fn is None:
+            fn = _np_kernel_op(np_fn, dtype)
+        ns = self
+        parts = name.split(".")
+        for part in parts[:-1]:
+            child = getattr(ns, part, None)
+            if child is None:
+                child = _Namespace()
+                setattr(ns, part, child)
+            ns = child
+        setattr(ns, parts[-1], fn)
+        return fn
+
+    def register_anonymous(self, fn=None, *, np_fn=None, dtype: str = "double"):
+        """Unregistered op (reference ``register_anonymous``): returns the
+        callable without binding a name."""
+        if fn is not None:
+            return fn
+        if np_fn is None:
+            raise ValueError("register_anonymous needs fn or np_fn")
+        return _np_kernel_op(np_fn, dtype)
+
+
+def _np_kernel_op(np_fn, dtype: str):
+    """Wrap an ndarray kernel as an Arrow-batched pandas UDF op builder.
+    Deferred construction so registration needs no active SparkSession."""
+
+    def _op(*cols):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        @pandas_udf(dtype, PandasUDFType.SCALAR)
+        def _udf(*series):
+            arrs = [s.to_numpy(dtype=np.float64, na_value=np.nan) for s in series]
+            return pd.Series(np.asarray(np_fn(*arrs)))
+
+        return _udf(*cols)
+
+    return _op
+
 
 # ---------------------------------------------------------------------------
 # UnaryOp: value -> value   (reference: unary.py regexes; numpy aliases too)

@@ -61,6 +61,24 @@ def from_networkx(spark: SparkSession, graph, weight: Optional[str] = None) -> M
     return MatrixFrame(df, len(nodes), len(nodes))
 
 
+def to_networkx(m: MatrixFrame, edge_attribute: Optional[str] = "weight"):
+    """Export as ``nx.DiGraph`` (reference io/_networkx.py to_networkx):
+    one edge per stored cell, value carried as ``edge_attribute`` (or
+    dropped when None, matching the reference's unweighted mode).
+    Driver-side by construction — an export to an in-memory library."""
+    try:
+        import networkx as nx
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("networkx not available in this environment") from exc
+    g = nx.DiGraph()
+    for r in m.df.toLocalIterator():
+        if edge_attribute is None:
+            g.add_edge(int(r["i"]), int(r["j"]))
+        else:
+            g.add_edge(int(r["i"]), int(r["j"]), **{edge_attribute: r["v"]})
+    return g
+
+
 # -- Matrix Market (reference io/_matrixmarket.py:6-63) -----------------------
 def mmread(spark: SparkSession, path: str) -> MatrixFrame:
     """Minimal MatrixMarket coordinate reader: the tiny header line is read

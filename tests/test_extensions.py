@@ -128,3 +128,36 @@ def test_matrix_contains_get_iter(A):
     assert A.element(0, 0) is None
     d = A.to_dicts()
     assert d[3][0] == 3 and d[0][1] == 2
+
+
+def test_op_registry(A, spark):
+    """Generic unary/binary registration (reference UnaryOp.register_new /
+    BinaryOp.register_new, core/operator/unary.py:207-260)."""
+    from graph_python_spark.functions.ops import unary
+
+    # Column-builder fast path, dotted name -> nested namespace
+    unary.register("math.plus_one", lambda x: x + 1)
+    got = mat_dict(A.apply(unary.math.plus_one))
+    assert got == {k: val + 1 for k, val in mat_dict(A).items()}
+
+    # numpy kernel slow path (Arrow pandas UDF)
+    import numpy as np
+
+    binary.register("absdiff_np", np_fn=lambda a, b: np.abs(a - b))
+    got = mat_dict(A.ewise_mult(A, op=binary.absdiff_np))
+    assert got == {k: 0.0 for k in mat_dict(A)}
+
+    anon = unary.register_anonymous(np_fn=lambda a: a * 2.0)
+    got = mat_dict(A.apply(anon))
+    assert got == {k: 2.0 * val for k, val in mat_dict(A).items()}
+
+
+def test_networkx_roundtrip(A):
+    nx = pytest.importorskip("networkx")
+    g = gio.to_networkx(A)
+    assert isinstance(g, nx.DiGraph)
+    want = mat_dict(A)
+    assert {(u, vtx): d["weight"] for u, vtx, d in g.edges(data=True)} == want
+    back = gio.from_networkx(A.df.sparkSession, g, weight="weight")
+    # node relabeling is dense over the touched nodes; compare edge values
+    assert sorted(v for _, v in mat_dict(back).items()) == sorted(want.values())
