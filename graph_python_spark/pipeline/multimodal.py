@@ -90,21 +90,58 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(featurize, out_schema)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real image resize needs PIL/opencv (absent here).
+# pluggable real resizer (e.g. PIL: decode -> resize -> re-encode); None ->
+# deterministic fake byte-resampler (see _fake_resize)
+_RESIZER: Optional[Callable[[bytes, int, int], bytes]] = None
 
-    The plumbing below is the production shape — per-batch Arrow transform
-    updating payload+meta — but the codec raises until set_decoder-style
-    support is installed.
+
+def set_resizer(fn: Callable[[bytes, int, int], bytes]) -> None:
+    """Install a real image resizer when a codec library is available."""
+    global _RESIZER
+    _RESIZER = fn
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: nearest-neighbor resample of the raw byte
+    stream to width*height bytes.  NOT a real codec — marked stub; real
+    deployments call set_resizer().  Keeps the Spark-side plumbing (Arrow
+    batch in, payload+meta rewrite, Arrow batch out) fully real/testable."""
+    if payload is None or len(payload) == 0:
+        return bytes(width * height)
+    n_out = width * height
+    n_in = len(payload)
+    return bytes(payload[(idx * n_in) // n_out] for idx in range(n_out))
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize the image payloads to width×height, updating meta.
+
+    Production shape: per-batch Arrow transform rewriting payload + meta in
+    the Python worker (mapInPandas), non-image rows passed through
+    untouched.  The codec itself is pluggable via set_resizer(); without
+    one the deterministic _fake_resize stand-in runs (codec libraries are
+    absent in this environment).
     """
     out_schema = media.schema
+    resizer = _RESIZER or _fake_resize
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "image resize requires a codec library not present in this "
-                "environment; install one and replace this stub"
-            )
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, kind, meta in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                payloads.append(resizer(payload, width, height))
+                new_meta = dict(meta) if meta is not None else {}
+                new_meta["width"] = width
+                new_meta["height"] = height
+                metas.append(new_meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
 
     return media.mapInPandas(do_resize, out_schema)
 

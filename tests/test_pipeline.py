@@ -128,10 +128,22 @@ def test_multimodal_features_and_stubs(spark):
     fs = {r["media_id"]: list(r["frame_indices"])
           for r in multimodal.frame_sample(media, every_n=30).collect()}
     assert all(ix == list(range(0, 120, 30)) for ix in fs.values())
-    # the decode stub is clearly marked: resize raises NotImplementedError
-    with pytest.raises(Exception) as exc:
-        multimodal.resize_images(media, 32, 32).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(exc.value, NotImplementedError)
+    # resize: real Arrow plumbing, deterministic fake codec (set_resizer
+    # installs a real one); images get width*height payloads + updated meta,
+    # non-image rows pass through untouched
+    resized = {r["media_id"]: r for r in
+               multimodal.resize_images(media, 8, 4).collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    for mid, r in resized.items():
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 32
+            assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        else:
+            assert r["payload"] == orig[mid]["payload"]
+            assert r["meta"] == orig[mid]["meta"]
+    again = {r["media_id"]: r["payload"] for r in
+             multimodal.resize_images(media, 8, 4).collect()}
+    assert {m: r["payload"] for m, r in resized.items()} == again
 
 
 def test_streaming_windowed_and_degree(spark, tmp_path):
