@@ -109,10 +109,18 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
          fingerprint.
       2. Candidate generation: (band, bucket) equi-join on the reps'
          band digests — never all pairs.
-      3. Verification: exploded token inverted-index join + count —
-         narrow rows through whole-stage codegen + partial aggregation
-         (measured 2.5x faster than per-pair array_intersect at sf0.1,
-         whose per-row hash-set build is the bottleneck).
+      3. Verification: per-pair ``array_intersect`` over the reps'
+         sorted-distinct token arrays, attached to the candidate relation
+         by two equi-joins on the O(reps) array relation.  After the
+         representative collapse that relation is small enough for
+         Catalyst to broadcast, so the intersect runs without any wide
+         shuffle — measured 4.4s vs 38.8s at sf0.1 for the exploded
+         inverted-index join it replaces (which shuffled
+         |candidates| x |tokens-per-doc| narrow rows; 148M here).  At
+         scales where the rep arrays outgrow the broadcast threshold the
+         equi-joins degrade to shuffles of |candidates| x array-width
+         bytes — the same volume the exploded join shuffled, minus its
+         second join hop and the O(|candidates|) count aggregation.
     """
     toks_all = doc_tokens(docs).cache()
     groups = (
@@ -141,12 +149,12 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
         .select("doc_a", "doc_b", "sza", "szb")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    arrs = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("tok")).alias("_arr"))
     rep_pairs = (
-        cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "sza", "szb")
-        .agg(F.count("*").cast("long").alias("inter"))
+        cand
+        .join(arrs.select(F.col("doc_id").alias("doc_a"), F.col("_arr").alias("_aa")), "doc_a")
+        .join(arrs.select(F.col("doc_id").alias("doc_b"), F.col("_arr").alias("_ab")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("_aa", "_ab")).cast("long"))
         .select("doc_a", "doc_b", "inter",
                 (F.col("sza") + F.col("szb") - F.col("inter")).cast("long").alias("union_sz"))
         .filter(F.col("inter") * threshold_den >= F.col("union_sz") * threshold_num)
