@@ -165,7 +165,10 @@ def main() -> None:
     # SparkSession leaves its py4j gateway JVM alive (observed burning a
     # full core on GC), which would contaminate the pinned subprocess
     # probes.  The calibration + probes run on an otherwise idle machine.
-    results["scaling"] = run_scaling()
+    # SPARK_GRAFT_SKIP_SCALING=1 skips them for quick headline-only
+    # iteration during development; the driver's run keeps them.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING", "0") != "1":
+        results["scaling"] = run_scaling()
 
     spark = _get_spark(CPUS)
     run_headlines(spark, results)
