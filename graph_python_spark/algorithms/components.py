@@ -21,7 +21,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import IterationState, materialize, iterative
+from graph_python_spark.plans.iterate import (IterationState, materialize,
+                                              iterative, loop_shuffle_width)
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -56,6 +57,13 @@ def connected_components(
     f = materialize(f)
 
     rounds = start
+    with loop_shuffle_width(edges.sparkSession, vertices.count()):
+        f, rounds = _cc_converge_loop(
+            adj, f, start, max_rounds, rounds, checkpoint)
+    return f.select(F.col("i").alias("id"), F.col("v").alias("component")), rounds
+
+
+def _cc_converge_loop(adj, f, start, max_rounds, rounds, checkpoint):
     for k in range(start, max_rounds):
         # hook: mngp[d] = min over neighbors s of f[s]   (min_second SpMV,
         # adjacency form: O(V) join probe, O(E) explode inline)
@@ -95,7 +103,7 @@ def connected_components(
             checkpoint.save(rounds, {"labels": f}, {"changed": changed})
         if changed == 0:
             break
-    return f.select(F.col("i").alias("id"), F.col("v").alias("component")), rounds
+    return f, rounds
 
 
 @iterative
@@ -107,6 +115,11 @@ def cc_fixed_rounds(edges: DataFrame, vertices: Optional[DataFrame] = None,
     if vertices is None:
         vertices = esym.select(F.col("s").alias("id")).distinct()
     f = vertices.select(F.col("id").alias("i"), F.col("id").alias("v"))
+    with loop_shuffle_width(edges.sparkSession, f.count()):
+        return _cc_rounds(esym, f, rounds)
+
+
+def _cc_rounds(esym: DataFrame, f: DataFrame, rounds: int) -> DataFrame:
     for _ in range(rounds):
         nbrmin = (
             esym.join(f.withColumnRenamed("i", "s"), "s")

@@ -38,7 +38,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import iterative
+from graph_python_spark.plans.iterate import iterative, loop_shuffle_width
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -70,6 +70,12 @@ def louvain_sweeps(edges: DataFrame, sweeps: int = 4,
     if materialize is None:
         materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
+    with loop_shuffle_width(edges.sparkSession, k.count()):
+        labels = _sweep_loop(sym, k, m2, labels, sweeps, materialize)
+    return labels.select(F.col("i").alias("id"), F.col("c").alias("community"))
+
+
+def _sweep_loop(sym, k, m2, labels, sweeps, materialize):
     for sweep in range(sweeps):
         sigma = labels.join(k, "i").groupBy("c").agg(F.sum("k").alias("sig"))
         nbr_lab = labels.select(F.col("i").alias("j"), F.col("c").alias("cn"))
@@ -106,7 +112,7 @@ def louvain_sweeps(edges: DataFrame, sweeps: int = 4,
             .join(best, "i", "left_outer")
             .select("i", F.coalesce(F.col("c"), F.col("_old")).alias("c"))
         )
-    return labels.select(F.col("i").alias("id"), F.col("c").alias("community"))
+    return labels
 
 
 def modularity(edges: DataFrame, labels: DataFrame) -> float:

@@ -53,7 +53,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import IterationState, loop_conf
+from graph_python_spark.plans.iterate import (IterationState, loop_conf,
+                                                loop_shuffle_width)
 
 
 class _Pinned:
@@ -243,7 +244,7 @@ def pagerank(
         return rdiff
 
     remaining = itermax - start_iter
-    with loop_conf(adj.sparkSession):
+    with loop_conf(adj.sparkSession), loop_shuffle_width(adj.sparkSession, n):
         contrib, done = _contrib_loop(
             adj, teleport, 1.0 / n, remaining, pinned, contrib=contrib,
             rdiff_cb=rdiff_cb, tol=tol,
@@ -309,6 +310,6 @@ def pagerank_fixed(
     teleport = (1.0 - damping) / n
 
     pinned = _Pinned()
-    with loop_conf(adj.sparkSession):
+    with loop_conf(adj.sparkSession), loop_shuffle_width(adj.sparkSession, n):
         contrib, _ = _contrib_loop(adj, teleport, 1.0 / n, iterations, pinned)
     return _finalize(vertices, contrib, teleport)
