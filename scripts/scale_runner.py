@@ -83,13 +83,31 @@ def main() -> None:
         loop_conf["spark.memory.offHeap.size"] = offheap
     spark = get_spark(app=f"scale-{parallelism}", parallelism=parallelism,
                       shuffle_partitions=shuffle, extra_conf=loop_conf)
-    edges = scale_fixture_edges(spark, n_vertices).select(
-        F.col("src").alias("i"), F.col("dst").alias("j")
-    )
-    t0 = time.time()
-    prepared = prepare_graph(edges, partitions=shuffle)
-    prep_s = round(time.time() - t0, 3)
-    nnz = prepared.adj.agg(F.sum(F.size("js"))).first()[0]
+    # Prebuilt adjacency (scripts/scale_prep.py): loading it re-establishes
+    # the exact layout the in-process build ends with — hash(i) repartition
+    # + cache — so the measured iteration loop is identical; only the
+    # untimed prep gets cheaper, letting the bench afford more probe pairs.
+    adj_dir = os.environ.get("SPARK_GRAFT_SCALE_ADJ", "")
+    meta_path = os.path.join(adj_dir, "_scale_meta.json") if adj_dir else ""
+    if adj_dir and os.path.exists(meta_path):
+        from graph_python_spark.algorithms.pagerank import PreparedGraph
+
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        t0 = time.time()
+        adj = spark.read.parquet(adj_dir).repartition(shuffle, "i").cache()
+        adj.count()
+        prep_s = round(time.time() - t0, 3)
+        prepared = PreparedGraph(adj, None, meta["n"], meta["damping"])
+        nnz = meta["nnz"]
+    else:
+        edges = scale_fixture_edges(spark, n_vertices).select(
+            F.col("src").alias("i"), F.col("dst").alias("j")
+        )
+        t0 = time.time()
+        prepared = prepare_graph(edges, partitions=shuffle)
+        prep_s = round(time.time() - t0, 3)
+        nnz = prepared.adj.agg(F.sum(F.size("js"))).first()[0]
 
     times = iteration_times(prepared, iterations=iters, warmups=3)
     med = statistics.median(times)

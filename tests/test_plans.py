@@ -35,3 +35,36 @@ def test_no_unbounded_products(spark, name):
             f"{name} plans a nested-loop join outside the documented "
             "broadcast-small-side designs"
         )
+
+
+def test_loop_shuffle_width_bounds_and_restore(spark):
+    from graph_python_spark.plans.iterate import loop_shuffle_width
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    configured = int(before)
+
+    # small frontier: width shrinks to the 4-partition floor
+    with loop_shuffle_width(spark, 10_000) as w:
+        assert w == min(configured, 4)
+        assert spark.conf.get(key) == str(w)
+    assert spark.conf.get(key) == before
+
+    # large frontier: the configured session width is the upper bound, so
+    # a cluster-sized run keeps its partitioning untouched
+    with loop_shuffle_width(spark, 10_000_000) as w:
+        assert w == configured
+        assert spark.conf.get(key) == before
+
+    # mid-size: ceil(n / per_partition)
+    with loop_shuffle_width(spark, 260_000, per_partition=50_000) as w:
+        assert w == min(configured, 6)
+    assert spark.conf.get(key) == before
+
+    # restore happens even if the loop body raises
+    try:
+        with loop_shuffle_width(spark, 10_000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
