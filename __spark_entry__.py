@@ -662,8 +662,11 @@ l0 AS (SELECT i, i AS c FROM deg)"""
     for s in range(1, sweeps + 1):
         steps.append(f""",
 sig{s} AS (SELECT l.c, SUM(d.k) AS sig FROM l{s - 1} l JOIN deg d ON d.i = l.i GROUP BY l.c),
-kvc{s} AS (SELECT e.i, l.c AS cn, SUM(e.w) AS kvc
-           FROM sym e JOIN l{s - 1} l ON l.i = e.j GROUP BY e.i, l.c),
+kvc{s} AS (SELECT i, cn, SUM(kvc) AS kvc FROM (
+    SELECT e.i, l.c AS cn, e.w AS kvc FROM sym e JOIN l{s - 1} l ON l.i = e.j
+    UNION ALL
+    SELECT i, c AS cn, 0.0 FROM l{s - 1}
+  ) GROUP BY i, cn),
 sc{s} AS (
   SELECT v.i, v.cn,
          v.kvc - d.k * (g.sig - CASE WHEN v.cn = cur.c THEN d.k ELSE 0 END)

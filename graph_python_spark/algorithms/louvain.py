@@ -15,6 +15,10 @@ Per sweep (one groupBy + three joins — all on vertex/community keys):
     k_v        = weighted degree                     (loop-invariant)
     Σ_tot(c)   = Σ_{v∈c} k_v                          groupBy(label)
     k_{v,c}    = Σ weight from v to community c       edges ⋈ labels, groupBy
+                 (the own community c_v is ALWAYS a candidate, k_{v,c_v}
+                 defaulting to 0 — staying must be able to win, otherwise a
+                 vertex alone in its community is forced into a neighbor
+                 community even at negative gain)
     score(v,c) = k_{v,c} − k_v·(Σ_tot(c) − [c=c_v]·k_v)/m2
     c'(v)      = argmax_c score  (max_by over (score, −c))
 
@@ -28,7 +32,11 @@ two O(V) aggregations; labels are the only moving state and the sweep
 count is fixed — same plan family as label propagation.
 ``louvain_levels`` adds the reference's multi-level contraction: collapse
 each community to a vertex (one groupBy on (c_i, c_j)) and re-run sweeps
-on the coarsened graph.
+on the coarsened graph.  A community's internal weight becomes its
+super-vertex's self-loop, which contributes to degrees and m2 (but not to
+any k_{v,c}) — the invariant that makes coarsened optimization equivalent
+to optimizing the original graph under the community constraint
+(tests/test_louvain.py ring-of-cliques).
 """
 
 from __future__ import annotations
@@ -41,18 +49,24 @@ from pyspark.sql import functions as F
 from graph_python_spark.plans.iterate import iterative, loop_shuffle_width
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
+def _symmetrize(edges: DataFrame, keep_self: bool = False) -> DataFrame:
     """Undirected weighted edge relation: both directions, weights summed
-    over duplicates, self-loops dropped."""
+    over duplicates.  With ``keep_self`` a self-loop row (i, i, w) comes
+    out as (i, i, 2w) — the union adds the reversed copy onto itself —
+    which is exactly the doubled-directed convention's diagonal: it
+    contributes 2w to the vertex degree and 2w to m2, the invariants that
+    make community contraction (where a community's internal weight
+    becomes a super-vertex's self-loop) equivalent to optimizing the
+    original graph under the community constraint.  Without ``keep_self``
+    self-loops are dropped (the graph-kernel relation)."""
     e = edges.select(F.col("i"), F.col("j"),
                      F.col("v").cast("double").alias("w"))
     sym = e.unionByName(
         e.select(F.col("j").alias("i"), F.col("i").alias("j"), "w")
     )
-    return (
-        sym.filter(F.col("i") != F.col("j"))
-        .groupBy("i", "j").agg(F.sum("w").alias("w"))
-    )
+    if not keep_self:
+        sym = sym.filter(F.col("i") != F.col("j"))
+    return sym.groupBy("i", "j").agg(F.sum("w").alias("w"))
 
 
 @iterative
@@ -63,9 +77,14 @@ def louvain_sweeps(edges: DataFrame, sweeps: int = 4,
     ``edges``: (i, j, v) — interpreted as undirected (symmetrized, weights
     summed).  Deterministic: argmax ties break to the smallest community.
     """
-    sym = _symmetrize(edges).cache()
-    k = sym.groupBy("i").agg(F.sum("w").alias("k")).cache()
-    m2 = sym.agg(F.sum("w")).first()[0]
+    # degrees and m2 come from the self-loop-KEEPING relation (diagonal =
+    # 2x self weight — the contraction invariant); k_{v,c} uses only the
+    # off-diagonal rows (links from v to OTHER members of c).  On a
+    # self-loop-free input graph the two relations coincide.
+    sym_all = _symmetrize(edges, keep_self=True).cache()
+    sym = sym_all.filter(F.col("i") != F.col("j"))
+    k = sym_all.groupBy("i").agg(F.sum("w").alias("k")).cache()
+    m2 = sym_all.agg(F.sum("w")).first()[0]
     labels = k.select("i", F.col("i").alias("c"))
     if materialize is None:
         materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
@@ -84,6 +103,18 @@ def _sweep_loop(sym, k, m2, labels, sweeps, materialize):
             .groupBy("i", "cn").agg(F.sum("w").alias("kvc"))
         )
         cur = labels.select("i", F.col("c").alias("cv"))
+        # the own-community candidate must ALWAYS be present (k_{v,c_v}
+        # defaults to 0 when v has no links into its own community) —
+        # otherwise a vertex alone in its community is forced into its
+        # best neighbor community even at NEGATIVE gain, which collapses
+        # contracted graphs (every super-vertex starts alone): staying,
+        # score = -k_v(sig - k_v)/m2 relative baseline, must be able to win
+        stay = labels.select("i", F.col("c").alias("cn"),
+                             F.lit(0.0).alias("kvc"))
+        kvc = (
+            kvc.unionByName(stay)
+            .groupBy("i", "cn").agg(F.sum("kvc").alias("kvc"))
+        )
         scored = (
             kvc.join(cur, "i").join(k, "i")
             .join(sigma.select(F.col("c").alias("cn"), "sig"), "cn")
@@ -118,7 +149,7 @@ def _sweep_loop(sym, k, m2, labels, sweeps, materialize):
 def modularity(edges: DataFrame, labels: DataFrame) -> float:
     """Q = Σ_c [Σ_in(c)/m2 − (Σ_tot(c)/m2)²] — the reference's
     compute_modularity on an explicit labeling (labels: (id, community))."""
-    sym = _symmetrize(edges)
+    sym = _symmetrize(edges, keep_self=True)
     m2 = sym.agg(F.sum("w")).first()[0]
     lab = labels.select(F.col("id").alias("i"), F.col("community").alias("c"))
     k = sym.groupBy("i").agg(F.sum("w").alias("k"))
