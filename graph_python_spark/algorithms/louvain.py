@@ -98,23 +98,22 @@ def _sweep_loop(sym, k, m2, labels, sweeps, materialize):
     for sweep in range(sweeps):
         sigma = labels.join(k, "i").groupBy("c").agg(F.sum("k").alias("sig"))
         nbr_lab = labels.select(F.col("i").alias("j"), F.col("c").alias("cn"))
-        kvc = (
-            sym.join(nbr_lab, "j")
-            .groupBy("i", "cn").agg(F.sum("w").alias("kvc"))
-        )
-        cur = labels.select("i", F.col("c").alias("cv"))
         # the own-community candidate must ALWAYS be present (k_{v,c_v}
         # defaults to 0 when v has no links into its own community) —
         # otherwise a vertex alone in its community is forced into its
         # best neighbor community even at NEGATIVE gain, which collapses
         # contracted graphs (every super-vertex starts alone): staying,
-        # score = -k_v(sig - k_v)/m2 relative baseline, must be able to win
+        # score = -k_v(sig - k_v)/m2 relative baseline, must be able to win.
+        # The O(V) stay rows ride into the same O(E) groupBy — no extra
+        # shuffle stage.
         stay = labels.select("i", F.col("c").alias("cn"),
-                             F.lit(0.0).alias("kvc"))
+                             F.lit(0.0).alias("w"))
         kvc = (
-            kvc.unionByName(stay)
-            .groupBy("i", "cn").agg(F.sum("kvc").alias("kvc"))
+            sym.join(nbr_lab, "j").select("i", "cn", "w")
+            .unionByName(stay)
+            .groupBy("i", "cn").agg(F.sum("w").alias("kvc"))
         )
+        cur = labels.select("i", F.col("c").alias("cv"))
         scored = (
             kvc.join(cur, "i").join(k, "i")
             .join(sigma.select(F.col("c").alias("cn"), "sig"), "cn")
