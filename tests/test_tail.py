@@ -211,3 +211,37 @@ def test_transcendental_unary_ops(spark):
     for (i, j), v in {(0, 0): 0.5, (0, 1): 1.5, (1, 0): 3.0}.items():
         wm, we = math.frexp(v)
         assert mant[(i, j)] == wm and expo[(i, j)] == we
+
+
+def test_array_valued_cells(spark):
+    """Array UDTs (reference HPEC2022.ipynb 'Array UDT' demo: fixed-size
+    vector cells) map to ArrayType value columns: elementwise lambdas use
+    zip_with / transform, reductions aggregate inside the cell."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, 1, [1.0, 2.0, 3.0]), (1, 0, [0.5, 0.5, 0.5]),
+            (1, 2, [-1.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "i long, j long, v array<double>")
+    m = MatrixFrame(df, 3, 3)
+
+    # apply: scale every component (transform keeps it JVM-side)
+    scaled = m.apply(lambda v: F.transform(v, lambda x: x * 2.0))
+    got = {(r["i"], r["j"]): r["v"] for r in scaled.df.collect()}
+    assert got[(0, 1)] == [2.0, 4.0, 6.0] and got[(1, 2)] == [-2.0, 0.0, 2.0]
+
+    # ewise_mult against the transpose view with a per-cell dot product
+    # (zip_with + aggregate): array cells in, scalar cells out
+    dot = m.ewise_mult(m.T, lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    got = {(r["i"], r["j"]): r["v"] for r in dot.df.collect()}
+    # (0,1)·(1,0): 1*0.5 + 2*0.5 + 3*0.5 = 3.0 (and symmetric)
+    assert got == {(0, 1): 3.0, (1, 0): 3.0}
+
+    # reduce inside the cell: per-entry L1 norm via apply, then row sum
+    from graph_python_spark.functions.ops import monoid
+
+    l1 = m.apply(lambda v: F.aggregate(v, F.lit(0.0),
+                                       lambda acc, x: acc + F.abs(x)))
+    rowsum = {r["i"]: r["v"] for r in
+              l1.reduce_rowwise(monoid.plus).df.collect()}
+    assert rowsum == {0: 6.0, 1: 3.5}
