@@ -492,6 +492,56 @@ def q_louvain(spark, sf_dir):
     ).select("id", F.col("community").cast("long").alias("community"))
 
 
+KCORE_K = 15
+KCORE_ROUNDS = 12     # SQL unroll; peeling is idempotent past the fixpoint
+HITS_ITERS = 8
+PPR_ITERS = 6
+PPR_SEEDS = 5
+JACCARD_MIN_SIM = 0.1
+
+
+def q_kcore(spark, sf_dir):
+    from graph_python_spark.algorithms.kcore import kcore
+
+    e = customer_graph(spark, sf_dir)
+    core, _rounds = kcore(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")), k=KCORE_K)
+    return core.select("id", F.col("kdeg").cast("long").alias("kdeg"))
+
+
+def q_hits(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import hits_fixed
+
+    e = customer_graph(spark, sf_dir)
+    scores = hits_fixed(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        iterations=HITS_ITERS)
+    return scores.select("id", F.round("hub", 6).alias("hub"),
+                         F.round("auth", 6).alias("auth"))
+
+
+def q_ppr(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import ppr_fixed
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(PPR_SEEDS)
+    scores = ppr_fixed(e, seeds, iterations=PPR_ITERS)
+    return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_jaccard_neighbors(spark, sf_dir):
+    from graph_python_spark.algorithms.vertexsim import jaccard_neighbors
+
+    e = customer_graph(spark, sf_dir)
+    pairs = jaccard_neighbors(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        min_sim=JACCARD_MIN_SIM)
+    return pairs.select("u", "v", "common", F.round("sim", 6).alias("sim"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from graph_python_spark.pipeline.multimodal import extract_features, synthetic_media
 
@@ -554,6 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "kcore": q_kcore,
+        "hits": q_hits,
+        "ppr": q_ppr,
+        "jaccard_neighbors": q_jaccard_neighbors,
     }
 
 
@@ -908,6 +962,102 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
 ) WHERE rank <= {k}"""
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling: each round keeps vertices with >= k surviving
+    neighbors.  Peeling is monotone, so rounds past the fixpoint are
+    identity — the fixed unroll is exact whenever the Spark loop converges
+    within ``rounds`` (7 rounds at sf0.01 for k=15; 12 unrolled)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+sym AS (SELECT src AS s, dst AS d FROM eg UNION SELECT dst, src FROM eg),
+a0 AS MATERIALIZED (SELECT s FROM sym GROUP BY s HAVING count(*) >= {k})"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f""",
+a{t} AS MATERIALIZED (
+  SELECT e.s FROM sym e
+  JOIN a{t - 1} x ON e.s = x.s JOIN a{t - 1} y ON e.d = y.s
+  GROUP BY e.s HAVING count(*) >= {k}
+)""")
+    return head + "".join(steps) + f"""
+SELECT e.s AS id, CAST(count(*) AS BIGINT) AS kdeg
+FROM sym e JOIN a{rounds} x ON e.s = x.s JOIN a{rounds} y ON e.d = y.s
+GROUP BY e.s"""
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS, unnormalized iterates (h0 = 1), single L1
+    normalization at the end — mirrors algorithms/centrality.hits_fixed."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+h0 AS (SELECT id AS i, 1.0 AS v FROM verts)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+a{t} AS MATERIALIZED (
+  SELECT e.dst AS j, SUM(h.v) AS v FROM eb e JOIN h{t - 1} h ON e.src = h.i
+  GROUP BY e.dst
+),
+h{t} AS MATERIALIZED (
+  SELECT e.src AS i, SUM(a.v) AS v FROM eb e JOIN a{t} a ON e.dst = a.j
+  GROUP BY e.src
+)""")
+    return head + "".join(steps) + f"""
+SELECT vt.id,
+       ROUND(COALESCE(h.v, 0) / (SELECT SUM(v) FROM h{iters}), 6) AS hub,
+       ROUND(COALESCE(a.v, 0) / (SELECT SUM(v) FROM a{iters}), 6) AS auth
+FROM verts vt
+LEFT JOIN h{iters} h ON vt.id = h.i
+LEFT JOIN a{iters} a ON vt.id = a.j"""
+
+
+def _ppr_sql(iters: int, n_seeds: int, damping: float = 0.85) -> str:
+    """Unrolled personalized PageRank from the ``n_seeds`` smallest vertex
+    ids, sparse support, pagerank_3f dangling convention — mirrors
+    algorithms/centrality.ppr_fixed."""
+    tel = f"{1.0 - damping} / (SELECT c FROM ns)"
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+deg AS (SELECT src, count(*) AS d FROM eb GROUP BY src),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+ns AS (SELECT count(*) AS c FROM seeds),
+r0 AS (SELECT id AS i, 1.0 / (SELECT c FROM ns) AS v FROM seeds)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+r{t} AS MATERIALIZED (
+  SELECT COALESCE(tl.i, c.i) AS i, COALESCE(tl.p, 0) + COALESCE(c.c, 0) AS v
+  FROM (SELECT id AS i, {tel} AS p FROM seeds) tl
+  FULL OUTER JOIN (
+    SELECT e.dst AS i, SUM(r.v * {damping} / d.d) AS c
+    FROM eb e JOIN r{t - 1} r ON e.src = r.i JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON tl.i = c.i
+)""")
+    return head + "".join(steps) + f"""
+SELECT i AS id, ROUND(v, 6) AS score FROM r{iters}"""
+
+
+def _jaccard_sql(min_sim: float) -> str:
+    """Wedge self-join neighborhood Jaccard — mirrors
+    algorithms/vertexsim.jaccard_neighbors (threshold applied to the
+    UNROUNDED ratio in both engines; the ratio of small integers is
+    IEEE-identical)."""
+    return f"""WITH {customer_graph_sql().strip()},
+sym AS (SELECT src AS s, dst AS d FROM eg UNION SELECT dst, src FROM eg),
+deg AS (SELECT s AS id, count(*) AS dg FROM sym GROUP BY s),
+c AS (
+  SELECT a.d AS u, b.d AS v, CAST(count(*) AS BIGINT) AS common
+  FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d
+  GROUP BY 1, 2
+)
+SELECT c.u, c.v, c.common,
+       ROUND(CAST(c.common AS DOUBLE) / (du.dg + dv.dg - c.common), 6) AS sim
+FROM c JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v
+WHERE CAST(c.common AS DOUBLE) / (du.dg + dv.dg - c.common) >= {min_sim}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sp = supplier_part_graph_sql().strip().rstrip(")") + "\n)"
     eg = customer_graph_sql().strip()
@@ -997,6 +1147,10 @@ FROM sp"""
     sqls["bfs_parents"] = _bfs_parents_sql(MINPLUS_ROUNDS)
     sqls["sssp"] = _minplus_sql(MINPLUS_ROUNDS, weighted=True, out_col="distance")
     sqls["label_prop"] = _lpa_sql(LPA_SWEEPS)
+    sqls["kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
+    sqls["hits"] = _hits_sql(HITS_ITERS)
+    sqls["ppr"] = _ppr_sql(PPR_ITERS, PPR_SEEDS)
+    sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
 
     sqls["outer_product"] = """
 SELECT CAST(n.n_nationkey AS BIGINT) AS i, CAST(r.r_regionkey AS BIGINT) AS j,

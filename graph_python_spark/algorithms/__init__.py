@@ -8,6 +8,9 @@ from graph_python_spark.algorithms.louvain import (
     louvain_sweeps,
     modularity,
 )
+from graph_python_spark.algorithms.kcore import kcore
+from graph_python_spark.algorithms.centrality import hits_fixed, ppr_fixed
+from graph_python_spark.algorithms.vertexsim import jaccard_neighbors
 
 __all__ = [
     "pagerank",
@@ -22,4 +25,8 @@ __all__ = [
     "louvain_levels",
     "louvain_sweeps",
     "modularity",
+    "kcore",
+    "hits_fixed",
+    "ppr_fixed",
+    "jaccard_neighbors",
 ]

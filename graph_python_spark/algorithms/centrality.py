@@ -1,0 +1,158 @@
+"""HITS (hubs & authorities) and personalized PageRank — link-analysis
+centralities built on the same sparse-SpMV loop shape as
+``algorithms/pagerank.py``.
+
+HITS (Kleinberg): a = A^T h ; h = A a, normalized each round.  With L1
+normalization over non-negative iterates, per-round normalization only
+rescales — the direction after K rounds is identical to normalizing ONCE at
+the end, so the loop runs UNNORMALIZED (two sparse SpMVs per round, no
+per-round global aggregate/action) and divides by the final sums when
+materializing scores.  That both halves the per-round stage count and makes
+the fixed-K unrolled SQL oracle exact.
+
+Personalized PageRank: PageRank with the teleport vector concentrated on a
+seed set S (uniform 1/|S|), pagerank_3f dangling convention (dangling
+vertices contribute teleport only — reference
+``notebooks/Pagerank Demo.ipynb`` cell 9's ewise-mult intersection).  The
+rank vector is kept SPARSE: its support is exactly the vertices within K
+hops of S, so on a 10^9-vertex graph a 5-seed PPR touches only the seed
+neighborhood — the frontier-sized shuffles are the whole point of running
+this sparse instead of reusing the dense-teleport pagerank loop.
+
+Both loops: cached adjacency built once, localCheckpoint per round
+(lineage truncation), shuffle width derived from the moving-state size
+(``loop_shuffle_width``), zero per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_python_spark.plans.iterate import (iterative, loop_shuffle_width,
+                                              materialize)
+
+
+class _Pin:
+    """Rotating localCheckpoint holder (pin new, unpersist old)."""
+
+    def __init__(self):
+        self._prev: list[DataFrame] = []
+
+    def pin(self, *dfs: DataFrame) -> tuple[DataFrame, ...]:
+        out = tuple(df.localCheckpoint(eager=True) for df in dfs)
+        for p in self._prev:
+            try:
+                p.unpersist()
+            except Exception:
+                pass
+        self._prev = list(out)
+        return out
+
+
+@iterative
+def hits_fixed(
+    edges: DataFrame,
+    iterations: int = 8,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exactly ``iterations`` HITS rounds on the deduped directed edge set
+    (long columns i -> j).  Returns (id, hub, auth) over ALL vertices,
+    L1-normalized (each column sums to 1; a vertex with no out-edges has
+    hub 0, no in-edges auth 0).  h_0 = 1 on every vertex.
+    """
+    eb = edges.select("i", "j").distinct()
+    if partitions is not None:
+        eb = eb.repartition(partitions, "i")
+    eb = materialize(eb)
+    vertices = materialize(
+        eb.select(F.col("i").alias("id"))
+        .unionByName(eb.select(F.col("j").alias("id")))
+        .distinct()
+    )
+    n = vertices.count()
+    pin = _Pin()
+    h = vertices.select(F.col("id").alias("i"), F.lit(1.0).alias("v"))
+    auth = None
+    with loop_shuffle_width(edges.sparkSession, n):
+        for _ in range(iterations):
+            auth = (
+                eb.join(h, "i")
+                .groupBy(F.col("j"))
+                .agg(F.sum("v").alias("v"))
+            )
+            h = (
+                eb.join(auth, "j")
+                .groupBy(F.col("i"))
+                .agg(F.sum("v").alias("v"))
+            )
+            h, auth = pin.pin(h, auth)
+    sums = h.agg(F.sum("v")).crossJoin(auth.agg(F.sum("v"))).first()
+    hsum, asum = float(sums[0]), float(sums[1])
+    return (
+        vertices.join(h.select(F.col("i").alias("id"), F.col("v").alias("_h")),
+                      "id", "left_outer")
+        .join(auth.select(F.col("j").alias("id"), F.col("v").alias("_a")),
+              "id", "left_outer")
+        .select(
+            "id",
+            (F.coalesce(F.col("_h"), F.lit(0.0)) / F.lit(hsum)).alias("hub"),
+            (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(asum)).alias("auth"),
+        )
+    )
+
+
+@iterative
+def ppr_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 6,
+    damping: float = 0.85,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exactly ``iterations`` personalized-PageRank steps from ``seeds``
+    (column id).  r_0 = p = uniform(seeds); r_{t+1} = (1-d) p + d A_row^T r_t
+    with out-degree row normalization over the deduped edge set (binarized,
+    Matrix ``one(A)`` convention) and pagerank_3f dangling semantics.
+
+    Returns the SPARSE result (id, score): exactly the vertices with
+    score > 0 — seeds plus everything within ``iterations`` hops.
+    """
+    eb = edges.select("i", "j").distinct()
+    if partitions is not None:
+        eb = eb.repartition(partitions, "i")
+    # fold out-degree normalization + damping into the edge relation once:
+    # (i, j, t = d / deg_out(i)) — the loop is then a single join + agg
+    et = materialize(
+        eb.join(eb.groupBy("i").agg(F.count("*").alias("_deg")), "i")
+        .select("i", "j", (F.lit(damping) / F.col("_deg")).alias("t"))
+    )
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        return edges.sparkSession.createDataFrame([], "id long, score double")
+    tel = materialize(
+        seeds.select(F.col("id").alias("i"),
+                     F.lit((1.0 - damping) / n_seeds).alias("p"))
+    )
+    pin = _Pin()
+    r = tel.select("i", (F.col("p") / F.lit(1.0 - damping)).alias("v"))  # r_0 = p
+    # width bound: support can grow to O(V) <= O(E); sizing by the edge
+    # count never under-partitions an expansive graph, while a genuinely
+    # local PPR still gets the narrow-loop win from the configured cap
+    with loop_shuffle_width(edges.sparkSession, max(et.count(), 1)):
+        for _ in range(iterations):
+            contrib = (
+                et.join(r, "i")
+                .select(F.col("j").alias("i"), (F.col("t") * F.col("v")).alias("w"))
+                .groupBy("i")
+                .agg(F.sum("w").alias("c"))
+            )
+            r = (
+                tel.join(contrib, "i", "full_outer")
+                .select("i", (F.coalesce(F.col("p"), F.lit(0.0))
+                              + F.coalesce(F.col("c"), F.lit(0.0))).alias("v"))
+            )
+            (r,) = pin.pin(r)
+    return r.select(F.col("i").alias("id"), F.col("v").alias("score"))

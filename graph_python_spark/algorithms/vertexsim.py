@@ -1,0 +1,68 @@
+"""Vertex-pair neighborhood Jaccard similarity.
+
+GraphBLAS formulation: C = A·A^T over plus_pair gives common-neighbor
+counts (the same masked plus_pair pattern as triangle counting, reference
+``notebooks/HPEC2022.ipynb``); Jaccard then needs only the degree vector:
+jac(u,v) = common / (deg(u) + deg(v) - common).
+
+Spark shape: the A·A^T is the classic wedge self-join — symmetrized edge
+table joined to itself on the shared neighbor with ``u < v`` de-duping each
+unordered pair once — followed by one groupBy((u,v)).count and a degree
+join.  Only pairs with >= 1 common neighbor ever materialize (the sparse
+mask for free).
+
+Scale note (100 TB): the wedge join fans out quadratically in hub degree —
+a 1e6-degree hub contributes ~5e11 wedges.  ``max_degree`` prunes wedges
+THROUGH such hubs (standard in web-graph similarity: a stop-hub's common-
+neighbor evidence carries ~0 Jaccard discrimination, exactly the df_cap
+argument in pipeline/dedup.py's token_jaccard_pairs); degrees in the
+denominator are still the TRUE degrees, so retained pairs keep exact
+denominators and the cap only lowers the common count through stop-hubs.
+Default None = exact (what the DuckDB-oracled query runs at test scale).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def jaccard_neighbors(
+    edges: DataFrame,
+    min_sim: float = 0.0,
+    max_degree: Optional[int] = None,
+) -> DataFrame:
+    """All unordered vertex pairs (u < v) of the undirected simple graph
+    under ``edges`` (long columns i, j) with >= 1 common neighbor and
+    Jaccard similarity >= ``min_sim``.  Returns (u, v, common, sim).
+    """
+    fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("deg"))
+    wedge_src = sym
+    if max_degree is not None:
+        hubs = deg.filter(F.col("deg") > max_degree).select(F.col("id").alias("s"))
+        wedge_src = sym.join(hubs, "s", "left_anti")
+    common = (
+        wedge_src.alias("a")
+        .join(wedge_src.alias("b"),
+              (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.d").alias("u"), F.col("b.d").alias("v"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    return (
+        common.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("_du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("_dv")), "v")
+        .select(
+            "u", "v", "common",
+            (F.col("common").cast("double")
+             / (F.col("_du") + F.col("_dv") - F.col("common"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(min_sim))
+    )

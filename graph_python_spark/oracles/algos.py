@@ -155,3 +155,78 @@ def sssp(edges_w, n, source):
                     dist[d] = nd
                     changed = True
     return dist
+
+
+def hits_l1(edges, n, iterations=8):
+    """HITS, L1-normalized at the end (identical direction to per-round L1
+    normalization — non-negative iterates).  h0 = 1 everywhere.
+    Returns (hub, auth) dense arrays summing to 1 each."""
+    A = np.zeros((n, n), dtype=float)
+    for s, d in edges:
+        A[s, d] = 1.0
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iterations):
+        a = A.T @ h
+        h = A @ a
+    return h / h.sum(), a / a.sum()
+
+
+def ppr_fixed(edges, n, seeds, iterations=6, damping=0.85):
+    """Personalized PageRank, fixed iterations, pagerank_3f dangling
+    convention (dangling mass is dropped, not redistributed).  r0 = p.
+    Returns the dense score vector (zero outside the K-hop seed hull)."""
+    A = np.zeros((n, n), dtype=float)
+    for s, d in edges:
+        A[s, d] = 1.0
+    d_out = A.sum(axis=1)
+    has_out = d_out > 0
+    p = np.zeros(n)
+    for s in seeds:
+        p[s] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iterations):
+        w = np.where(has_out, r / np.where(has_out, d_out, 1.0), 0.0)
+        r = (1 - damping) * p + damping * (A.T @ w)
+    return r
+
+
+def kcore_peel(edges, n, k):
+    """Iterative peeling to the k-core of the undirected simple graph.
+    Returns dict {vertex: degree inside the k-core}."""
+    nbrs = {v: set() for v in range(n)}
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    alive = {v for v in range(n) if len(nbrs[v]) >= k}
+    changed = True
+    while changed:
+        deg = {v: sum(1 for u in nbrs[v] if u in alive) for v in alive}
+        new_alive = {v for v in alive if deg[v] >= k}
+        changed = new_alive != alive
+        alive = new_alive
+    return {v: sum(1 for u in nbrs[v] if u in alive) for v in alive}
+
+
+def jaccard_neighbors(edges, n, min_sim=0.0):
+    """Neighborhood Jaccard over the undirected simple graph: dict
+    {(u, v): (common, sim)} for u < v with common >= 1, sim >= min_sim."""
+    nbrs = {v: set() for v in range(n)}
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    out = {}
+    for w in range(n):
+        ns = sorted(nbrs[w])
+        for ai in range(len(ns)):
+            for bi in range(ai + 1, len(ns)):
+                u, v = ns[ai], ns[bi]
+                out[(u, v)] = out.get((u, v), 0) + 1
+    res = {}
+    for (u, v), common in out.items():
+        sim = common / (len(nbrs[u]) + len(nbrs[v]) - common)
+        if sim >= min_sim:
+            res[(u, v)] = (common, sim)
+    return res

@@ -1,0 +1,121 @@
+"""Differential tests for the round-2 link-analysis additions (HITS,
+personalized PageRank, k-core, neighborhood Jaccard) vs NumPy oracles on
+the reference fixture graphs plus a seeded random graph."""
+
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from graph_python_spark.algorithms import (hits_fixed, jaccard_neighbors,
+                                           kcore, ppr_fixed)
+from graph_python_spark.oracles import algos as O
+from tests.fixtures import CC12_COLS, CC12_N, CC12_ROWS, K4_EDGES, PR5_COLS, PR5_N, PR5_ROWS
+
+
+def edge_df(spark, pairs):
+    return spark.createDataFrame([(int(a), int(b)) for a, b in pairs], "i long, j long")
+
+
+def rand_graph(n=40, m=160, seed=7):
+    rng = random.Random(seed)
+    return list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+def test_hits_pr5(spark):
+    pairs = list(zip(PR5_ROWS, PR5_COLS))
+    got = {r["id"]: (r["hub"], r["auth"])
+           for r in hits_fixed(edge_df(spark, pairs), iterations=8).collect()}
+    hub, auth = O.hits_l1(pairs, PR5_N, iterations=8)
+    assert set(got) == set(range(PR5_N))
+    for v in range(PR5_N):
+        assert np.isclose(got[v][0], hub[v], atol=1e-9)
+        assert np.isclose(got[v][1], auth[v], atol=1e-9)
+
+
+def test_hits_random(spark):
+    pairs = rand_graph()
+    n = max(max(p) for p in pairs) + 1
+    got = {r["id"]: (r["hub"], r["auth"])
+           for r in hits_fixed(edge_df(spark, pairs), iterations=6).collect()}
+    hub, auth = O.hits_l1(pairs, n, iterations=6)
+    for v, (gh, ga) in got.items():
+        assert np.isclose(gh, hub[v], atol=1e-9)
+        assert np.isclose(ga, auth[v], atol=1e-9)
+    # vertices absent from the edge list simply don't exist in the frame;
+    # every present vertex must be there
+    present = {v for p in pairs for v in p}
+    assert set(got) == present
+
+
+def test_ppr_pr5(spark):
+    pairs = list(zip(PR5_ROWS, PR5_COLS))
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["score"]
+           for r in ppr_fixed(edge_df(spark, pairs), seeds, iterations=6).collect()}
+    want = O.ppr_fixed(pairs, PR5_N, [0], iterations=6)
+    for v in range(PR5_N):
+        assert np.isclose(got.get(v, 0.0), want[v], atol=1e-12)
+    assert all(s > 0 for s in got.values())  # sparse result: support only
+
+
+def test_ppr_multi_seed_random(spark):
+    pairs = rand_graph(seed=13)
+    n = max(max(p) for p in pairs) + 1
+    seeds = [1, 5, 9]
+    got = {r["id"]: r["score"]
+           for r in ppr_fixed(edge_df(spark, pairs),
+                              spark.createDataFrame([(s,) for s in seeds], "id long"),
+                              iterations=5).collect()}
+    want = O.ppr_fixed(pairs, n, seeds, iterations=5)
+    for v in range(n):
+        assert np.isclose(got.get(v, 0.0), want[v], atol=1e-12)
+
+
+def test_kcore_k4_plus_tail(spark):
+    # K4 with a pendant path hanging off it: 2-core == the K4
+    pairs = K4_EDGES + [(3, 4), (4, 5)]
+    core, rounds = kcore(edge_df(spark, pairs), k=2)
+    got = {r["id"]: r["kdeg"] for r in core.collect()}
+    want = O.kcore_peel(pairs, 6, 2)
+    assert got == want == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert rounds >= 2
+
+
+def test_kcore_random(spark):
+    pairs = rand_graph(n=30, m=90, seed=3)
+    n = 30
+    for k in (2, 3):
+        core, _ = kcore(edge_df(spark, pairs), k=k)
+        got = {r["id"]: r["kdeg"] for r in core.collect()}
+        assert got == O.kcore_peel(pairs, n, k)
+
+
+def test_kcore_everything_peels(spark):
+    # a tree has an empty 2-core
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 4)]
+    core, _ = kcore(edge_df(spark, pairs), k=2)
+    assert core.count() == 0
+
+
+def test_jaccard_cc12(spark):
+    pairs = list(zip(CC12_ROWS, CC12_COLS))
+    got = {(r["u"], r["v"]): (r["common"], r["sim"])
+           for r in jaccard_neighbors(edge_df(spark, pairs)).collect()}
+    want = O.jaccard_neighbors(pairs, CC12_N)
+    assert set(got) == set(want)
+    for k_, (c, s) in want.items():
+        assert got[k_][0] == c
+        assert np.isclose(got[k_][1], s, atol=1e-12)
+
+
+def test_jaccard_min_sim_and_cap(spark):
+    pairs = rand_graph(n=25, m=80, seed=5)
+    got = {(r["u"], r["v"]) for r in
+           jaccard_neighbors(edge_df(spark, pairs), min_sim=0.3).collect()}
+    want = {k for k, (_, s) in O.jaccard_neighbors(pairs, 25, min_sim=0.3).items()}
+    assert got == want
+    # hub cap: star center is pruned as a wedge hub -> leaf pairs vanish
+    star = [(0, k) for k in range(1, 8)]
+    capped = jaccard_neighbors(edge_df(spark, star), max_degree=5)
+    assert capped.count() == 0
