@@ -94,6 +94,8 @@ def run_headlines(spark, results: dict) -> None:
         "windowed_events",
         # added r2: community detection + the banded near-dup paths
         "louvain", "simhash_pairs", "near_dup_cosine",
+        # added late r2: peeling + dual-score centrality
+        "kcore", "hits",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

@@ -46,7 +46,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import iterative, loop_shuffle_width
+from typing import Optional
+
+from graph_python_spark.plans.iterate import (IterationState, iterative,
+                                              loop_shuffle_width)
 
 
 def _symmetrize(edges: DataFrame, keep_self: bool = False) -> DataFrame:
@@ -71,11 +74,16 @@ def _symmetrize(edges: DataFrame, keep_self: bool = False) -> DataFrame:
 
 @iterative
 def louvain_sweeps(edges: DataFrame, sweeps: int = 4,
-                   materialize=None) -> DataFrame:
+                   materialize=None,
+                   checkpoint: Optional[IterationState] = None) -> DataFrame:
     """Fixed-sweep synchronous Louvain; returns (id, community).
 
     ``edges``: (i, j, v) — interpreted as undirected (symmetrized, weights
     summed).  Deterministic: argmax ties break to the smallest community.
+    ``checkpoint``: optional durable IterationState — labels + sweep index
+    are saved per sweep and a killed run resumes at the next sweep with
+    identical results (the parity alternation keys off the ABSOLUTE sweep
+    number, which the manifest preserves).
     """
     # degrees and m2 come from the self-loop-KEEPING relation (diagonal =
     # 2x self weight — the contraction invariant); k_{v,c} uses only the
@@ -89,13 +97,22 @@ def louvain_sweeps(edges: DataFrame, sweeps: int = 4,
     if materialize is None:
         materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
+    start = 0
+    if checkpoint is not None:
+        restored = checkpoint.restore()
+        if restored is not None:
+            start, states, _ = restored
+            labels = states["labels"]
+
     with loop_shuffle_width(edges.sparkSession, k.count()):
-        labels = _sweep_loop(sym, k, m2, labels, sweeps, materialize)
+        labels = _sweep_loop(sym, k, m2, labels, sweeps, materialize,
+                             start=start, checkpoint=checkpoint)
     return labels.select(F.col("i").alias("id"), F.col("c").alias("community"))
 
 
-def _sweep_loop(sym, k, m2, labels, sweeps, materialize):
-    for sweep in range(sweeps):
+def _sweep_loop(sym, k, m2, labels, sweeps, materialize, start=0,
+                checkpoint=None):
+    for sweep in range(start, sweeps):
         sigma = labels.join(k, "i").groupBy("c").agg(F.sum("k").alias("sig"))
         nbr_lab = labels.select(F.col("i").alias("j"), F.col("c").alias("cn"))
         # the own-community candidate must ALWAYS be present (k_{v,c_v}
@@ -142,6 +159,8 @@ def _sweep_loop(sym, k, m2, labels, sweeps, materialize):
             .join(best, "i", "left_outer")
             .select("i", F.coalesce(F.col("c"), F.col("_old")).alias("c"))
         )
+        if checkpoint is not None:
+            checkpoint.save(sweep + 1, {"labels": labels}, {"sweep": sweep + 1})
     return labels
 
 

@@ -99,6 +99,28 @@ def generate_corpus(spark: SparkSession, n_repos: int = 8, files_per_repo: int =
     return spark.range(n_files).mapInPandas(gen, CORPUS_SCHEMA)
 
 
+def read_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Load the corpus table from an Iceberg table identifier or a parquet
+    path, pruned to the input_hint columns (repo, path, commit, lang,
+    content) so Iceberg/parquet column pruning drops anything else at scan.
+
+    ``source`` resolution:
+      * a path (contains ``/`` or exists on disk) -> ``spark.read.parquet``;
+      * otherwise an Iceberg table identifier (``catalog.db.table``) ->
+        ``spark.read.table`` — the cluster path; requires the
+        iceberg-spark-runtime jar + catalog conf on the session (public
+        Iceberg quickstart config), which this sandbox doesn't ship, so the
+        identifier branch raises a clear error here and works unchanged on
+        a provisioned cluster.
+    """
+    import os
+
+    cols = [f.name for f in CORPUS_SCHEMA.fields]
+    if "/" in source or os.path.exists(source):
+        return spark.read.parquet(source).select(*cols)
+    return spark.read.table(source).select(*cols)
+
+
 def vertex_dictionary(corpus: DataFrame) -> DataFrame:
     """Dense deterministic ids: sorted (repo, path) -> id (FIXTURES.md §2).
 

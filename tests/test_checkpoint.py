@@ -74,3 +74,22 @@ def test_manifest_gc_keeps_last_two(spark, tmp_path):
     assert dirs == ["iter=3", "iter=4"]
     it, states, metrics = st.restore()
     assert it == 4 and states["s"].count() == 3 and metrics["k"] == 4
+
+
+def test_louvain_resume_identical(spark, tmp_path):
+    from graph_python_spark.algorithms.louvain import louvain_sweeps
+
+    # ring of 3 triangles, weighted
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (6, 7), (7, 8), (6, 8),
+           (2, 3), (5, 6), (8, 0)]
+    e = spark.createDataFrame([(a, b, 1.0) for a, b in tri], "i long, j long, v double")
+
+    want = {r["id"]: r["community"] for r in louvain_sweeps(e, sweeps=4).collect()}
+
+    # "killed" after 2 sweeps; resume must preserve the parity alternation
+    st = IterationState(str(tmp_path / "lv"), spark)
+    louvain_sweeps(e, sweeps=2, checkpoint=st)
+    assert st.load_manifest()["iteration"] == 2
+    resumed = louvain_sweeps(e, sweeps=4, checkpoint=st)
+    got = {r["id"]: r["community"] for r in resumed.collect()}
+    assert got == want

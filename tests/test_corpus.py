@@ -89,3 +89,15 @@ def test_scale_fixture_skew(spark):
     mx = deg.agg(F.max("count")).first()[0]
     assert mx >= 32  # heavy tail present
     assert e.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_read_corpus_parquet_roundtrip(spark, tmp_path):
+    from graph_python_spark.sources.corpus import read_corpus
+
+    corpus = generate_corpus(spark, n_repos=4, files_per_repo=4)
+    path = str(tmp_path / "corpus_pq")
+    # extra column must be pruned away by the reader's input_hint projection
+    corpus.withColumn("extra", F.lit(1)).write.parquet(path)
+    back = read_corpus(spark, path)
+    assert back.columns == ["repo", "path", "commit", "lang", "content"]
+    assert back.count() == corpus.count()
