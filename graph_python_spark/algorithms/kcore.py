@@ -9,17 +9,17 @@ deletion order (peeling is monotone, so the fixpoint is unique and any
 extra rounds past convergence are identity — which is what lets a
 fixed-unroll SQL oracle check a run-to-convergence Spark loop).
 
-Spark shape per round (all single-shuffle hash joins):
-  * alive vertex set ⋈ symmetrized edge table on BOTH endpoints (two
-    semi-joins; the alive side only shrinks, so Catalyst/AQE can broadcast
-    it once it fits, and at cluster scale both joins hash-partition on the
-    endpoint key);
-  * groupBy(endpoint).count with map-side partial aggregation;
-  * filter count >= k -> next alive set, localCheckpoint to cut lineage.
+Spark shape: the iterated state is the SURVIVING EDGE relation itself —
+each round computes degrees on the current subgraph (one groupBy with
+map-side partial aggregation), keeps vertices with count >= k, and
+semi-joins the current edges to the survivors on both endpoints
+(localCheckpoint to cut lineage).  Convergence = edge count unchanged
+(no edge removed ⇔ no vertex removed ⇔ degrees stable).
 
 At 100 TB the plan holds: no per-vertex arrays are built (pure edge-form
-joins), each round's shuffle is bounded by the surviving edge count which
-is non-increasing, and power-law hubs are just heavy groupBy keys handled
+joins), the moving state is monotonically SHRINKING (round t only ever
+touches the subgraph that survived round t-1 — never the original O(E)
+relation again), and power-law hubs are just heavy groupBy keys handled
 by partial aggregation.  Rounds are O(peeling depth); for web-scale graphs
 this is typically < 100 — each round is one wave of stages.
 """
@@ -63,31 +63,35 @@ def kcore(
     sym = _sym_distinct(edges)
     if partitions is not None:
         sym = sym.repartition(partitions, "s")
-    sym = materialize(sym)
+    cur = materialize(sym)
+    prev_edges = cur.count()
 
-    deg = sym.groupBy("s").agg(F.count("*").alias("kdeg"))
-    alive = materialize(deg.filter(F.col("kdeg") >= k))
-    n_alive = alive.count()
-
-    rounds = 1
-    with loop_shuffle_width(edges.sparkSession, max(n_alive, 1)):
-        for _ in range(1, max_rounds):
-            ids = alive.select(F.col("s"))
-            surviving = (
-                sym.join(ids, "s")
-                .join(ids.withColumnRenamed("s", "d"), "d")
-            )
-            new_alive = (
-                surviving.groupBy("s")
+    rounds = 0
+    with loop_shuffle_width(edges.sparkSession, max(prev_edges, 1)):
+        for _ in range(max_rounds):
+            alive = (
+                cur.groupBy("s")
                 .agg(F.count("*").alias("kdeg"))
                 .filter(F.col("kdeg") >= k)
             )
-            new_alive = materialize(new_alive)
-            alive.unpersist()
-            n_new = new_alive.count()
-            alive = new_alive
+            ids = alive.select("s")
+            nxt = materialize(
+                cur.join(ids, "s").join(ids.withColumnRenamed("s", "d"), "d")
+            )
+            n_edges = nxt.count()
             rounds += 1
-            if n_new == n_alive:
-                break  # no vertex died this round -> degrees are stable too
-            n_alive = n_new
-    return alive.select(F.col("s").alias("id"), "kdeg"), rounds
+            if n_edges == prev_edges:
+                # fixpoint: nothing peeled, so alive's degrees are final
+                out = materialize(alive)  # pin before dropping cur's blocks
+                cur.unpersist()
+                nxt.unpersist()
+                return out.select(F.col("s").alias("id"), "kdeg"), rounds
+            cur.unpersist()
+            cur = nxt
+            prev_edges = n_edges
+    # max_rounds exhausted without a proven fixpoint: report current degrees
+    out = materialize(
+        cur.groupBy("s").agg(F.count("*").alias("kdeg")).filter(F.col("kdeg") >= k)
+    )
+    cur.unpersist()
+    return out.select(F.col("s").alias("id"), "kdeg"), rounds
