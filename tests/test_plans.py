@@ -21,6 +21,8 @@ AUDITED = [
     "lsh_cosine_topk", "ann_cosine_topk", "ivf_topk", "dedup_exact",
     "triangle_count", "mxm_plus_times", "mxm_masked_plus_pair",
     "degree_out", "cc_labels",
+    # late r2: peeling / centrality / wedge-join paths
+    "kcore", "hits", "ppr", "jaccard_neighbors",
 ]
 
 
