@@ -93,7 +93,11 @@ def louvain_sweeps(edges: DataFrame, sweeps: int = 4,
     sym = sym_all.filter(F.col("i") != F.col("j"))
     k = sym_all.groupBy("i").agg(F.sum("w").alias("k")).cache()
     m2 = sym_all.agg(F.sum("w")).first()[0]
-    labels = k.select("i", F.col("i").alias("c"))
+    # the loop state carries k_v alongside the label: sigma and the scored
+    # join then need NO per-sweep join against the degree relation (two
+    # fewer shuffles per sweep at any scale; k is loop-invariant data
+    # riding in an already-moving O(V) row)
+    labels = k.select("i", F.col("i").alias("c"), "k")
     if materialize is None:
         materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
@@ -105,15 +109,15 @@ def louvain_sweeps(edges: DataFrame, sweeps: int = 4,
             labels = states["labels"]
 
     with loop_shuffle_width(edges.sparkSession, k.count()):
-        labels = _sweep_loop(sym, k, m2, labels, sweeps, materialize,
+        labels = _sweep_loop(sym, m2, labels, sweeps, materialize,
                              start=start, checkpoint=checkpoint)
     return labels.select(F.col("i").alias("id"), F.col("c").alias("community"))
 
 
-def _sweep_loop(sym, k, m2, labels, sweeps, materialize, start=0,
+def _sweep_loop(sym, m2, labels, sweeps, materialize, start=0,
                 checkpoint=None):
     for sweep in range(start, sweeps):
-        sigma = labels.join(k, "i").groupBy("c").agg(F.sum("k").alias("sig"))
+        sigma = labels.groupBy("c").agg(F.sum("k").alias("sig"))
         nbr_lab = labels.select(F.col("i").alias("j"), F.col("c").alias("cn"))
         # the own-community candidate must ALWAYS be present (k_{v,c_v}
         # defaults to 0 when v has no links into its own community) —
@@ -130,9 +134,9 @@ def _sweep_loop(sym, k, m2, labels, sweeps, materialize, start=0,
             .unionByName(stay)
             .groupBy("i", "cn").agg(F.sum("w").alias("kvc"))
         )
-        cur = labels.select("i", F.col("c").alias("cv"))
+        cur = labels.select("i", F.col("c").alias("cv"), "k")
         scored = (
-            kvc.join(cur, "i").join(k, "i")
+            kvc.join(cur, "i")
             .join(sigma.select(F.col("c").alias("cn"), "sig"), "cn")
             .select(
                 "i", "cn",
@@ -155,9 +159,9 @@ def _sweep_loop(sym, k, m2, labels, sweeps, materialize, start=0,
         )
         # vertices off-parity or isolated keep their label
         labels = materialize(
-            labels.select("i", F.col("c").alias("_old"))
+            labels.select("i", F.col("c").alias("_old"), "k")
             .join(best, "i", "left_outer")
-            .select("i", F.coalesce(F.col("c"), F.col("_old")).alias("c"))
+            .select("i", F.coalesce(F.col("c"), F.col("_old")).alias("c"), "k")
         )
         if checkpoint is not None:
             checkpoint.save(sweep + 1, {"labels": labels}, {"sweep": sweep + 1})
