@@ -143,21 +143,39 @@ def lsh_band_buckets(emb: DataFrame, dim: int, bands: int, band_bits: int,
     they agree on ALL bits of at least one band (standard banding: recall
     1 - (1 - p^r)^b for per-bit agreement probability p = 1 - θ/π).
     """
-    structs = []
-    for b in range(bands):
-        sig = None
-        for r in range(band_bits):
-            p = b * band_bits + r
-            hp = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
-            bit = F.when(_dot(F.col(vec_col), hp) >= 0,
-                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            term = F.shiftleft(bit, r)
-            sig = term if sig is None else sig.bitwiseOR(term)
-        structs.append(F.struct(F.lit(b).cast("long").alias("band"),
-                                sig.alias("bucket")))
+    # one compact higher-order expression: the hyperplanes are a single
+    # bands x band_bits x dim literal (constant-folded once) instead of
+    # bands*band_bits separate array literals duplicated through
+    # when/shiftleft chains — same bits, same buckets, ~an order of
+    # magnitude fewer expression nodes to optimize and interpret.
+    hb = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x)
+                      for x in _hyperplane(dim, b * band_bits + r)])
+            for r in range(band_bits)
+        ])
+        for b in range(bands)
+    ])
+    weights = F.array(*[F.lit(1 << r).cast("long") for r in range(band_bits)])
+    v = F.col(vec_col)
+    # bucket_b = sum_r (v . h_{b,r} >= 0 ? 2^r : 0)  — identical packing to
+    # OR-of-shiftlefts; the dot is the same index-ordered left fold as _dot
+    buckets = F.transform(
+        hb,
+        lambda band: F.aggregate(
+            F.zip_with(
+                band, weights,
+                lambda hp, w: F.when(_dot(hp, v) >= 0, w)
+                .otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
     return (
-        emb.select(F.col(id_col).alias("id"), F.explode(F.array(*structs)).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        emb.select(F.col(id_col).alias("id"),
+                   F.posexplode(buckets).alias("band", "bucket"))
+        .select("id", F.col("band").cast("long").alias("band"), "bucket")
     )
 
 
@@ -188,7 +206,9 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
     if method == "exact":
         pairs = a.join(b, a["doc_a"] < b["doc_b"])
     else:
-        bb = lsh_band_buckets(emb, dim, bands, band_bits, vec_col, id_col)
+        # cache: the self-join below would otherwise recompute every
+        # signature on BOTH sides (the O(n·bands·band_bits·dim) part)
+        bb = lsh_band_buckets(emb, dim, bands, band_bits, vec_col, id_col).cache()
         cand = (
             bb.select(F.col("id").alias("doc_a"), "band", "bucket")
             .join(bb.select(F.col("id").alias("doc_b"), "band", "bucket"),
