@@ -238,11 +238,14 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     built-ins (md5 / substring / instr / shift) — whole-stage codegen, one
     groupBy(doc_id) shuffle.
     """
-    toks = doc_tokens(docs)
+    # digest once per token row; the 64 vote aggregates then read nibbles
+    # from the same projected column (don't rely on the aggregate layer's
+    # common-subexpression elimination to dedupe 64 md5 calls)
+    toks = doc_tokens(docs).select("doc_id", F.md5("tok").alias("_h"))
     votes = []
     for j in range(bits):
         nibble = F.expr(
-            f"instr('0123456789abcdef', substring(md5(tok), {j // 4 + 1}, 1)) - 1"
+            f"instr('0123456789abcdef', substring(_h, {j // 4 + 1}, 1)) - 1"
         )
         bit = F.shiftright(nibble, j % 4).bitwiseAND(F.lit(1))
         votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{j}"))
@@ -294,6 +297,8 @@ def simhash_near_pairs(docs: DataFrame, blocks: int = 8,
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b",
                 F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
-        .distinct()
+        # hamming is already in the row — filter BEFORE the distinct so the
+        # dedup shuffle carries only surviving pairs, not every collision
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
