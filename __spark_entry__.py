@@ -494,6 +494,8 @@ def q_louvain(spark, sf_dir):
 
 KCORE_K = 15
 KCORE_ROUNDS = 12     # SQL unroll; peeling is idempotent past the fixpoint
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 4     # converges in 2 at sf0.01/sf0.1; unroll with 2x margin
 HITS_ITERS = 8
 PPR_ITERS = 6
 PPR_SEEDS = 5
@@ -507,6 +509,26 @@ def q_kcore(spark, sf_dir):
     core, _rounds = kcore(
         e.select(F.col("src").alias("i"), F.col("dst").alias("j")), k=KCORE_K)
     return core.select("id", F.col("kdeg").cast("long").alias("kdeg"))
+
+
+def q_ktruss(spark, sf_dir):
+    from graph_python_spark.algorithms.ktruss import ktruss
+
+    e = customer_graph(spark, sf_dir)
+    truss, _rounds = ktruss(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")), k=KTRUSS_K)
+    return truss.select("a", "b", F.col("support").cast("long").alias("support"))
+
+
+def q_clustering_coeff(spark, sf_dir):
+    from graph_python_spark.algorithms.triangles import clustering_coefficients
+
+    e = customer_graph(spark, sf_dir)
+    cc = clustering_coefficients(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")))
+    return cc.select("id", F.col("degree").cast("long").alias("degree"),
+                     F.col("triangles").cast("long").alias("triangles"),
+                     F.round("coeff", 6).alias("coeff"))
 
 
 def q_hits(spark, sf_dir):
@@ -605,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "kcore": q_kcore,
+        "ktruss": q_ktruss,
+        "clustering_coeff": q_clustering_coeff,
         "hits": q_hits,
         "ppr": q_ppr,
         "jaccard_neighbors": q_jaccard_neighbors,
@@ -984,6 +1008,77 @@ FROM sym e JOIN a{rounds} x ON e.s = x.s JOIN a{rounds} y ON e.d = y.s
 GROUP BY e.s"""
 
 
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled truss peeling: each round keeps edges closing >= k-2
+    triangles of the current subgraph.  Peeling is monotone, so rounds
+    past the fixpoint are identity — the fixed unroll is exact whenever
+    the Spark loop converges within ``rounds`` (2 at sf0.01/sf0.1)."""
+    def support(src: str, out: str) -> str:
+        return f""",
+t{out} AS MATERIALIZED (
+  SELECT x.a, x.b, y.b AS c
+  FROM {src} x JOIN {src} y ON x.b = y.a
+  JOIN {src} z ON z.a = x.a AND z.b = y.b
+),
+s{out} AS MATERIALIZED (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT a, b FROM t{out}
+    UNION ALL SELECT b AS a, c AS b FROM t{out}
+    UNION ALL SELECT a, c AS b FROM t{out}
+  ) GROUP BY a, b
+)"""
+
+    head = f"""WITH {customer_graph_sql().strip()},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM eg WHERE src <> dst
+)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(support(f"e{t - 1}", str(t)))
+        steps.append(f""",
+e{t} AS MATERIALIZED (
+  SELECT a, b FROM s{t} WHERE support >= {k - 2}
+)""")
+    return head + "".join(steps) + f"""
+SELECT a, b, CAST(support AS BIGINT) AS support
+FROM s{rounds} WHERE support >= {k - 2}"""
+
+
+def _clustering_sql() -> str:
+    """Local clustering coefficient: 2·t(v)/(d(v)·(d(v)-1)) on the
+    canonical undirected simple graph — mirrors
+    algorithms/triangles.clustering_coefficients."""
+    return f"""WITH {customer_graph_sql().strip()},
+ce AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM eg WHERE src <> dst
+),
+tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM ce x JOIN ce y ON x.b = y.a
+  JOIN ce z ON z.a = x.a AND z.b = y.b
+),
+tv AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+),
+deg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT a AS id FROM ce UNION ALL SELECT b FROM ce
+  ) GROUP BY id
+)
+SELECT deg.id,
+       CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d >= 2 THEN 2.0 * COALESCE(t, 0) / (d * (d - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg LEFT JOIN tv ON deg.id = tv.id"""
+
+
 def _hits_sql(iters: int) -> str:
     """Unrolled HITS, unnormalized iterates (h0 = 1), single L1
     normalization at the end — mirrors algorithms/centrality.hits_fixed."""
@@ -1148,6 +1243,8 @@ FROM sp"""
     sqls["sssp"] = _minplus_sql(MINPLUS_ROUNDS, weighted=True, out_col="distance")
     sqls["label_prop"] = _lpa_sql(LPA_SWEEPS)
     sqls["kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
+    sqls["ktruss"] = _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)
+    sqls["clustering_coeff"] = _clustering_sql()
     sqls["hits"] = _hits_sql(HITS_ITERS)
     sqls["ppr"] = _ppr_sql(PPR_ITERS, PPR_SEEDS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)

@@ -63,28 +63,42 @@ def hits_fixed(
     L1-normalized (each column sums to 1; a vertex with no out-edges has
     hub 0, no in-edges auth 0).  h_0 = 1 on every vertex.
     """
-    eb = edges.select("i", "j").distinct()
-    if partitions is not None:
-        eb = eb.repartition(partitions, "i")
-    eb = materialize(eb)
+    # Two pinned copies of the deduped edge table, hash-partitioned on each
+    # join side (the PageRank cached-adjacency pattern, doubled because the
+    # HITS round alternates direction): the i-partitioned copy joins the
+    # i-keyed hub vector, the j-partitioned copy the j-keyed authority
+    # vector.  Each aggregate output is already hash-partitioned on its key
+    # with the same width, so NEITHER side of either join exchanges — the
+    # only per-round shuffles left are the two O(E) contribution
+    # re-keyings, which are the SpMV itself.  hash(i) co-locates (i, j)
+    # duplicates, so dropDuplicates after the repartition adds no exchange.
+    spark = edges.sparkSession
+    raw = edges.select("i", "j")
     vertices = materialize(
-        eb.select(F.col("i").alias("id"))
-        .unionByName(eb.select(F.col("j").alias("id")))
+        raw.select(F.col("i").alias("id"))
+        .unionByName(raw.select(F.col("j").alias("id")))
         .distinct()
     )
     n = vertices.count()
     pin = _Pin()
-    h = vertices.select(F.col("id").alias("i"), F.lit(1.0).alias("v"))
     auth = None
-    with loop_shuffle_width(edges.sparkSession, n):
+    with loop_shuffle_width(spark, n) as width:
+        w = partitions if partitions is not None else width
+        if partitions is not None:
+            # align the loop aggregates' output width with the cached edge
+            # copies (the context restores the session value on exit)
+            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        ebi = materialize(raw.repartition(w, "i").dropDuplicates(["i", "j"]))
+        ebj = materialize(ebi.repartition(w, "j"))
+        h = vertices.select(F.col("id").alias("i"), F.lit(1.0).alias("v"))
         for _ in range(iterations):
             auth = (
-                eb.join(h, "i")
+                ebi.join(h, "i")
                 .groupBy(F.col("j"))
                 .agg(F.sum("v").alias("v"))
             )
             h = (
-                eb.join(auth, "j")
+                ebj.join(auth, "j")
                 .groupBy(F.col("i"))
                 .agg(F.sum("v").alias("v"))
             )

@@ -9,19 +9,25 @@ deletion order (peeling is monotone, so the fixpoint is unique and any
 extra rounds past convergence are identity — which is what lets a
 fixed-unroll SQL oracle check a run-to-convergence Spark loop).
 
-Spark shape: the iterated state is the SURVIVING EDGE relation itself —
-each round computes degrees on the current subgraph (one groupBy with
-map-side partial aggregation), keeps vertices with count >= k, and
-semi-joins the current edges to the survivors on both endpoints
-(localCheckpoint to cut lineage).  Convergence = edge count unchanged
-(no edge removed ⇔ no vertex removed ⇔ degrees stable).
+Spark shape: the iterated state is the SURVIVING EDGE relation itself,
+hash-partitioned ONCE on the source endpoint.  Each round computes degrees
+with an exchange-free groupBy (the state's partitioning satisfies the agg's
+required distribution), derives the PEELED DELTA (vertices whose degree
+just dropped below k — after round 1 this is a small frontier, not the
+survivor set), and removes the delta's edges with two anti-joins that
+BROADCAST the delta when it is small.  A broadcast anti-join neither
+shuffles the big edge state nor disturbs its partitioning, so after the
+initial repartition every subsequent round is exchange-free end to end.
+Convergence = empty delta (no vertex peeled ⇔ degrees stable).
 
-At 100 TB the plan holds: no per-vertex arrays are built (pure edge-form
-joins), the moving state is monotonically SHRINKING (round t only ever
-touches the subgraph that survived round t-1 — never the original O(E)
-relation again), and power-law hubs are just heavy groupBy keys handled
-by partial aggregation.  Rounds are O(peeling depth); for web-scale graphs
-this is typically < 100 — each round is one wave of stages.
+At 100 TB the plan holds: no per-vertex arrays are built, the moving state
+is monotonically SHRINKING (round t only ever touches the subgraph that
+survived round t-1 — never the original O(E) relation again), the per-round
+delta is the natural broadcast side (peeling fronts are tiny compared to
+the graph; rounds whose delta exceeds the broadcast budget — typically only
+round 1 — fall back to a shuffled anti-join), and power-law hubs are just
+heavy groupBy keys handled by partial aggregation.  Rounds are O(peeling
+depth); for web-scale graphs this is typically < 100.
 """
 
 from __future__ import annotations
@@ -35,14 +41,21 @@ from graph_python_spark.plans.iterate import (iterative, loop_shuffle_width,
                                               materialize)
 
 
-def _sym_distinct(edges: DataFrame) -> DataFrame:
-    """Undirected simple edge set: symmetrize, drop self-loops, dedup."""
+def _sym_distinct(edges: DataFrame, partitions: Optional[int]) -> DataFrame:
+    """Undirected simple edge set partitioned on ``s``: symmetrize, drop
+    self-loops, dedup.  One shuffle total — hash(s) already co-locates every
+    (s, d) duplicate, so the dropDuplicates after the repartition needs no
+    second exchange, and the result's partitioning feeds the loop's
+    exchange-free degree aggregation."""
     fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
-    return (
-        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-    )
+    sym = fwd.unionByName(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).filter(F.col("s") != F.col("d"))
+    if partitions is not None:
+        sym = sym.repartition(partitions, "s")
+    else:
+        sym = sym.repartition("s")
+    return sym.dropDuplicates(["s", "d"])
 
 
 @iterative
@@ -60,35 +73,34 @@ def kcore(
     peeling rounds executed (including the final no-change round that
     proves the fixpoint).
     """
-    sym = _sym_distinct(edges)
-    if partitions is not None:
-        sym = sym.repartition(partitions, "s")
-    cur = materialize(sym)
-    prev_edges = cur.count()
+    cur = materialize(_sym_distinct(edges, partitions))
+    n_edges = cur.count()
+    # a delta bigger than this is shuffled, not broadcast (first-round
+    # peels of a sparse graph can be a large fraction of all vertices)
+    broadcast_cap = 4_000_000
 
     rounds = 0
-    with loop_shuffle_width(edges.sparkSession, max(prev_edges, 1)):
+    with loop_shuffle_width(edges.sparkSession, max(n_edges, 1)):
         for _ in range(max_rounds):
-            alive = (
-                cur.groupBy("s")
-                .agg(F.count("*").alias("kdeg"))
-                .filter(F.col("kdeg") >= k)
-            )
-            ids = alive.select("s")
-            nxt = materialize(
-                cur.join(ids, "s").join(ids.withColumnRenamed("s", "d"), "d")
-            )
-            n_edges = nxt.count()
+            deg = cur.groupBy("s").agg(F.count("*").alias("kdeg"))
+            dead = materialize(deg.filter(F.col("kdeg") < k).select("s"))
+            n_dead = dead.count()
             rounds += 1
-            if n_edges == prev_edges:
-                # fixpoint: nothing peeled, so alive's degrees are final
-                out = materialize(alive)  # pin before dropping cur's blocks
+            if n_dead == 0:
+                # fixpoint: nothing peeled, so current degrees are final
+                out = materialize(deg.filter(F.col("kdeg") >= k))
                 cur.unpersist()
-                nxt.unpersist()
+                dead.unpersist()
                 return out.select(F.col("s").alias("id"), "kdeg"), rounds
+            rm_s, rm_d = dead, dead.withColumnRenamed("s", "d")
+            if n_dead <= broadcast_cap:
+                rm_s, rm_d = F.broadcast(rm_s), F.broadcast(rm_d)
+            nxt = materialize(
+                cur.join(rm_s, "s", "left_anti").join(rm_d, "d", "left_anti")
+            )
             cur.unpersist()
+            dead.unpersist()
             cur = nxt
-            prev_edges = n_edges
     # max_rounds exhausted without a proven fixpoint: report current degrees
     out = materialize(
         cur.groupBy("s").agg(F.count("*").alias("kdeg")).filter(F.col("kdeg") >= k)

@@ -1,0 +1,90 @@
+"""k-truss — maximal subgraph where every edge closes >= k-2 triangles.
+
+GraphBLAS formulation (LAGraph ktruss; same primitive family as the
+reference's masked plus_pair triangle count, SURVEY.md §2.8): iterate
+C = A·A ⊙ A (plus_pair, mask = A), select entries >= k-2, until nnz is
+stable.  The edge-support relation IS the masked SpGEMM output, so the
+Spark plan reuses the triangle machinery (algorithms/triangles.py).
+
+Spark shape: the iterated state is the surviving canonical (a < b) edge
+relation.  Each round closes wedges with the same 3-way self-join as
+``triangles_df`` (the a < b < c orientation bounds hub skew: a hub only
+expands on its higher-id side), stacks each triangle's three edges, and
+counts support with one map-side-combining groupBy; edges at support
+>= k-2 become the next state.  The state only ever SHRINKS — round t
+joins the round-(t-1) survivors, never the original O(E) relation — and
+truss peeling is monotone, so the fixpoint is unique and rounds past it
+are identity (which is what lets a fixed-unroll SQL oracle check a
+run-to-convergence loop).  Convergence = edge count unchanged; the
+support column computed in the converged round is already the final
+truss support, so it ships with the result for free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_python_spark.algorithms.triangles import canonical_edges
+from graph_python_spark.plans.iterate import (iterative, loop_shuffle_width,
+                                              materialize)
+
+
+def _edge_support(cur: DataFrame) -> DataFrame:
+    """(a, b, support) for every edge of ``cur`` that closes >= 1 triangle."""
+    e1 = cur.select("a", "b")
+    e2 = cur.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = cur.select("a", F.col("b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    stacked = (
+        tri.select("a", "b")
+        .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionAll(tri.select("a", F.col("c").alias("b")))
+    )
+    return stacked.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+
+@iterative
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    partitions: Optional[int] = None,
+) -> tuple[DataFrame, int]:
+    """Peel to the k-truss of the undirected simple graph under ``edges``
+    (long columns i, j; direction, weights and duplicates ignored).
+
+    Returns ``(truss(a, b, support), rounds)``: the surviving canonical
+    a < b edges with their support inside the truss, and the number of
+    peeling rounds executed (including the final no-change round that
+    proves the fixpoint).  Requires k >= 3.
+    """
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    sym = canonical_edges(edges)
+    if partitions is not None:
+        sym = sym.repartition(partitions, "a")
+    cur = materialize(sym)
+    prev_edges = cur.count()
+
+    rounds = 0
+    with loop_shuffle_width(edges.sparkSession, max(prev_edges, 1)):
+        for _ in range(max_rounds):
+            kept = materialize(
+                _edge_support(cur).filter(F.col("support") >= k - 2)
+            )
+            n_edges = kept.count()
+            rounds += 1
+            if n_edges == prev_edges:
+                # fixpoint: no edge dropped, so `support` is final
+                cur.unpersist()
+                return kept, rounds
+            cur.unpersist()
+            cur = kept.select("a", "b")
+            prev_edges = n_edges
+    # max_rounds exhausted: report the current state's support
+    out = materialize(_edge_support(cur).filter(F.col("support") >= k - 2))
+    cur.unpersist()
+    return out, rounds

@@ -53,3 +53,37 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
         .unionAll(t.select(F.col("c").alias("id")))
     )
     return stacked.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex: 2·t(v) / (d(v)·(d(v)-1)),
+    over the undirected simple graph (self-loops and duplicates dropped);
+    0.0 for degree < 2.  Returns (id, degree, triangles, coeff).
+
+    GraphBLAS recipe (same ingredients as LAGraph's tricount-based
+    variant): t = per-vertex reduce of the masked plus_pair SpGEMM,
+    d = reduce_rowwise of one(A) — both single-pass aggregates here, with
+    the triangle join's a < b < c orientation bounding hub-side skew.
+    """
+    ue = canonical_edges(edges).cache()
+    deg = (
+        ue.select(F.col("a").alias("id"))
+        .unionAll(ue.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangles_per_vertex(ue.select(F.col("a").alias("i"),
+                                         F.col("b").alias("j")))
+    d = F.col("degree")
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    return (
+        deg.join(tri, "id", "left_outer")
+        .select(
+            "id",
+            d.alias("degree"),
+            t.alias("triangles"),
+            F.when(d >= 2, 2.0 * t / (d * (d - 1)))
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

@@ -230,3 +230,38 @@ def jaccard_neighbors(edges, n, min_sim=0.0):
         if sim >= min_sim:
             res[(u, v)] = (common, sim)
     return res
+
+
+def ktruss_peel(edges, n, k):
+    """Iterative peeling to the k-truss: repeatedly drop every canonical
+    a < b edge whose support (common neighbors of a and b in the current
+    subgraph) is < k-2.  Returns dict {(a, b): support in the truss}."""
+    cur = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        nbrs = {}
+        for a, b in cur:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        sup = {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in cur}
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            return {e: sup[e] for e in cur}
+        cur = nxt
+
+
+def clustering_coeffs(edges, n):
+    """Local clustering coefficient per vertex of the undirected simple
+    graph.  Returns dict {v: (degree, triangles, coeff)} for vertices with
+    degree >= 1."""
+    nbrs = {}
+    for a, b in edges:
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for v, ns in nbrs.items():
+        d = len(ns)
+        t = sum(len(nbrs[u] & ns) for u in ns) // 2
+        coeff = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        out[v] = (d, t, coeff)
+    return out

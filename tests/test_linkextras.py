@@ -119,3 +119,54 @@ def test_jaccard_min_sim_and_cap(spark):
     star = [(0, k) for k in range(1, 8)]
     capped = jaccard_neighbors(edge_df(spark, star), max_degree=5)
     assert capped.count() == 0
+
+
+# --- k-truss + clustering coefficient (r2 session additions) -----------
+
+
+def _truss_cascade_fixture():
+    """Triangle strip 0..9 (edges (t,t+1),(t,t+2)) + K5 on 100..104.
+
+    For k=4 the peel CASCADES: chord edges (t,t+2) have support 1 ->
+    dropped round 1; the surviving path edges then close no triangles ->
+    dropped round 2; only the K5 (support 3 per edge) survives.
+    """
+    strip = [(t, t + 1) for t in range(9)] + [(t, t + 2) for t in range(8)]
+    k5 = [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+    return strip + k5
+
+
+def test_ktruss_cascade(spark):
+    from graph_python_spark.algorithms.ktruss import ktruss
+
+    pairs = _truss_cascade_fixture()
+    got, rounds = ktruss(edge_df(spark, pairs), k=4)
+    got = {(r["a"], r["b"]): r["support"] for r in got.collect()}
+    want = O.ktruss_peel(pairs, 105, 4)
+    assert got == want
+    assert set(got) == {(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)}
+    assert all(s == 3 for s in got.values())
+    assert rounds >= 3  # chords, then path edges, then the fixpoint proof
+
+
+def test_ktruss_random(spark):
+    from graph_python_spark.algorithms.ktruss import ktruss
+
+    pairs = rand_graph(n=25, m=180, seed=11)
+    for k in (3, 4):
+        got, _ = ktruss(edge_df(spark, pairs), k=k)
+        got = {(r["a"], r["b"]): r["support"] for r in got.collect()}
+        assert got == O.ktruss_peel(pairs, 25, k)
+
+
+def test_clustering_coefficients(spark):
+    from graph_python_spark.algorithms.triangles import clustering_coefficients
+
+    pairs = rand_graph(n=30, m=140, seed=3)
+    got = {r["id"]: (r["degree"], r["triangles"], r["coeff"])
+           for r in clustering_coefficients(edge_df(spark, pairs)).collect()}
+    want = O.clustering_coeffs(pairs, 30)
+    assert set(got) == set(want)
+    for v, (d, t, c) in want.items():
+        assert got[v][0] == d and got[v][1] == t
+        assert np.isclose(got[v][2], c, atol=1e-12)
