@@ -14,10 +14,13 @@ hash-partitioned ONCE on the source endpoint.  Each round computes degrees
 with an exchange-free groupBy (the state's partitioning satisfies the agg's
 required distribution), derives the PEELED DELTA (vertices whose degree
 just dropped below k — after round 1 this is a small frontier, not the
-survivor set), and removes the delta's edges with two anti-joins that
-BROADCAST the delta when it is small.  A broadcast anti-join neither
-shuffles the big edge state nor disturbs its partitioning, so after the
-initial repartition every subsequent round is exchange-free end to end.
+survivor set), and removes the delta's edges without shuffling: a tiny
+delta becomes a literal InSet filter (one job, no join — no more driver
+memory than the broadcast join it replaces), a medium one two broadcast
+anti-joins, a huge one (typically only round 1) shuffled anti-joins.
+Neither the filter nor a broadcast join disturbs the state's
+partitioning, so after the initial repartition every subsequent round is
+exchange-free end to end.
 Convergence = empty delta (no vertex peeled ⇔ degrees stable).
 
 At 100 TB the plan holds: no per-vertex arrays are built, the moving state
@@ -75,6 +78,10 @@ def kcore(
     """
     cur = materialize(_sym_distinct(edges, partitions))
     n_edges = cur.count()
+    # peeled deltas up to this size become a literal InSet filter — one
+    # job, no join, no exchange (a broadcast join collects to the driver
+    # anyway, so this costs no more driver memory than the alternative)
+    inset_cap = 50_000
     # a delta bigger than this is shuffled, not broadcast (first-round
     # peels of a sparse graph can be a large fraction of all vertices)
     broadcast_cap = 4_000_000
@@ -83,17 +90,24 @@ def kcore(
     with loop_shuffle_width(edges.sparkSession, max(n_edges, 1)):
         for _ in range(max_rounds):
             deg = cur.groupBy("s").agg(F.count("*").alias("kdeg"))
-            dead = materialize(deg.filter(F.col("kdeg") < k).select("s"))
-            n_dead = dead.count()
+            dead_df = deg.filter(F.col("kdeg") < k).select("s")
+            probe = dead_df.limit(inset_cap + 1).collect()
             rounds += 1
-            if n_dead == 0:
+            if not probe:
                 # fixpoint: nothing peeled, so current degrees are final
                 out = materialize(deg.filter(F.col("kdeg") >= k))
                 cur.unpersist()
-                dead.unpersist()
                 return out.select(F.col("s").alias("id"), "kdeg"), rounds
+            if len(probe) <= inset_cap:
+                ids = [r[0] for r in probe]
+                nxt = materialize(cur.filter(~F.col("s").isin(ids)
+                                             & ~F.col("d").isin(ids)))
+                cur.unpersist()
+                cur = nxt
+                continue
+            dead = materialize(dead_df)
             rm_s, rm_d = dead, dead.withColumnRenamed("s", "d")
-            if n_dead <= broadcast_cap:
+            if dead.count() <= broadcast_cap:
                 rm_s, rm_d = F.broadcast(rm_s), F.broadcast(rm_d)
             nxt = materialize(
                 cur.join(rm_s, "s", "left_anti").join(rm_d, "d", "left_anti")
