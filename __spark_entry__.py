@@ -499,6 +499,8 @@ KTRUSS_ROUNDS = 4     # converges in 2 at sf0.01/sf0.1; unroll with 2x margin
 HITS_ITERS = 8
 PPR_ITERS = 6
 PPR_SEEDS = 5
+BC_SOURCES = 4
+BC_LEVELS = 8         # SQL unroll; empty frontiers past the fixpoint are identity
 JACCARD_MIN_SIM = 0.1
 
 
@@ -552,6 +554,18 @@ def q_ppr(spark, sf_dir):
     seeds = verts.orderBy("id").limit(PPR_SEEDS)
     scores = ppr_fixed(e, seeds, iterations=PPR_ITERS)
     return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_betweenness(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import betweenness_sources
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(BC_SOURCES)
+    bc = betweenness_sources(e, seeds, max_levels=BC_LEVELS)
+    return bc.select("id", F.round("bc", 6).alias("bc"))
 
 
 def q_jaccard_neighbors(spark, sf_dir):
@@ -631,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "hits": q_hits,
         "ppr": q_ppr,
+        "betweenness": q_betweenness,
         "jaccard_neighbors": q_jaccard_neighbors,
     }
 
@@ -1008,6 +1023,51 @@ FROM sym e JOIN a{rounds} x ON e.s = x.s JOIN a{rounds} y ON e.d = y.s
 GROUP BY e.s"""
 
 
+def _betweenness_sql(n_sources: int, levels: int) -> str:
+    """Unrolled batch Brandes: forward sigma wave per level with a
+    NOT-EXISTS visited mask, backward dependency wave per level —
+    mirrors algorithms/centrality.betweenness_sources.  Levels past the
+    true BFS depth have empty frontiers, so the fixed unroll is exact."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_sources}),
+f0 AS (SELECT id AS src, id AS v, CAST(1 AS BIGINT) AS sigma FROM seeds),
+vis0 AS (SELECT src, v FROM f0)"""
+    steps = []
+    for d in range(1, levels + 1):
+        steps.append(f""",
+f{d} AS MATERIALIZED (
+  SELECT f.src, e.dst AS v, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+  FROM f{d - 1} f JOIN eb e ON f.v = e.src
+  WHERE NOT EXISTS (SELECT 1 FROM vis{d - 1} x
+                    WHERE x.src = f.src AND x.v = e.dst)
+  GROUP BY f.src, e.dst
+),
+vis{d} AS MATERIALIZED (
+  SELECT src, v FROM vis{d - 1} UNION ALL SELECT src, v FROM f{d}
+)""")
+    steps.append(f""",
+bd{levels} AS (SELECT src, v, sigma, 0.0 AS delta FROM f{levels})""")
+    for d in range(levels - 1, 0, -1):
+        steps.append(f""",
+bd{d} AS MATERIALIZED (
+  SELECT f.src, f.v, f.sigma,
+         COALESCE(SUM(CAST(f.sigma AS DOUBLE) / b.sigma * (1.0 + b.delta)),
+                  0.0) AS delta
+  FROM f{d} f
+  LEFT JOIN eb e ON f.v = e.src
+  LEFT JOIN bd{d + 1} b ON b.src = f.src AND b.v = e.dst
+  GROUP BY f.src, f.v, f.sigma
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT v, delta FROM bd{d}" for d in range(1, levels + 1))
+    return head + "".join(steps) + f"""
+SELECT v AS id, ROUND(SUM(delta), 6) AS bc
+FROM ({union})
+GROUP BY v"""
+
+
 def _ktruss_sql(k: int, rounds: int) -> str:
     """Unrolled truss peeling: each round keeps edges closing >= k-2
     triangles of the current subgraph.  Peeling is monotone, so rounds
@@ -1247,6 +1307,7 @@ FROM sp"""
     sqls["clustering_coeff"] = _clustering_sql()
     sqls["hits"] = _hits_sql(HITS_ITERS)
     sqls["ppr"] = _ppr_sql(PPR_ITERS, PPR_SEEDS)
+    sqls["betweenness"] = _betweenness_sql(BC_SOURCES, BC_LEVELS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
 
     sqls["outer_product"] = """

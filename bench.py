@@ -96,6 +96,8 @@ def run_headlines(spark, results: dict) -> None:
         "louvain", "simhash_pairs", "near_dup_cosine",
         # added late r2: peeling + dual-score centrality
         "kcore", "hits",
+        # added r2 session 3: truss peeling + local clustering coefficient
+        "ktruss", "clustering_coeff",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays
@@ -288,7 +290,7 @@ def run_scaling() -> dict:
     }
     prim_vertices = int(os.environ.get("SPARK_GRAFT_SCALE_VERTICES_PRIMARY", "4000000"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "4")))
+    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "5")))
     # stop early once the gate holds with margin; keep sampling windows
     # (up to max_reps pairs) while it doesn't
     stop_at = float(os.environ.get("SPARK_GRAFT_SCALE_STOP_AT", "0.82"))

@@ -170,3 +170,97 @@ def ppr_fixed(
             )
             (r,) = pin.pin(r)
     return r.select(F.col("i").alias("id"), F.col("v").alias("score"))
+
+
+@iterative
+def betweenness_sources(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_levels: int = 8,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Brandes betweenness restricted to a source set, batched multi-source
+    (the LAGraph batch-BC shape: forward sigma wave = masked plus_times
+    SpMV per level, backward dependency wave = transposed SpMV — SURVEY
+    §2.8's traversal kernels reused twice).
+
+    Directed, unweighted, over the deduped edge set.  Runs at most
+    ``max_levels`` BFS levels (stops early when the frontier empties —
+    further levels are identity, which is what lets a fixed-unroll SQL
+    oracle check it) then accumulates dependencies level by level:
+
+        delta(v) = sum over successors w one level deeper:
+                   sigma(v)/sigma(w) * (1 + delta(w))
+
+    Returns (id, bc): for every vertex reached at level >= 1 from any
+    source, the summed dependency over the batch (unnormalized, exact for
+    the given sources; vertices never on any shortest path get bc 0.0).
+
+    All levels are processed for the WHOLE batch at once — the state is
+    keyed (src, v), so a 1000-source batch on a 1000-executor cluster is
+    one wave of joins per level, not 1000 sequential BFS runs; per-level
+    frontiers and dependency waves are pinned (localCheckpoint) and the
+    edge relation is cached partitioned on its join key.
+    """
+    spark = edges.sparkSession
+    eb = edges.select("i", "j")
+    if partitions is not None:
+        eb = eb.repartition(partitions, "i")
+    else:
+        eb = eb.repartition("i")
+    eb = materialize(eb.dropDuplicates(["i", "j"]))
+    n_edges = eb.count()
+
+    f0 = materialize(
+        sources.select(F.col("id").alias("src"), F.col("id").alias("v"),
+                       F.lit(1).cast("long").alias("sigma"))
+    )
+    levels = [f0]
+    visited = f0.select("src", "v").localCheckpoint(eager=True)
+    with loop_shuffle_width(spark, max(n_edges, 1)):
+        for _ in range(max_levels):
+            front = levels[-1]
+            nxt = (
+                front.join(eb, front["v"] == eb["i"])
+                .groupBy("src", F.col("j").alias("v"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited, ["src", "v"], "left_anti")
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            visited = visited.unionByName(nxt.select("src", "v")) \
+                             .localCheckpoint(eager=True)
+
+        depth = len(levels) - 1
+        deltas: list[DataFrame] = [None] * (depth + 1)
+        deltas[depth] = levels[depth].withColumn("delta", F.lit(0.0))
+        for d in range(depth - 1, -1, -1):
+            nd = levels[d]
+            succ = deltas[d + 1].select(
+                "src", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"))
+            # dependency step: v's successors on the shortest-path DAG are
+            # exactly its out-neighbors sitting one level deeper
+            contrib = (
+                nd.join(eb, nd["v"] == eb["i"])
+                .withColumnRenamed("j", "w")
+                .join(succ, ["src", "w"], "inner")
+                .groupBy("src", "v")
+                .agg(F.sum((F.col("sigma").cast("double") / F.col("sigma_w"))
+                           * (F.lit(1.0) + F.col("delta_w"))).alias("_d"))
+            )
+            deltas[d] = (
+                nd.join(contrib, ["src", "v"], "left_outer")
+                .select("src", "v", "sigma",
+                        F.coalesce(F.col("_d"), F.lit(0.0)).alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+    if depth == 0:
+        return spark.createDataFrame([], "id long, bc double")
+    stacked = deltas[1]
+    for d in range(2, depth + 1):
+        stacked = stacked.unionByName(deltas[d])
+    return stacked.groupBy(F.col("v").alias("id")) \
+                  .agg(F.sum("delta").alias("bc"))

@@ -265,3 +265,41 @@ def clustering_coeffs(edges, n):
         coeff = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
         out[v] = (d, t, coeff)
     return out
+
+
+def betweenness_sources(edges, n, sources, max_levels=8):
+    """Brandes dependency accumulation from the given sources (directed,
+    unweighted, BFS capped at max_levels).  Returns dict {v: bc} over every
+    vertex reached at level >= 1 from any source."""
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    bc = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        for d in range(max_levels):
+            nxt = {}
+            for v in levels[-1]:
+                for w in adj.get(v, ()):
+                    if w in dist and dist[w] <= d:
+                        continue
+                    nxt[w] = nxt.get(w, 0) + sigma[v]
+            if not nxt:
+                break
+            for w, sg in nxt.items():
+                dist[w] = d + 1
+                sigma[w] = sg
+            levels.append(sorted(nxt))
+        delta = {v: 0.0 for v in dist}
+        for d in range(len(levels) - 2, -1, -1):
+            for v in levels[d]:
+                for w in adj.get(v, ()):
+                    if dist.get(w) == d + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v, dl in delta.items():
+            if dist[v] >= 1:
+                bc[v] = bc.get(v, 0.0) + dl
+    return bc

@@ -170,3 +170,29 @@ def test_clustering_coefficients(spark):
     for v, (d, t, c) in want.items():
         assert got[v][0] == d and got[v][1] == t
         assert np.isclose(got[v][2], c, atol=1e-12)
+
+
+def test_betweenness_path(spark):
+    from graph_python_spark.algorithms.centrality import betweenness_sources
+
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["bc"]
+           for r in betweenness_sources(
+               edge_df(spark, [(0, 1), (1, 2), (2, 3)]), seeds).collect()}
+    # on a directed path, interior vertex v carries every (0, t) pair past it
+    assert got == {1: 2.0, 2: 1.0, 3: 0.0}
+
+
+def test_betweenness_random(spark):
+    from graph_python_spark.algorithms.centrality import betweenness_sources
+
+    pairs = rand_graph(n=30, m=120, seed=5)
+    srcs = [0, 1, 2, 3]
+    seeds = spark.createDataFrame([(s,) for s in srcs], "id long")
+    got = {r["id"]: r["bc"]
+           for r in betweenness_sources(edge_df(spark, pairs), seeds,
+                                        max_levels=8).collect()}
+    want = O.betweenness_sources(pairs, 30, srcs, max_levels=8)
+    assert set(got) == set(want)
+    for v, b in want.items():
+        assert np.isclose(got[v], b, atol=1e-9), (v, got[v], b)
