@@ -501,6 +501,7 @@ PPR_ITERS = 6
 PPR_SEEDS = 5
 BC_SOURCES = 4
 BC_LEVELS = 8         # SQL unroll; empty frontiers past the fixpoint are identity
+MIS_ROUNDS = 10       # SQL unroll; converges in 7 at sf0.01, 6 at sf0.1
 JACCARD_MIN_SIM = 0.1
 
 
@@ -554,6 +555,15 @@ def q_ppr(spark, sf_dir):
     seeds = verts.orderBy("id").limit(PPR_SEEDS)
     scores = ppr_fixed(e, seeds, iterations=PPR_ITERS)
     return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_mis(spark, sf_dir):
+    from graph_python_spark.algorithms.mis import maximal_independent_set
+
+    e = customer_graph(spark, sf_dir)
+    mis, _rounds = maximal_independent_set(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")))
+    return mis.select("id")
 
 
 def q_betweenness(spark, sf_dir):
@@ -646,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "ppr": q_ppr,
         "betweenness": q_betweenness,
+        "mis": q_mis,
         "jaccard_neighbors": q_jaccard_neighbors,
     }
 
@@ -1023,6 +1034,52 @@ FROM sym e JOIN a{rounds} x ON e.s = x.s JOIN a{rounds} y ON e.d = y.s
 GROUP BY e.s"""
 
 
+def _mis_sql(rounds: int) -> str:
+    """Unrolled deterministic-Luby MIS — mirrors
+    algorithms/mis.maximal_independent_set: priority (v*2654435761) mod
+    1000000007 (a bijection on Z_p, so unique), winners beat every active
+    neighbor, winners + neighborhoods retire, isolated actives
+    auto-join.  An empty active set makes later rounds identity, so the
+    fixed unroll is exact once the Spark loop converges within it."""
+    pr = "(({v}) * 2654435761) % 1000000007"
+    head = f"""WITH {customer_graph_sql().strip()},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM eg WHERE src <> dst
+    UNION ALL SELECT dst, src FROM eg WHERE src <> dst
+  )
+),
+m0 AS (SELECT CAST(NULL AS BIGINT) AS s WHERE 1 = 0)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        p = t - 1
+        steps.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT e.s FROM e{p} e
+  GROUP BY e.s
+  HAVING {pr.format(v='e.s')} < MIN({pr.format(v='e.d')})
+),
+g{t} AS MATERIALIZED (
+  SELECT s FROM w{t}
+  UNION SELECT e.d AS s FROM e{p} e JOIN w{t} w ON e.s = w.s
+),
+e{t} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{p} e
+  WHERE e.s NOT IN (SELECT s FROM g{t})
+    AND e.d NOT IN (SELECT s FROM g{t})
+),
+iso{t} AS MATERIALIZED (
+  SELECT s FROM (SELECT DISTINCT s FROM e{p})
+  WHERE s NOT IN (SELECT s FROM g{t})
+    AND s NOT IN (SELECT DISTINCT s FROM e{t})
+),
+m{t} AS MATERIALIZED (
+  SELECT s FROM m{p} UNION SELECT s FROM w{t} UNION SELECT s FROM iso{t}
+)""")
+    return head + "".join(steps) + f"""
+SELECT DISTINCT s AS id FROM m{rounds}"""
+
+
 def _betweenness_sql(n_sources: int, levels: int) -> str:
     """Unrolled batch Brandes: forward sigma wave per level with a
     NOT-EXISTS visited mask, backward dependency wave per level —
@@ -1308,6 +1365,7 @@ FROM sp"""
     sqls["hits"] = _hits_sql(HITS_ITERS)
     sqls["ppr"] = _ppr_sql(PPR_ITERS, PPR_SEEDS)
     sqls["betweenness"] = _betweenness_sql(BC_SOURCES, BC_LEVELS)
+    sqls["mis"] = _mis_sql(MIS_ROUNDS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
 
     sqls["outer_product"] = """

@@ -303,3 +303,34 @@ def betweenness_sources(edges, n, sources, max_levels=8):
             if dist[v] >= 1:
                 bc[v] = bc.get(v, 0.0) + dl
     return bc
+
+
+def luby_mis(edges, n, max_rounds=30):
+    """Deterministic-Luby MIS replay: priority (v*2654435761) mod
+    1000000007, winners beat all active neighbors, winners+neighborhoods
+    retire each round; isolated actives auto-join.  Returns (set, rounds)."""
+    C, P = 2654435761, 1000000007
+    pr = lambda v: (v * C) % P
+    nbrs = {}
+    for a, b in edges:
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    active = set(nbrs)
+    mis = set()
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        live = {v: {u for u in nbrs[v] if u in active} for v in active}
+        if not any(live.values()):
+            mis |= active
+            break
+        winners = {v for v, ns in live.items()
+                   if ns and all(pr(v) < pr(u) for u in ns)}
+        isolated = {v for v, ns in live.items() if not ns}
+        mis |= winners | isolated
+        gone = winners | {u for v in winners for u in live[v]} | isolated
+        active -= gone
+        if not active:
+            break
+    return mis, rounds

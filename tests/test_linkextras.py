@@ -196,3 +196,21 @@ def test_betweenness_random(spark):
     assert set(got) == set(want)
     for v, b in want.items():
         assert np.isclose(got[v], b, atol=1e-9), (v, got[v], b)
+
+
+def test_mis_random(spark):
+    from graph_python_spark.algorithms.mis import maximal_independent_set
+
+    for seed, n, m in [(2, 20, 45), (9, 35, 200), (13, 12, 12)]:
+        pairs = rand_graph(n=n, m=m, seed=seed)
+        got, _rounds = maximal_independent_set(edge_df(spark, pairs))
+        got = {r["id"] for r in got.collect()}
+        want, _ = O.luby_mis(pairs, n)
+        assert got == want
+        # independence + maximality, checked structurally too
+        und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        assert not any((min(u, v), max(u, v)) in und
+                       for u in got for v in got if u != v)
+        touched = {v for p in und for v in p}
+        for v in touched - got:
+            assert any((min(v, u), max(v, u)) in und for u in got)
