@@ -23,6 +23,8 @@ AUDITED = [
     "degree_out", "cc_labels",
     # late r2: peeling / centrality / wedge-join paths
     "kcore", "hits", "ppr", "jaccard_neighbors",
+    # r2 session 3: truss/clustering wedge joins, Brandes waves, Luby MIS
+    "ktruss", "clustering_coeff", "betweenness", "mis",
 ]
 
 
