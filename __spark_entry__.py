@@ -426,6 +426,24 @@ def q_near_dup_cosine(spark, sf_dir):
                                       dim=64, bands=8, band_bits=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # end-to-end near-dup pipeline: banded LSH pairs -> FastSV components
+    # -> (doc, canonical, cluster_size); oracle = the pair SQL + a
+    # recursive min-reachability CTE (_dedup_clusters_sql)
+    pairs = similarity.cosine_near_dup(_emb(spark, sf_dir), threshold=0.45,
+                                       dim=64, bands=8, band_bits=4)
+    return dedup.near_dup_clusters(pairs)
+
+
+def q_sample_stratified(spark, sf_dir):
+    from graph_python_spark.pipeline.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    s = stratified_sample(docs, "lang", "doc_id", n_per_stratum=50)
+    return s.select("doc_id", "lang",
+                    F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
 def q_bpe_tokens(spark, sf_dir):
     return text.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -642,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "near_dup_cosine": q_near_dup_cosine,
+        "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
         "bpe_tokens": q_bpe_tokens,
         "windowed_events": q_windowed_events,
         "cc_converged": q_cc_converged,
@@ -943,6 +963,51 @@ SELECT c.doc_a, c.doc_b,
        ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS cos_sim
 FROM cand c JOIN n na ON na.vec_id = c.doc_a JOIN n nb ON nb.vec_id = c.doc_b
 WHERE ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) >= {threshold}"""
+
+
+def _dedup_clusters_sql(threshold: float, dim: int, bands: int,
+                        band_bits: int) -> str:
+    """near_dup pair SQL (identical banding to _near_dup_sql) + recursive
+    min-reachability components + cluster sizes — mirrors
+    pipeline/dedup.near_dup_clusters over cosine_near_dup pairs."""
+    band_selects = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {_hyperplane_lit(dim, b * band_bits + r)}) >= 0"
+            f" THEN {1 << r} ELSE 0 END)"
+            for r in range(band_bits)
+        )
+        band_selects.append(
+            f"SELECT vec_id AS id, {b} AS band, {bits} AS bucket FROM v"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH RECURSIVE {_emb_head_sql()},
+bb AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN n na ON na.vec_id = c.doc_a JOIN n nb ON nb.vec_id = c.doc_b
+  WHERE ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) >= {threshold}
+),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+verts AS (SELECT s AS id FROM sym UNION SELECT d FROM sym),
+reach(v, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.v WHERE r.lbl < e.d
+),
+comp AS (SELECT v AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY v),
+sz AS (SELECT canonical_id, count(*) AS cluster_size
+       FROM comp GROUP BY canonical_id)
+SELECT comp.doc_id, CAST(comp.canonical_id AS BIGINT) AS canonical_id,
+       CAST(sz.cluster_size AS BIGINT) AS cluster_size
+FROM comp JOIN sz ON comp.canonical_id = sz.canonical_id"""
 
 
 def _lsh_topk_sql(n_queries: int, dim: int, k: int, planes: int) -> str:
@@ -1628,6 +1693,15 @@ SELECT s.m AS media_id, s.kind, CAST(s.len AS BIGINT) AS n_bytes,
 FROM spec s JOIN f0 f ON f.m = s.m"""
 
     sqls["near_dup_cosine"] = _near_dup_sql(0.45, dim=64, bands=8, band_bits=4)
+    sqls["dedup_clusters"] = _dedup_clusters_sql(0.45, dim=64, bands=8,
+                                                 band_bits=4)
+    sqls["sample_stratified"] = """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS sample_rank
+FROM documents
+QUALIFY sample_rank <= 50"""
     sqls["lsh_cosine_topk"] = _lsh_topk_sql(n_queries=10, dim=64, k=5, planes=6)
     sqls["ivf_topk"] = _ivf_topk_sql(n_queries=10, k=5, n_cells=16, n_probe=2)
 

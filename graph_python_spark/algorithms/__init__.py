@@ -1,7 +1,11 @@
 from graph_python_spark.algorithms.pagerank import pagerank, pagerank_fixed
 from graph_python_spark.algorithms.components import connected_components, cc_fixed_rounds
 from graph_python_spark.algorithms.labelprop import label_propagation
-from graph_python_spark.algorithms.triangles import triangle_count
+from graph_python_spark.algorithms.triangles import (
+    clustering_coefficients,
+    triangle_count,
+    triangles_per_vertex,
+)
 from graph_python_spark.algorithms.traversal import bfs_levels, bfs_parents, sssp
 from graph_python_spark.algorithms.louvain import (
     louvain_levels,
@@ -9,7 +13,13 @@ from graph_python_spark.algorithms.louvain import (
     modularity,
 )
 from graph_python_spark.algorithms.kcore import kcore
-from graph_python_spark.algorithms.centrality import hits_fixed, ppr_fixed
+from graph_python_spark.algorithms.ktruss import ktruss
+from graph_python_spark.algorithms.mis import maximal_independent_set
+from graph_python_spark.algorithms.centrality import (
+    betweenness_sources,
+    hits_fixed,
+    ppr_fixed,
+)
 from graph_python_spark.algorithms.vertexsim import jaccard_neighbors
 
 __all__ = [
@@ -19,6 +29,8 @@ __all__ = [
     "cc_fixed_rounds",
     "label_propagation",
     "triangle_count",
+    "triangles_per_vertex",
+    "clustering_coefficients",
     "bfs_levels",
     "bfs_parents",
     "sssp",
@@ -26,7 +38,10 @@ __all__ = [
     "louvain_sweeps",
     "modularity",
     "kcore",
+    "ktruss",
+    "maximal_independent_set",
     "hits_fixed",
+    "betweenness_sources",
     "ppr_fixed",
     "jaccard_neighbors",
 ]

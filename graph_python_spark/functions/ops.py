@@ -329,6 +329,14 @@ indexunary = _Namespace(
     valuege=lambda v, i, j, thunk=0: v >= F.lit(thunk),
     valuelt=lambda v, i, j, thunk=0: v < F.lit(thunk),
     valuele=lambda v, i, j, thunk=0: v <= F.lit(thunk),
+    # the reference's positional UNARY ops (unary.positioni/positionj and
+    # their +1 variants, operator/unary.py) are index functions, so they
+    # live here: apply(indexunary.positioni) == reference
+    # apply(unary.positioni)
+    positioni=lambda v, i, j, thunk=0: i + F.lit(thunk),
+    positioni1=lambda v, i, j, thunk=0: i + F.lit(thunk) + F.lit(1),
+    positionj=lambda v, i, j, thunk=0: j + F.lit(thunk),
+    positionj1=lambda v, i, j, thunk=0: j + F.lit(thunk) + F.lit(1),
 )
 
 

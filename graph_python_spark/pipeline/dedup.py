@@ -302,3 +302,30 @@ def simhash_near_pairs(docs: DataFrame, blocks: int = 8,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Collapse a near-duplicate PAIR relation (doc_a, doc_b) into dedup
+    clusters: (doc_id, canonical_id, cluster_size) for every document in
+    at least one pair, canonical = smallest doc_id reachable through the
+    near-dup graph (the FastSV min-label component), cluster_size = docs
+    in that cluster.  The keep-one-per-cluster training-data cut is then
+    ``filter(doc_id == canonical_id)`` plus the untouched singleton docs.
+
+    Scale shape: the pair relation is already the sparse output of a
+    banded LSH (never all-pairs), and the component sweep moves O(docs in
+    pairs) state per round — the same cached-adjacency FastSV loop the
+    link-graph queries run on billions of edges.
+    """
+    from graph_python_spark.algorithms.components import connected_components
+
+    edges = pairs.select(F.col("doc_a").alias("i"), F.col("doc_b").alias("j"))
+    labels, _rounds = connected_components(edges)
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "component")
+        .select(F.col("id").alias("doc_id"),
+                F.col("component").alias("canonical_id"),
+                "cluster_size")
+    )

@@ -262,3 +262,36 @@ def test_streaming_dedup_exact(spark, tmp_path):
     # one survivor per distinct text
     assert len(kept) == 3
     assert 3 in kept
+
+
+def test_stratified_sample_deterministic(spark):
+    from graph_python_spark.pipeline.sampling import (deterministic_sample,
+                                                      stratified_sample)
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = stratified_sample(df, "lang", "doc_id", 7)
+    s2 = stratified_sample(df.repartition(13), "lang", "doc_id", 7)
+    a = sorted((r["doc_id"], r["lang"], r["sample_rank"]) for r in s1.collect())
+    b = sorted((r["doc_id"], r["lang"], r["sample_rank"]) for r in s2.collect())
+    assert a == b  # pure function of the data, not the partitioning
+    per_lang = {}
+    for _, lang, rank in a:
+        per_lang.setdefault(lang, []).append(rank)
+    assert all(sorted(v) == list(range(1, 8)) for v in per_lang.values())
+
+    g1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10).collect()}
+    g2 = {r["doc_id"] for r in
+          deterministic_sample(df.repartition(5), "doc_id", 10).collect()}
+    assert g1 == g2 and len(g1) == 10
+
+
+def test_near_dup_clusters(spark):
+    from graph_python_spark.pipeline.dedup import near_dup_clusters
+
+    # two chains {1,2,3}, {10,11} and their sizes; canonical = min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    got = sorted((r["doc_id"], r["canonical_id"], r["cluster_size"])
+                 for r in near_dup_clusters(pairs).collect())
+    assert got == [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)]

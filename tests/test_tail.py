@@ -245,3 +245,17 @@ def test_array_valued_cells(spark):
     rowsum = {r["i"]: r["v"] for r in
               l1.reduce_rowwise(monoid.plus).df.collect()}
     assert rowsum == {0: 6.0, 1: 3.5}
+
+
+def test_positional_unary_ops(spark):
+    """Reference unary.positioni/positionj (+1 variants) via indexunary."""
+    from graph_python_spark.functions.ops import indexunary
+    from graph_python_spark.operators.matrix import MatrixFrame
+
+    m = MatrixFrame.from_coo(spark, [1, 2], [4, 0], [9.0, 3.0], nrows=5, ncols=5)
+    got = {(r["i"], r["j"]): r["v"]
+           for r in m.apply_indexunary(indexunary.positioni1).df.collect()}
+    assert got == {(1, 4): 2, (2, 0): 3}
+    got = {(r["i"], r["j"]): r["v"]
+           for r in m.apply_indexunary(indexunary.positionj).df.collect()}
+    assert got == {(1, 4): 4, (2, 0): 0}
