@@ -67,6 +67,8 @@ def kcore(
     k: int,
     max_rounds: int = 50,
     partitions: Optional[int] = None,
+    checkpoint=None,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, int]:
     """Peel to the k-core of the undirected simple graph under ``edges``
     (long columns i, j; direction and duplicate edges ignored).
@@ -75,8 +77,27 @@ def kcore(
     vertex's degree INSIDE the k-core and ``rounds`` is the number of
     peeling rounds executed (including the final no-change round that
     proves the fixpoint).
+
+    ``checkpoint``: optional durable ``plans.iterate.IterationState`` — the
+    surviving-edge state is saved every ``checkpoint_every`` rounds
+    (metrics: round #, surviving edges), and a killed run resumes peeling
+    from the last saved round with identical results (the state is the
+    whole fixpoint input; peeling is deterministic).
     """
-    cur = materialize(_sym_distinct(edges, partitions))
+    rounds = 0
+    cur = None
+    if checkpoint is not None:
+        restored = checkpoint.restore()
+        if restored is not None:
+            rounds, states, _metrics = restored
+            cur = states["edges"]
+            if partitions is not None:
+                cur = cur.repartition(partitions, "s")
+            else:
+                cur = cur.repartition("s")
+            cur = materialize(cur)
+    if cur is None:
+        cur = materialize(_sym_distinct(edges, partitions))
     n_edges = cur.count()
     # peeled deltas up to this size become a literal InSet filter — one
     # job, no join, no exchange (a broadcast join collects to the driver
@@ -86,9 +107,8 @@ def kcore(
     # peels of a sparse graph can be a large fraction of all vertices)
     broadcast_cap = 4_000_000
 
-    rounds = 0
     with loop_shuffle_width(edges.sparkSession, max(n_edges, 1)):
-        for _ in range(max_rounds):
+        while rounds < max_rounds:
             deg = cur.groupBy("s").agg(F.count("*").alias("kdeg"))
             dead_df = deg.filter(F.col("kdeg") < k).select("s")
             probe = dead_df.limit(inset_cap + 1).collect()
@@ -104,17 +124,21 @@ def kcore(
                                              & ~F.col("d").isin(ids)))
                 cur.unpersist()
                 cur = nxt
-                continue
-            dead = materialize(dead_df)
-            rm_s, rm_d = dead, dead.withColumnRenamed("s", "d")
-            if dead.count() <= broadcast_cap:
-                rm_s, rm_d = F.broadcast(rm_s), F.broadcast(rm_d)
-            nxt = materialize(
-                cur.join(rm_s, "s", "left_anti").join(rm_d, "d", "left_anti")
-            )
-            cur.unpersist()
-            dead.unpersist()
-            cur = nxt
+            else:
+                dead = materialize(dead_df)
+                rm_s, rm_d = dead, dead.withColumnRenamed("s", "d")
+                if dead.count() <= broadcast_cap:
+                    rm_s, rm_d = F.broadcast(rm_s), F.broadcast(rm_d)
+                nxt = materialize(
+                    cur.join(rm_s, "s", "left_anti")
+                    .join(rm_d, "d", "left_anti")
+                )
+                cur.unpersist()
+                dead.unpersist()
+                cur = nxt
+            if checkpoint is not None and rounds % checkpoint_every == 0:
+                checkpoint.save(rounds, {"edges": cur},
+                                {"round": rounds, "peeled": len(probe)})
     # max_rounds exhausted without a proven fixpoint: report current degrees
     out = materialize(
         cur.groupBy("s").agg(F.count("*").alias("kdeg")).filter(F.col("kdeg") >= k)

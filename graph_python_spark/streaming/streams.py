@@ -143,3 +143,46 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def minhash_sig_cols(k: int = 8, text_col: str = "text"):
+    """Per-ROW MinHash signature columns: mh_i = min over the document's
+    tokens of md5('<i>:' || tok).  Identical values to the batch
+    ``pipeline.dedup.minhash_signatures`` (duplicate tokens cannot change a
+    min), but built as a pure row expression (array_min over a transformed
+    token array) instead of an explode + groupBy — which is what lets it
+    run inside a streaming query with no aggregation state at all."""
+    from graph_python_spark.pipeline.text import tokens_col
+
+    def hasher(i: int):
+        # single-parameter lambda: a 2-arg one would make F.transform pass
+        # the ARRAY index as the second argument, clobbering the binding
+        return lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))
+
+    return [
+        F.array_min(F.transform(tokens_col(text_col), hasher(i))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def stream_dedup_minhash(spark: SparkSession, path: str, k: int = 8,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming NEAR-dup dedup at MinHash-signature grain: emit the first
+    arrival of each distinct k-permutation signature, drop later documents
+    whose whole signature collides (token-set Jaccard ~= 1 shares all k
+    min-hashes with high probability — whitespace/reorder/dup variants
+    collapse; byte-identical dedup is ``stream_dedup_exact``).
+
+    State is keyed on the 32-byte md5 of the signature and expires behind
+    the watermark, so it stays O(distinct signatures within the horizon) —
+    never the documents themselves — at any ingest rate.
+    """
+    docs = spark.readStream.schema(DOC_SCHEMA).parquet(path)
+    return (
+        docs.select("doc_id", "ts", *minhash_sig_cols(k))
+        .withColumn("sig_key",
+                    F.md5(F.concat(*[F.col(f"mh{i}") for i in range(k)])))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["sig_key"])
+        .select("doc_id", "ts", "sig_key")
+    )

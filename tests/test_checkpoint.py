@@ -93,3 +93,28 @@ def test_louvain_resume_identical(spark, tmp_path):
     resumed = louvain_sweeps(e, sweeps=4, checkpoint=st)
     got = {r["id"]: r["community"] for r in resumed.collect()}
     assert got == want
+
+
+def test_kcore_resume_identical(spark, tmp_path):
+    from graph_python_spark.algorithms.kcore import kcore
+
+    # triangle strip + pendant chain: k=2 peels the chain one vertex per
+    # round, so a 2-round cut genuinely stops mid-peel
+    strip = [(t, t + 1) for t in range(6)] + [(t, t + 2) for t in range(5)]
+    chain = [(100, 101), (101, 102), (102, 103), (103, 0)]
+    e = spark.createDataFrame([(int(a), int(b)) for a, b in strip + chain],
+                              "i long, j long")
+
+    full, full_rounds = kcore(e, k=2)
+    want = {(r["id"], r["kdeg"]) for r in full.collect()}
+    assert full_rounds > 3  # the chain forces a multi-round cascade
+
+    st = IterationState(str(tmp_path / "kc"), spark)
+    _partial, r1 = kcore(e, k=2, max_rounds=2, checkpoint=st)
+    assert r1 == 2
+    assert st.load_manifest()["iteration"] == 2
+
+    resumed, r2 = kcore(e, k=2, checkpoint=st)
+    got = {(r["id"], r["kdeg"]) for r in resumed.collect()}
+    assert got == want
+    assert r1 + r2 - 1 <= full_rounds + 1  # resume continues, not restarts

@@ -295,3 +295,35 @@ def test_near_dup_clusters(spark):
     got = sorted((r["doc_id"], r["canonical_id"], r["cluster_size"])
                  for r in near_dup_clusters(pairs).collect())
     assert got == [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)]
+
+
+def test_streaming_dedup_minhash(spark, tmp_path):
+    from graph_python_spark.streaming.streams import (minhash_sig_cols,
+                                                      run_to_memory,
+                                                      stream_dedup_minhash)
+
+    docs = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", "the quick brown fox"),
+         (1, "2024-01-01 00:01:00", "an entirely different document"),
+         (2, "2024-01-01 00:02:00", "quick brown the fox"),      # reorder of 0
+         (3, "2024-01-01 00:03:00", "the quick  brown fox the"), # dups/space of 0
+         (4, "2024-01-01 00:04:00", "a third unrelated text")],
+        "doc_id long, ts string, text string",
+    ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+
+    # row-expression signatures must equal the batch explode+groupBy ones
+    from graph_python_spark.pipeline.dedup import minhash_signatures
+    row_sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+                for r in docs.select("doc_id", *minhash_sig_cols(8)).collect()}
+    batch_sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+                  for r in minhash_signatures(docs).collect()}
+    assert row_sigs == batch_sigs
+
+    out = stream_dedup_minhash(spark, path, watermark="10 minutes")
+    run_to_memory(out, "mh_stream", "append")
+    kept = sorted(r["doc_id"]
+                  for r in spark.sql("SELECT doc_id FROM mh_stream").collect())
+    # 2 and 3 share doc 0's token set -> same signature -> dropped
+    assert kept == [0, 1, 4]
