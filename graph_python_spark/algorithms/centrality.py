@@ -64,14 +64,18 @@ def hits_fixed(
     hub 0, no in-edges auth 0).  h_0 = 1 on every vertex.
     """
     # Two pinned copies of the deduped edge table, hash-partitioned on each
-    # join side (the PageRank cached-adjacency pattern, doubled because the
-    # HITS round alternates direction): the i-partitioned copy joins the
-    # i-keyed hub vector, the j-partitioned copy the j-keyed authority
-    # vector.  Each aggregate output is already hash-partitioned on its key
-    # with the same width, so NEITHER side of either join exchanges — the
-    # only per-round shuffles left are the two O(E) contribution
-    # re-keyings, which are the SpMV itself.  hash(i) co-locates (i, j)
-    # duplicates, so dropDuplicates after the repartition adds no exchange.
+    # join side (the HITS round alternates direction): the i-partitioned
+    # copy joins the i-keyed hub vector, the j-partitioned copy the j-keyed
+    # authority vector.  Each aggregate output is already hash-partitioned
+    # on its key with the same width, so NEITHER side of either join
+    # exchanges — the only per-round shuffles left are the two O(E)
+    # contribution re-keyings, which are the SpMV itself.  hash(i)
+    # co-locates (i, j) duplicates, so dropDuplicates after the repartition
+    # adds no exchange.  (The PageRank adjacency-ARRAY form was measured
+    # here too: its two grouped-array builds cost more than they save over
+    # <=8 HITS rounds — break-even at 22.9M edges, slower at sf0.1 — so the
+    # edge form stays; PageRank amortizes one build over many more
+    # iterations, which is why it wins there.)
     spark = edges.sparkSession
     raw = edges.select("i", "j")
     vertices = materialize(
@@ -103,6 +107,10 @@ def hits_fixed(
                 .agg(F.sum("v").alias("v"))
             )
             h, auth = pin.pin(h, auth)
+    # h/auth are pinned (eager localCheckpoint), so the cached edge copies
+    # are no longer needed by the lazy result — release their blocks
+    ebi.unpersist()
+    ebj.unpersist()
     sums = h.agg(F.sum("v")).crossJoin(auth.agg(F.sum("v"))).first()
     hsum, asum = float(sums[0]), float(sums[1])
     return (
@@ -258,9 +266,19 @@ def betweenness_sources(
                 .localCheckpoint(eager=True)
             )
     if depth == 0:
-        return spark.createDataFrame([], "id long, bc double")
-    stacked = deltas[1]
-    for d in range(2, depth + 1):
-        stacked = stacked.unionByName(deltas[d])
-    return stacked.groupBy(F.col("v").alias("id")) \
-                  .agg(F.sum("delta").alias("bc"))
+        out = spark.createDataFrame([], "id long, bc double")
+    else:
+        stacked = deltas[1]
+        for d in range(2, depth + 1):
+            stacked = stacked.unionByName(deltas[d])
+        out = materialize(stacked.groupBy(F.col("v").alias("id"))
+                          .agg(F.sum("delta").alias("bc")))
+    # the result is pinned, so every per-level block can be released —
+    # leaving O(levels) checkpointed frames cached would bleed executor
+    # storage into whatever runs next on the session
+    for df in levels + [d for d in deltas if d is not None] + [visited, eb]:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out

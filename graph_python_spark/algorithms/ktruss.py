@@ -66,7 +66,8 @@ def ktruss(
     sym = canonical_edges(edges)
     if partitions is not None:
         sym = sym.repartition(partitions, "a")
-    cur = materialize(sym)
+    pinned = materialize(sym)  # the round's checkpointed frame (cur's blocks)
+    cur = pinned
     prev_edges = cur.count()
 
     rounds = 0
@@ -79,12 +80,13 @@ def ktruss(
             rounds += 1
             if n_edges == prev_edges:
                 # fixpoint: no edge dropped, so `support` is final
-                cur.unpersist()
+                pinned.unpersist()
                 return kept, rounds
-            cur.unpersist()
+            pinned.unpersist()
+            pinned = kept
             cur = kept.select("a", "b")
             prev_edges = n_edges
     # max_rounds exhausted: report the current state's support
     out = materialize(_edge_support(cur).filter(F.col("support") >= k - 2))
-    cur.unpersist()
+    pinned.unpersist()
     return out, rounds

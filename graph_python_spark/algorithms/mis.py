@@ -114,5 +114,13 @@ def maximal_independent_set(
     for part in mis_parts + isolated_mis:
         out = part if out is None else out.unionByName(part)
     if out is None:
+        cur.unpersist()
         return spark.createDataFrame([], "id long"), rounds
-    return out.select(F.col("s").alias("id")).distinct(), rounds
+    out = materialize(out.select(F.col("s").alias("id")).distinct())
+    # the union is pinned; release the per-round winner/isolated blocks
+    for part in mis_parts + isolated_mis + [cur]:
+        try:
+            part.unpersist()
+        except Exception:
+            pass
+    return out, rounds
