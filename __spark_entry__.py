@@ -520,6 +520,9 @@ PPR_SEEDS = 5
 BC_SOURCES = 4
 BC_LEVELS = 8         # SQL unroll; empty frontiers past the fixpoint are identity
 MIS_ROUNDS = 10       # SQL unroll; converges in 7 at sf0.01, 6 at sf0.1
+KATZ_ITERS = 6
+KATZ_ALPHA = 0.05
+DEGREE_HIST_BUCKETS = 24
 JACCARD_MIN_SIM = 0.1
 
 
@@ -573,6 +576,31 @@ def q_ppr(spark, sf_dir):
     seeds = verts.orderBy("id").limit(PPR_SEEDS)
     scores = ppr_fixed(e, seeds, iterations=PPR_ITERS)
     return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_katz(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import katz_fixed
+
+    e = customer_graph(spark, sf_dir)
+    x = katz_fixed(e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+                   iterations=KATZ_ITERS, alpha=KATZ_ALPHA)
+    return x.select("id", F.round("katz", 4).alias("katz"))
+
+
+def q_degree_hist(spark, sf_dir):
+    # log2-bucketed out-degree histogram — the first thing anyone runs on
+    # a new link graph; buckets via exact integer CASE bounds (never
+    # floating log2: identical in any engine)
+    e = customer_graph(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    bucket = F.lit(DEGREE_HIST_BUCKETS - 1)
+    for b in range(DEGREE_HIST_BUCKETS - 2, -1, -1):
+        bucket = F.when(F.col("d") < F.lit(1 << (b + 1)), F.lit(b)) \
+                  .otherwise(bucket)
+    return (deg.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_vertices"),
+                 F.min("d").cast("long").alias("min_deg"),
+                 F.max("d").cast("long").alias("max_deg")))
 
 
 def q_mis(spark, sf_dir):
@@ -677,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "betweenness": q_betweenness,
         "mis": q_mis,
+        "katz": q_katz,
+        "degree_hist": q_degree_hist,
         "jaccard_neighbors": q_jaccard_neighbors,
     }
 
@@ -1099,6 +1129,41 @@ FROM sym e JOIN a{rounds} x ON e.s = x.s JOIN a{rounds} y ON e.d = y.s
 GROUP BY e.s"""
 
 
+def _katz_sql(iters: int, alpha: float) -> str:
+    """Unrolled Katz: x_{t+1} = 1 + alpha * A^T x_t, x_0 = 1 — mirrors
+    algorithms/centrality.katz_fixed."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+x0 AS (SELECT id, 1.0 AS v FROM verts)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+x{t} AS MATERIALIZED (
+  SELECT vt.id, 1.0 + {alpha} * COALESCE(c.v, 0.0) AS v
+  FROM verts vt LEFT JOIN (
+    SELECT e.dst AS id, SUM(x.v) AS v
+    FROM eb e JOIN x{t - 1} x ON e.src = x.id
+    GROUP BY e.dst
+  ) c ON vt.id = c.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT id, ROUND(CAST(v AS DOUBLE), 4) AS katz FROM x{iters}"""
+
+
+def _degree_hist_sql(buckets: int) -> str:
+    case = "CASE " + " ".join(
+        f"WHEN d < {1 << (b + 1)} THEN {b}" for b in range(buckets - 1)
+    ) + f" ELSE {buckets - 1} END"
+    return f"""WITH {customer_graph_sql().strip()},
+deg AS (SELECT src, count(*) AS d FROM eg GROUP BY src)
+SELECT CAST({case} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(MIN(d) AS BIGINT) AS min_deg,
+       CAST(MAX(d) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1"""
+
+
 def _mis_sql(rounds: int) -> str:
     """Unrolled deterministic-Luby MIS — mirrors
     algorithms/mis.maximal_independent_set: priority (v*2654435761) mod
@@ -1431,6 +1496,8 @@ FROM sp"""
     sqls["ppr"] = _ppr_sql(PPR_ITERS, PPR_SEEDS)
     sqls["betweenness"] = _betweenness_sql(BC_SOURCES, BC_LEVELS)
     sqls["mis"] = _mis_sql(MIS_ROUNDS)
+    sqls["katz"] = _katz_sql(KATZ_ITERS, KATZ_ALPHA)
+    sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
 
     sqls["outer_product"] = """

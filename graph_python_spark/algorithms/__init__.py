@@ -18,6 +18,7 @@ from graph_python_spark.algorithms.mis import maximal_independent_set
 from graph_python_spark.algorithms.centrality import (
     betweenness_sources,
     hits_fixed,
+    katz_fixed,
     ppr_fixed,
 )
 from graph_python_spark.algorithms.vertexsim import jaccard_neighbors
@@ -41,6 +42,7 @@ __all__ = [
     "ktruss",
     "maximal_independent_set",
     "hits_fixed",
+    "katz_fixed",
     "betweenness_sources",
     "ppr_fixed",
     "jaccard_neighbors",

@@ -282,3 +282,51 @@ def betweenness_sources(
         except Exception:
             pass
     return out
+
+
+@iterative
+def katz_fixed(
+    edges: DataFrame,
+    iterations: int = 6,
+    alpha: float = 0.1,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exactly ``iterations`` Katz-centrality steps on the deduped directed
+    edge set: x_{t+1}(j) = 1 + alpha * sum_{i->j} x_t(i), x_0 = 1 — the
+    truncated Neumann series sum_k (alpha*A^T)^k 1 (converges for
+    alpha < 1/rho(A); fixed-K keeps the unrolled SQL oracle exact).
+    Returns (id, katz) over all vertices, unnormalized.
+
+    Same loop shape as the other SpMV centralities: edge table pinned
+    once partitioned on the join key, one O(E) contribution shuffle per
+    round, per-round state pinned.
+    """
+    spark = edges.sparkSession
+    raw = edges.select("i", "j")
+    vertices = materialize(
+        raw.select(F.col("i").alias("id"))
+        .unionByName(raw.select(F.col("j").alias("id")))
+        .distinct()
+    )
+    n = vertices.count()
+    pin = _Pin()
+    with loop_shuffle_width(spark, n) as width:
+        w = partitions if partitions is not None else width
+        if partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        eb = materialize(raw.repartition(w, "i").dropDuplicates(["i", "j"]))
+        x = vertices.select(F.col("id"), F.lit(1.0).alias("v"))
+        for _ in range(iterations):
+            contrib = (
+                eb.join(x.withColumnRenamed("id", "i"), "i")
+                .groupBy(F.col("j").alias("id"))
+                .agg(F.sum("v").alias("c"))
+            )
+            x = (
+                vertices.join(contrib, "id", "left_outer")
+                .select("id", (F.lit(1.0) + F.lit(alpha)
+                               * F.coalesce(F.col("c"), F.lit(0.0))).alias("v"))
+            )
+            (x,) = pin.pin(x)
+    eb.unpersist()
+    return x.select("id", F.col("v").alias("katz"))

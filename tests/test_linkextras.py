@@ -214,3 +214,24 @@ def test_mis_random(spark):
         touched = {v for p in und for v in p}
         for v in touched - got:
             assert any((min(v, u), max(v, u)) in und for u in got)
+
+
+def test_katz_random(spark):
+    from graph_python_spark.algorithms.centrality import katz_fixed
+
+    pairs = rand_graph(n=25, m=100, seed=21)
+    got = {r["id"]: r["katz"]
+           for r in katz_fixed(edge_df(spark, pairs), iterations=5,
+                               alpha=0.08).collect()}
+    # NumPy replay of the truncated Neumann series
+    n = 25
+    A = np.zeros((n, n))
+    for a, b in set(pairs):
+        A[a, b] = 1.0
+    x = np.ones(n)
+    for _ in range(5):
+        x = 1.0 + 0.08 * (A.T @ x)
+    present = {v for p in pairs for v in p}
+    assert set(got) == present
+    for v in present:
+        assert np.isclose(got[v], x[v], atol=1e-9)
