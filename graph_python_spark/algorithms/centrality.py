@@ -177,6 +177,11 @@ def ppr_fixed(
                               + F.coalesce(F.col("c"), F.lit(0.0))).alias("v"))
             )
             (r,) = pin.pin(r)
+    if iterations > 0:
+        # r is pinned; the loop-invariant operands can release their blocks
+        # (with 0 iterations r is still a lazy view over tel — keep it)
+        et.unpersist()
+        tel.unpersist()
     return r.select(F.col("i").alias("id"), F.col("v").alias("score"))
 
 
