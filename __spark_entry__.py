@@ -578,6 +578,15 @@ def q_ppr(spark, sf_dir):
     return scores.select("id", F.round("score", 6).alias("score"))
 
 
+def q_scc(spark, sf_dir):
+    from graph_python_spark.algorithms.scc import strongly_connected_components
+
+    e = customer_graph(spark, sf_dir)
+    labels, _rounds = strongly_connected_components(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")))
+    return labels.select("id", F.col("component").cast("long").alias("component"))
+
+
 def q_katz(spark, sf_dir):
     from graph_python_spark.algorithms.centrality import katz_fixed
 
@@ -707,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "katz": q_katz,
         "degree_hist": q_degree_hist,
+        "scc": q_scc,
         "jaccard_neighbors": q_jaccard_neighbors,
     }
 
@@ -1129,6 +1139,25 @@ FROM sym e JOIN a{rounds} x ON e.s = x.s JOIN a{rounds} y ON e.d = y.s
 GROUP BY e.s"""
 
 
+def _scc_sql() -> str:
+    """SCC oracle as a pure graph property (component = min MUTUALLY
+    reachable vertex) via a recursive transitive-closure CTE — checks the
+    ANSWER of algorithms/scc.strongly_connected_components without
+    replicating its FB-coloring strategy (the closure is fine at sf0.01;
+    the Spark side never materializes one)."""
+    return f"""WITH RECURSIVE {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+reach(s, d) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN eb e ON e.src = r.d
+)
+SELECT r1.s AS id, CAST(MIN(r1.d) AS BIGINT) AS component
+FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+GROUP BY r1.s"""
+
+
 def _katz_sql(iters: int, alpha: float) -> str:
     """Unrolled Katz: x_{t+1} = 1 + alpha * A^T x_t, x_0 = 1 — mirrors
     algorithms/centrality.katz_fixed."""
@@ -1497,6 +1526,7 @@ FROM sp"""
     sqls["betweenness"] = _betweenness_sql(BC_SOURCES, BC_LEVELS)
     sqls["mis"] = _mis_sql(MIS_ROUNDS)
     sqls["katz"] = _katz_sql(KATZ_ITERS, KATZ_ALPHA)
+    sqls["scc"] = _scc_sql()
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
 

@@ -21,6 +21,7 @@ from graph_python_spark.algorithms.centrality import (
     katz_fixed,
     ppr_fixed,
 )
+from graph_python_spark.algorithms.scc import strongly_connected_components
 from graph_python_spark.algorithms.vertexsim import jaccard_neighbors
 
 __all__ = [
@@ -45,5 +46,6 @@ __all__ = [
     "katz_fixed",
     "betweenness_sources",
     "ppr_fixed",
+    "strongly_connected_components",
     "jaccard_neighbors",
 ]

@@ -1,0 +1,150 @@
+"""Strongly connected components — forward-backward min-label coloring.
+
+The FastSV-style min-label sweep (algorithms/components.py) gives WEAKLY
+connected components; SCC needs mutual reachability.  This is the
+distributed coloring algorithm (Orzan FB-coloring, the standard
+vertex-centric SCC): repeat until every vertex is assigned —
+
+  1. FORWARD color: c(v) = min id that reaches v along directed paths
+     within the remaining graph (min-label propagation to fixpoint; v is
+     its own ancestor, so the color-r partition contains r and only ids
+     >= r, i.e. r is both that partition's root and its minimum).
+  2. BACKWARD sweep WITHIN each color: g(v) = min id reachable FROM v
+     inside v's color partition.  v reaches its root r iff g(v) = r, and
+     {v in color r : g(v) = r} is exactly SCC(r) — mutual reachability
+     with the root, all colors resolved simultaneously in ONE sweep
+     (state keyed by vertex, colors just partition the join).
+  3. Finalize those SCCs (component id = root id = the SCC's minimum
+     vertex, matching the min-label convention of the weak-CC oracle),
+     delete them, repeat on the remainder.
+
+Every outer round removes at least each color's root SCC, so rounds are
+bounded by the longest chain of SCCs; web graphs resolve in a handful
+(the giant SCC goes in round 1).  All state is edge/vertex relations
+with the same pinned-loop plumbing as the other sweeps: min-label
+fixpoints are join + partial-agg rounds with a rides-along change flag
+(one action per round), finalized vertices leave the edge state, and
+the moving state only ever shrinks.
+
+Oracle note: SCC labels are a pure graph property (min mutually-reachable
+vertex), so the DuckDB oracle checks the ANSWER via a recursive
+transitive-closure CTE without replicating this algorithm — fine at
+sf0.01, while the Spark side never materializes a closure.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_python_spark.plans.iterate import (iterative, loop_shuffle_width,
+                                              materialize)
+
+
+def _min_prop(edges: DataFrame, verts: DataFrame, max_rounds: int) -> DataFrame:
+    """Directed min-label fixpoint: f(v) = min id u with u ->* v (u = v
+    included) over ``edges`` (s, d), for every vertex of ``verts`` (id).
+    Returns (id, lbl).  One join + partial agg + change-flag action per
+    round."""
+    f = materialize(verts.select("id", F.col("id").alias("lbl")))
+    for _ in range(max_rounds):
+        nbrmin = (
+            edges.join(f.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("lbl").alias("_nm"))
+        )
+        nv = F.least(F.col("lbl"), F.coalesce(F.col("_nm"), F.col("lbl")))
+        new_f = materialize(
+            f.join(nbrmin, "id", "left_outer")
+            .select("id", nv.alias("_nv"), (nv != F.col("lbl")).alias("_chg"))
+            .select("id", F.col("_nv").alias("lbl"), "_chg")
+        )
+        changed = int(new_f.agg(
+            F.coalesce(F.max(F.col("_chg").cast("int")), F.lit(0))).first()[0])
+        f.unpersist()
+        f = new_f.drop("_chg")
+        if changed == 0:
+            break
+    return f
+
+
+@iterative
+def strongly_connected_components(
+    edges: DataFrame,
+    max_outer: int = 20,
+    max_label_rounds: int = 40,
+    partitions: Optional[int] = None,
+) -> tuple[DataFrame, int]:
+    """SCC labels over the directed graph under ``edges`` (long columns
+    i -> j; self-loops/duplicates ignored).  Returns ``(labels(id,
+    component), outer_rounds)`` with component = the smallest vertex id in
+    the SCC (exact, permutation-invariant).
+    """
+    eb = edges.select(F.col("i").alias("s"), F.col("j").alias("d")) \
+        .filter(F.col("s") != F.col("d"))
+    if partitions is not None:
+        eb = eb.repartition(partitions, "s")
+    else:
+        eb = eb.repartition("s")
+    cur = materialize(eb.dropDuplicates(["s", "d"]))
+    verts = materialize(
+        cur.select(F.col("s").alias("id"))
+        .unionByName(cur.select(F.col("d").alias("id")))
+        .distinct()
+    )
+    n_edges = cur.count()
+    done_parts: list[DataFrame] = []
+    rounds = 0
+
+    with loop_shuffle_width(edges.sparkSession, max(n_edges, 1)):
+        while rounds < max_outer:
+            rounds += 1
+            if verts.isEmpty():
+                break
+            fwd = _min_prop(cur, verts, max_label_rounds)  # (id, lbl)
+            # backward sweep inside each color: restrict edges to
+            # same-color endpoints and reverse them, then min-propagate
+            fs = fwd.select(F.col("id").alias("s"), F.col("lbl").alias("_cs"))
+            fd = fwd.select(F.col("id").alias("d"), F.col("lbl").alias("_cd"))
+            rev = (
+                cur.join(fs, "s").join(fd, "d")
+                .filter(F.col("_cs") == F.col("_cd"))
+                .select(F.col("d").alias("s"), F.col("s").alias("d"))
+            )
+            rev = materialize(rev)
+            bwd = _min_prop(rev, verts, max_label_rounds)  # (id, g)
+            scc = materialize(
+                fwd.join(bwd.withColumnRenamed("lbl", "g"), "id")
+                .filter(F.col("lbl") == F.col("g"))
+                .select("id", F.col("lbl").alias("component"))
+            )
+            done_parts.append(scc)
+            rev.unpersist()
+            # remove finalized vertices from the moving state
+            gone = scc.select("id")
+            new_verts = materialize(verts.join(gone, "id", "left_anti"))
+            new_cur = materialize(
+                cur.join(gone.withColumnRenamed("id", "s"), "s", "left_anti")
+                .join(gone.withColumnRenamed("id", "d"), "d", "left_anti")
+            )
+            fwd.unpersist()
+            bwd.unpersist()
+            verts.unpersist()
+            cur.unpersist()
+            verts, cur = new_verts, new_cur
+
+    out = None
+    for part in done_parts:
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        out = edges.sparkSession.createDataFrame([], "id long, component long")
+    else:
+        out = materialize(out)
+    for part in done_parts + [verts, cur]:
+        try:
+            part.unpersist()
+        except Exception:
+            pass
+    return out, rounds

@@ -334,3 +334,61 @@ def luby_mis(edges, n, max_rounds=30):
         if not active:
             break
     return mis, rounds
+
+
+def scc_labels(edges, n):
+    """SCC via iterative Tarjan; label = min vertex id in the component.
+    Returns dict {v: label} for every vertex appearing in edges."""
+    adj = {}
+    verts = set()
+    for a, b in edges:
+        verts.add(a)
+        verts.add(b)
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                lbl = min(comp)
+                for w in comp:
+                    out[w] = lbl
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return out

@@ -235,3 +235,26 @@ def test_katz_random(spark):
     assert set(got) == present
     for v in present:
         assert np.isclose(got[v], x[v], atol=1e-9)
+
+
+def test_scc_basic(spark):
+    from graph_python_spark.algorithms.scc import strongly_connected_components
+
+    # two directed cycles bridged one-way + a tail
+    pairs = [(0, 1), (1, 2), (2, 0),        # SCC {0,1,2}
+             (2, 10), (10, 11), (11, 10),   # SCC {10,11}, reachable only
+             (11, 20)]                      # singleton {20}
+    got, rounds = strongly_connected_components(edge_df(spark, pairs))
+    got = {r["id"]: r["component"] for r in got.collect()}
+    assert got == O.scc_labels(pairs, 21)
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_scc_random(spark):
+    from graph_python_spark.algorithms.scc import strongly_connected_components
+
+    for seed, n, m in [(4, 18, 50), (8, 30, 90)]:
+        pairs = rand_graph(n=n, m=m, seed=seed)
+        got, _ = strongly_connected_components(edge_df(spark, pairs))
+        got = {r["id"]: r["component"] for r in got.collect()}
+        assert got == O.scc_labels(pairs, n)
