@@ -524,6 +524,9 @@ KATZ_ITERS = 6
 KATZ_ALPHA = 0.05
 DEGREE_HIST_BUCKETS = 24
 JACCARD_MIN_SIM = 0.1
+LP_MIN_COMMON = 2     # link-prediction pair floor (scores below it carry no signal)
+WALK_STEPS = 8
+WALK_SEEDS = 20
 
 
 def q_kcore(spark, sf_dir):
@@ -643,6 +646,50 @@ def q_jaccard_neighbors(spark, sf_dir):
     return pairs.select("u", "v", "common", F.round("sim", 6).alias("sim"))
 
 
+def q_link_predict(spark, sf_dir):
+    from graph_python_spark.algorithms.vertexsim import link_prediction_scores
+
+    e = customer_graph(spark, sf_dir)
+    pairs = link_prediction_scores(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        min_common=LP_MIN_COMMON)
+    return pairs.select("u", "v", "common",
+                        F.round("adamic_adar", 6).alias("adamic_adar"),
+                        "pref_attach")
+
+
+def q_modularity(spark, sf_dir):
+    from graph_python_spark.algorithms.louvain import louvain_sweeps
+    from graph_python_spark.algorithms.metrics import modularity
+
+    e = customer_graph(spark, sf_dir)
+    labels = louvain_sweeps(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j"),
+                 F.col("w").alias("v")),
+        sweeps=4)
+    return modularity(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")), labels)
+
+
+def q_assortativity(spark, sf_dir):
+    from graph_python_spark.algorithms.metrics import degree_assortativity
+
+    e = customer_graph(spark, sf_dir)
+    return degree_assortativity(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")))
+
+
+def q_random_walks(spark, sf_dir):
+    from graph_python_spark.algorithms.walks import deterministic_walks
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(WALK_SEEDS)
+    return deterministic_walks(e, seeds, steps=WALK_STEPS)
+
+
 def q_multimodal_features(spark, sf_dir):
     from graph_python_spark.pipeline.multimodal import extract_features, synthetic_media
 
@@ -718,6 +765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_hist": q_degree_hist,
         "scc": q_scc,
         "jaccard_neighbors": q_jaccard_neighbors,
+        "link_predict": q_link_predict,
+        "modularity": q_modularity,
+        "assortativity": q_assortativity,
+        "random_walks": q_random_walks,
     }
 
 
@@ -1429,6 +1480,103 @@ FROM c JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v
 WHERE CAST(c.common AS DOUBLE) / (du.dg + dv.dg - c.common) >= {min_sim}"""
 
 
+def _link_predict_sql(min_common: int) -> str:
+    """Wedge self-join link-prediction scores — mirrors
+    algorithms/vertexsim.link_prediction_scores (one wedge pass computes
+    both the common count and the Adamic–Adar sum; 1/ln terms are
+    identical doubles in both engines, only the SUM order differs —
+    absorbed by ROUND 6)."""
+    return f"""WITH {customer_graph_sql().strip()},
+sym AS (SELECT src AS s, dst AS d FROM eg WHERE src <> dst
+        UNION SELECT dst, src FROM eg WHERE src <> dst),
+deg AS (SELECT s AS id, count(*) AS dg FROM sym GROUP BY s),
+c AS (
+  SELECT a.d AS u, b.d AS v, CAST(count(*) AS BIGINT) AS common,
+         SUM(1.0 / ln(dc.dg)) AS aa
+  FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d
+       JOIN deg dc ON dc.id = a.s
+  GROUP BY 1, 2
+)
+SELECT c.u, c.v, c.common, ROUND(c.aa, 6) AS adamic_adar,
+       CAST(du.dg * dv.dg AS BIGINT) AS pref_attach
+FROM c JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v
+WHERE c.common >= {min_common}"""
+
+
+def _modularity_sql(sweeps: int) -> str:
+    """Newman modularity of the Louvain partition over the simple graph —
+    the louvain unroll runs as a derived table (its WITH scope shadows the
+    outer one), mirroring algorithms/metrics.modularity."""
+    return f"""WITH {customer_graph_sql().strip()},
+sym AS (SELECT src AS s, dst AS d FROM eg WHERE src <> dst
+        UNION SELECT dst, src FROM eg WHERE src <> dst),
+deg AS (SELECT s AS id, count(*) AS dg FROM sym GROUP BY s),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM sym),
+part AS (SELECT * FROM ({_louvain_sql(sweeps)})),
+dc AS (SELECT p.community, SUM(d.dg) AS dc
+       FROM deg d JOIN part p ON p.id = d.id GROUP BY p.community),
+intra AS (
+  SELECT ps.community, count(*) AS intra
+  FROM sym e JOIN part ps ON ps.id = e.s JOIN part pd ON pd.id = e.d
+  WHERE ps.community = pd.community GROUP BY ps.community
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       ROUND(SUM(CAST(COALESCE(i.intra, 0) AS DOUBLE) / (SELECT m2 FROM mm)
+                 - POWER(CAST(dc.dc AS DOUBLE) / (SELECT m2 FROM mm), 2)),
+             6) AS modularity
+FROM dc LEFT JOIN intra i ON i.community = dc.community"""
+
+
+def _assortativity_sql() -> str:
+    """Degree assortativity from exact integer moment sums — mirrors
+    algorithms/metrics.degree_assortativity (every sum is an exact
+    integer, so the final ratio is the same double in both engines)."""
+    return f"""WITH {customer_graph_sql().strip()},
+sym AS (SELECT src AS s, dst AS d FROM eg WHERE src <> dst
+        UNION SELECT dst, src FROM eg WHERE src <> dst),
+deg AS (SELECT s AS id, count(*) AS dg FROM sym GROUP BY s),
+xy AS (SELECT ds.dg AS x, dd.dg AS y
+       FROM sym e JOIN deg ds ON ds.id = e.s JOIN deg dd ON dd.id = e.d),
+mom AS (SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM xy)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS assortativity
+FROM mom"""
+
+
+def _random_walks_sql(steps: int, n_seeds: int) -> str:
+    """Fixed-K unroll of algorithms/walks.deterministic_walks — the
+    neighbor choice is pure 64-bit integer arithmetic, bit-identical in
+    any engine."""
+    head = f"""WITH {customer_graph_sql().strip()},
+e AS (SELECT DISTINCT src, dst FROM eg),
+adj AS (SELECT src, dst,
+               CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                    AS BIGINT) AS rnk,
+               CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        FROM e),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+s0 AS (SELECT id AS walk, CAST(0 AS BIGINT) AS step, id AS v FROM seeds)"""
+    steps_sql = []
+    for t in range(1, steps + 1):
+        steps_sql.append(f""",
+s{t} AS (SELECT s.walk, CAST({t} AS BIGINT) AS step, a.dst AS v
+  FROM s{t - 1} s JOIN adj a ON a.src = s.v
+   AND a.rnk = ((s.walk * 1000003 + {t} * 10007 + s.v * 31) % 1000000007)
+               % a.deg)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT walk, step, v FROM s{t}" for t in range(0, steps + 1))
+    return head + "".join(steps_sql) + "\n" + union
+
+
 def oracle_sql() -> dict[str, str]:
     sp = supplier_part_graph_sql().strip().rstrip(")") + "\n)"
     eg = customer_graph_sql().strip()
@@ -1529,6 +1677,10 @@ FROM sp"""
     sqls["scc"] = _scc_sql()
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
+    sqls["link_predict"] = _link_predict_sql(LP_MIN_COMMON)
+    sqls["modularity"] = _modularity_sql(sweeps=4)
+    sqls["assortativity"] = _assortativity_sql()
+    sqls["random_walks"] = _random_walks_sql(WALK_STEPS, WALK_SEEDS)
 
     sqls["outer_product"] = """
 SELECT CAST(n.n_nationkey AS BIGINT) AS i, CAST(r.r_regionkey AS BIGINT) AS j,

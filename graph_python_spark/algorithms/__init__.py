@@ -22,7 +22,12 @@ from graph_python_spark.algorithms.centrality import (
     ppr_fixed,
 )
 from graph_python_spark.algorithms.scc import strongly_connected_components
-from graph_python_spark.algorithms.vertexsim import jaccard_neighbors
+from graph_python_spark.algorithms.vertexsim import (
+    jaccard_neighbors,
+    link_prediction_scores,
+)
+from graph_python_spark.algorithms.metrics import degree_assortativity, modularity
+from graph_python_spark.algorithms.walks import deterministic_walks, ranked_adjacency
 
 __all__ = [
     "pagerank",
@@ -48,4 +53,9 @@ __all__ = [
     "ppr_fixed",
     "strongly_connected_components",
     "jaccard_neighbors",
+    "link_prediction_scores",
+    "modularity",
+    "degree_assortativity",
+    "deterministic_walks",
+    "ranked_adjacency",
 ]

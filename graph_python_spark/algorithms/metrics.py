@@ -1,0 +1,115 @@
+"""Whole-graph summary metrics: partition modularity and degree
+assortativity.
+
+These are the scalar diagnostics every link-graph study reports next to
+the algorithm outputs (reference: ``notebooks/Louvain.ipynb`` computes
+modularity as trace(C^T A C)/2m minus the degree-square term to score each
+contraction level).
+
+Both are single-pass DataFrame aggregations over the symmetrized simple
+graph — one shuffle for the degree/community joins, then a global
+aggregate.  Nothing here is iterative and nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric_simple(edges: DataFrame) -> DataFrame:
+    """Distinct symmetrized edge list (s, d) without self-loops."""
+    fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+    return (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of the partition ``labels`` (columns id,
+    community) over the undirected simple graph under ``edges`` (i, j).
+
+    Q = Σ_c [ intra_c / m2  −  (D_c / m2)² ]  with m2 = 2m the total
+    degree, intra_c the number of (directed-symmetric) intra-community
+    edge endpoints, D_c the community's total degree — the unweighted
+    instance of the reference's trace(C^T A C) formulation
+    (``notebooks/Louvain.ipynb``).
+
+    Returns ONE row (n_communities, modularity).  Plan: edges join labels
+    twice (src side, dst side — both hash joins on the vertex key), one
+    groupBy(community), one global aggregate; O(E) shuffle total,
+    broadcast-eligible label side is left to AQE/Catalyst since labels is
+    O(V) and may be huge.
+    """
+    sym = _symmetric_simple(edges)
+    lab = labels.select(F.col("id"), F.col("community"))
+    deg = sym.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("deg"))
+    # per-community: total degree D_c and intra-community endpoint count
+    dc = (
+        deg.join(lab, "id")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("dc"))
+    )
+    intra = (
+        sym.join(lab.select(F.col("id").alias("s"),
+                            F.col("community").alias("_cs")), "s")
+        .join(lab.select(F.col("id").alias("d"),
+                         F.col("community").alias("_cd")), "d")
+        .filter(F.col("_cs") == F.col("_cd"))
+        .groupBy(F.col("_cs").alias("community"))
+        .agg(F.count("*").alias("intra"))
+    )
+    m2 = sym.count()  # total degree = 2m (scalar; one job, not per-row)
+    per_c = dc.join(intra, "community", "left").select(
+        "community",
+        F.coalesce(F.col("intra"), F.lit(0)).alias("intra"),
+        "dc",
+    )
+    return per_c.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.round(
+            F.sum(
+                F.col("intra").cast("double") / F.lit(float(m2))
+                - (F.col("dc").cast("double") / F.lit(float(m2))) ** 2
+            ),
+            6,
+        ).alias("modularity"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of the undirected simple graph:
+    the Pearson correlation of (deg(s), deg(d)) over the symmetrized edge
+    list.  Returns ONE row (n_edges, assortativity) with n_edges the
+    undirected edge count.
+
+    Computed from exact integer moment sums (degrees and counts are
+    integers, so Σx, Σx², Σxy are exact in 64-bit until ~2^53 — identical
+    in any engine; only the final ratio is floating).
+    """
+    sym = _symmetric_simple(edges)
+    deg = sym.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("deg"))
+    xy = (
+        sym.join(deg.select(F.col("id").alias("s"), F.col("deg").alias("x")), "s")
+        .join(deg.select(F.col("id").alias("d"), F.col("deg").alias("y")), "d")
+    )
+    mom = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mom.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

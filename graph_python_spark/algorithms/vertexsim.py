@@ -29,6 +29,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def link_prediction_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_degree: Optional[int] = None,
+) -> DataFrame:
+    """Classic link-prediction scores for every unordered vertex pair
+    (u < v) with >= ``min_common`` common neighbors in the undirected
+    simple graph under ``edges`` (long columns i, j):
+
+    - ``common``        |Γ(u) ∩ Γ(v)|  (common neighbors)
+    - ``adamic_adar``   Σ_{w ∈ Γ(u)∩Γ(v)} 1 / ln(deg(w))
+    - ``pref_attach``   deg(u) · deg(v)  (preferential attachment)
+
+    GraphBLAS formulation: common neighbors is the same plus_pair A·A^T as
+    `jaccard_neighbors`; Adamic–Adar is the identical wedge relation under
+    a plus_times semiring with the center vertex pre-scaled by 1/ln(deg)
+    (reference pattern: ``notebooks/HPEC2022.ipynb`` masked plus_pair).
+
+    Spark shape: ONE wedge self-join produces both aggregates (count and
+    sum of the center's 1/ln(deg) carried on the left side), then a degree
+    join adds pref_attach — no second pass over the wedges.  A common
+    neighbor has degree >= 2 by construction, so ln(deg) > 0 always.
+    ``max_degree`` prunes wedges THROUGH stop-hubs exactly as in
+    `jaccard_neighbors` (their AA contribution ~ 1/ln(huge) ≈ 0 anyway).
+    """
+    fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("deg"))
+    wedge_src = sym.join(
+        deg.select(F.col("id").alias("s"), F.col("deg").alias("_dc")), "s"
+    )
+    if max_degree is not None:
+        wedge_src = wedge_src.filter(F.col("_dc") <= max_degree)
+    pairs = (
+        wedge_src.alias("a")
+        .join(wedge_src.alias("b"),
+              (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.d").alias("u"), F.col("b.d").alias("v"))
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("a._dc").cast("double")))
+            .alias("adamic_adar"),
+        )
+        .filter(F.col("common") >= F.lit(min_common))
+    )
+    return (
+        pairs.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("_du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("_dv")), "v")
+        .select(
+            "u", "v", "common", "adamic_adar",
+            (F.col("_du") * F.col("_dv")).cast("long").alias("pref_attach"),
+        )
+    )
+
+
 def jaccard_neighbors(
     edges: DataFrame,
     min_sim: float = 0.0,
