@@ -98,6 +98,8 @@ def run_headlines(spark, results: dict) -> None:
         "kcore", "hits",
         # added r2 session 3: truss peeling + local clustering coefficient
         "ktruss", "clustering_coeff",
+        # added r2 session 4: link-prediction wedge join + walk sampling
+        "link_predict", "random_walks",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

@@ -25,6 +25,8 @@ AUDITED = [
     "kcore", "hits", "ppr", "jaccard_neighbors",
     # r2 session 3: truss/clustering wedge joins, Brandes waves, Luby MIS
     "ktruss", "clustering_coeff", "betweenness", "mis",
+    # r2 session 4: link-prediction wedge join, metric label joins, walks
+    "link_predict", "modularity", "assortativity", "random_walks",
 ]
 
 
