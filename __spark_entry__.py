@@ -527,6 +527,13 @@ JACCARD_MIN_SIM = 0.1
 LP_MIN_COMMON = 2     # link-prediction pair floor (scores below it carry no signal)
 WALK_STEPS = 8
 WALK_SEEDS = 20
+PSEUDO_DIAM_ROUNDS = 8
+NGRAM_N = 8
+NGRAM_DF_CAP = 50     # drop boilerplate shingles present in > 50 docs
+NGRAM_NUM, NGRAM_DEN = 3, 10
+HC_SOURCES = 6
+HC_ROUNDS = 8
+FEAT_OFFSETS = (1, 3, 7)  # deterministic ring-skip doc graph for feature prop
 
 
 def q_kcore(spark, sf_dir):
@@ -690,6 +697,52 @@ def q_random_walks(spark, sf_dir):
     return deterministic_walks(e, seeds, steps=WALK_STEPS)
 
 
+def q_pseudo_diameter(spark, sf_dir):
+    from graph_python_spark.algorithms.traversal import pseudo_diameter
+
+    e = customer_graph(spark, sf_dir)
+    return pseudo_diameter(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        rounds=PSEUDO_DIAM_ROUNDS)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N,
+        threshold_num=NGRAM_NUM, threshold_den=NGRAM_DEN,
+        df_cap=NGRAM_DF_CAP)
+
+
+def q_harmonic(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import harmonic_centrality
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(HC_SOURCES)
+    out = harmonic_centrality(e, seeds, rounds=HC_ROUNDS)
+    return out.select("id", F.round("harmonic", 6).alias("harmonic"))
+
+
+def q_feature_prop(spark, sf_dir):
+    from graph_python_spark.pipeline.features import neighbor_mean_embeddings
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    edges = (
+        emb.select(F.col("vec_id").cast("long").alias("src"))
+        .select("src", F.explode(F.array(*[F.lit(o) for o in FEAT_OFFSETS]))
+                .alias("o"))
+        .select("src", ((F.col("src") + F.col("o")) % F.lit(n)).alias("dst"))
+    )
+    out = neighbor_mean_embeddings(edges, emb)
+    return out.select(F.col("id").cast("long").alias("id"),
+                      F.col("pos").cast("long").alias("pos"),
+                      F.round("mean_val", 6).alias("mean_val"),
+                      "n_nbrs")
+
+
 def q_multimodal_features(spark, sf_dir):
     from graph_python_spark.pipeline.multimodal import extract_features, synthetic_media
 
@@ -769,6 +822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "assortativity": q_assortativity,
         "random_walks": q_random_walks,
+        "pseudo_diameter": q_pseudo_diameter,
+        "ngram_jaccard": q_ngram_jaccard,
+        "harmonic": q_harmonic,
+        "feature_prop": q_feature_prop,
     }
 
 
@@ -1577,6 +1634,117 @@ s{t} AS (SELECT s.walk, CAST({t} AS BIGINT) AS step, a.dst AS v
     return head + "".join(steps_sql) + "\n" + union
 
 
+def _pseudo_diameter_sql(rounds: int) -> str:
+    """Double-sweep BFS unroll (mirrors algorithms/traversal.pseudo_diameter:
+    symmetrized simple graph, two fixed-round min-plus sweeps, farthest
+    vertex tie-break = smallest id)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+rel AS (SELECT src AS s, dst AS d FROM eg WHERE src <> dst
+        UNION SELECT dst, src FROM eg WHERE src <> dst),
+v0 AS (SELECT MIN(s) AS id FROM rel),
+a0 AS (SELECT id, CAST(0 AS BIGINT) AS v FROM v0)"""
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+a{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, m.id) AS id, LEAST(d.v, m.mv) AS v
+  FROM a{k - 1} d FULL OUTER JOIN (
+    SELECT e.d AS id, MIN(d2.v + 1) AS mv
+    FROM rel e JOIN a{k - 1} d2 ON e.s = d2.id
+    GROUP BY e.d
+  ) m ON d.id = m.id
+)""")
+    parts.append(f""",
+asel AS (SELECT id, v FROM a{rounds} ORDER BY v DESC, id ASC LIMIT 1),
+b0 AS (SELECT id, CAST(0 AS BIGINT) AS v FROM asel)""")
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+b{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, m.id) AS id, LEAST(d.v, m.mv) AS v
+  FROM b{k - 1} d FULL OUTER JOIN (
+    SELECT e.d AS id, MIN(d2.v + 1) AS mv
+    FROM rel e JOIN b{k - 1} d2 ON e.s = d2.id
+    GROUP BY e.d
+  ) m ON d.id = m.id
+)""")
+    return head + "".join(parts) + f""",
+bsel AS (SELECT id, v FROM b{rounds} ORDER BY v DESC, id ASC LIMIT 1)
+SELECT (SELECT id FROM v0) AS start, (SELECT id FROM asel) AS far_a,
+       bsel.id AS far_b, CAST(bsel.v AS BIGINT) AS diameter_lb
+FROM bsel"""
+
+
+def _ngram_jaccard_sql(n: int, num: int, den: int, df_cap: int) -> str:
+    """Character-shingle inverted-index Jaccard — mirrors
+    pipeline/dedup.ngram_jaccard_pairs (shingles are literal substrings,
+    so both engines join on identical string keys; integer-only math)."""
+    return f"""WITH toks AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, CAST(t.i AS INTEGER), {n}) AS tok
+  FROM documents d,
+       UNNEST(generate_series(1, greatest(1, length(d.text) - {n - 1}))) AS t(i)
+),
+keep AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= {df_cap}),
+tc AS (SELECT t.doc_id, t.tok FROM toks t JOIN keep k ON k.tok = t.tok),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * {den} >= (sa.sz + sb.sz - i.inter) * {num}"""
+
+
+def _harmonic_sql(rounds: int, n_seeds: int) -> str:
+    """Batched multi-source min-plus unroll keyed (src, id) — mirrors
+    algorithms/centrality.harmonic_centrality (fixed rounds, directed
+    deduped edges, H(v) = SUM 1/d over sources at distance >= 1)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+rel AS (SELECT DISTINCT src AS s, dst AS d FROM eg),
+verts AS (SELECT s AS id FROM rel UNION SELECT d FROM rel),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+d0 AS (SELECT id AS src, id, CAST(0 AS BIGINT) AS v FROM seeds)"""
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT COALESCE(d.src, m.src) AS src, COALESCE(d.id, m.id) AS id,
+         LEAST(d.v, m.mv) AS v
+  FROM d{k - 1} d FULL OUTER JOIN (
+    SELECT d2.src, e.d AS id, MIN(d2.v + 1) AS mv
+    FROM rel e JOIN d{k - 1} d2 ON e.s = d2.id
+    GROUP BY d2.src, e.d
+  ) m ON d.src = m.src AND d.id = m.id
+)""")
+    return head + "".join(parts) + f"""
+SELECT id, ROUND(SUM(1.0 / v), 6) AS harmonic
+FROM d{rounds} WHERE v > 0 GROUP BY id"""
+
+
+def _feature_prop_sql(offsets: tuple) -> str:
+    """Neighbor-mean embedding aggregation over the deterministic
+    ring-skip doc graph — mirrors pipeline/features.neighbor_mean_embeddings
+    (exploded (id, pos, val) relational form; parallel unnest +
+    generate_subscripts gives DuckDB the same 0-based rows)."""
+    vals = ", ".join(f"({o})" for o in offsets)
+    return f"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+ed AS (SELECT e.vec_id AS src,
+              (e.vec_id + o.o) % (SELECT n FROM nn) AS dst
+       FROM embeddings e CROSS JOIN (VALUES {vals}) o(o)),
+ex AS (SELECT vec_id AS src,
+              generate_subscripts(embedding, 1) - 1 AS pos,
+              unnest(embedding) AS val
+       FROM embeddings)
+SELECT ed.dst AS id, CAST(ex.pos AS BIGINT) AS pos,
+       ROUND(AVG(CAST(ex.val AS DOUBLE)), 6) AS mean_val,
+       CAST(count(*) AS BIGINT) AS n_nbrs
+FROM ed JOIN ex ON ex.src = ed.src
+GROUP BY 1, 2"""
+
+
 def oracle_sql() -> dict[str, str]:
     sp = supplier_part_graph_sql().strip().rstrip(")") + "\n)"
     eg = customer_graph_sql().strip()
@@ -1681,6 +1849,11 @@ FROM sp"""
     sqls["modularity"] = _modularity_sql(sweeps=4)
     sqls["assortativity"] = _assortativity_sql()
     sqls["random_walks"] = _random_walks_sql(WALK_STEPS, WALK_SEEDS)
+    sqls["pseudo_diameter"] = _pseudo_diameter_sql(PSEUDO_DIAM_ROUNDS)
+    sqls["ngram_jaccard"] = _ngram_jaccard_sql(NGRAM_N, NGRAM_NUM, NGRAM_DEN,
+                                               NGRAM_DF_CAP)
+    sqls["harmonic"] = _harmonic_sql(HC_ROUNDS, HC_SOURCES)
+    sqls["feature_prop"] = _feature_prop_sql(FEAT_OFFSETS)
 
     sqls["outer_product"] = """
 SELECT CAST(n.n_nationkey AS BIGINT) AS i, CAST(r.r_regionkey AS BIGINT) AS j,

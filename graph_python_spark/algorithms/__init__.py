@@ -17,6 +17,7 @@ from graph_python_spark.algorithms.ktruss import ktruss
 from graph_python_spark.algorithms.mis import maximal_independent_set
 from graph_python_spark.algorithms.centrality import (
     betweenness_sources,
+    harmonic_centrality,
     hits_fixed,
     katz_fixed,
     ppr_fixed,
@@ -58,4 +59,5 @@ __all__ = [
     "degree_assortativity",
     "deterministic_walks",
     "ranked_adjacency",
+    "harmonic_centrality",
 ]

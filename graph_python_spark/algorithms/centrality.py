@@ -335,3 +335,61 @@ def katz_fixed(
             (x,) = pin.pin(x)
     eb.unpersist()
     return x.select("id", F.col("v").alias("katz"))
+
+
+@iterative
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 8,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Harmonic centrality restricted to a source sample, batched
+    multi-source:  H(v) = Σ_{s ∈ S, d(s,v) ≥ 1}  1 / d(s,v), with d the
+    directed unweighted shortest-path distance after exactly ``rounds``
+    synchronous min-plus relaxations (the same fixed-round semantics as
+    ``minplus_fixed_rounds``, so the result is a deterministic function of
+    the graph and SQL-unrollable).
+
+    The state is keyed (src, v) like the batch-Brandes forward wave: a
+    1000-source sample is ONE wave of joins per round, not 1000 BFS runs,
+    and the per-round shuffle is O(reached (src, v) pairs).  Returns
+    (id, harmonic) for every vertex reached from at least one source at
+    distance >= 1.
+    """
+    spark = edges.sparkSession
+    eb = edges.select("i", "j")
+    if partitions is not None:
+        eb = eb.repartition(partitions, "i")
+    else:
+        eb = eb.repartition("i")
+    eb = materialize(eb.dropDuplicates(["i", "j"]))
+    n_edges = eb.count()
+
+    dist = materialize(
+        sources.select(F.col("id").alias("src"), F.col("id").alias("id"),
+                       F.lit(0).cast("long").alias("v"))
+    )
+    pin = _Pin()
+    with loop_shuffle_width(spark, max(n_edges, 1)):
+        for _ in range(rounds):
+            cand = (
+                eb.join(dist.withColumnRenamed("id", "i"), "i")
+                .groupBy("src", F.col("j").alias("id"))
+                .agg(F.min(F.col("v") + 1).alias("_nd"))
+            )
+            dist = (
+                dist.join(cand, ["src", "id"], "full_outer")
+                .select("src", "id",
+                        F.least(F.col("v"), F.col("_nd")).alias("v"))
+            )
+            (dist,) = pin.pin(dist)
+    out = (
+        dist.filter(F.col("v") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("v")).alias("harmonic"))
+    )
+    out = out.localCheckpoint(eager=True)
+    pin.pin()  # release the loop's last pinned state
+    eb.unpersist()
+    return out

@@ -176,3 +176,39 @@ def sssp(edges: DataFrame, source: int, weight: str = "v",
             break
         dist = new_dist
     return dist
+
+
+@iterative
+def pseudo_diameter(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Double-sweep BFS pseudo-diameter of the undirected (symmetrized)
+    simple graph: BFS from the smallest vertex id, then BFS from the
+    farthest vertex found (tie-break smallest id); the second sweep's
+    eccentricity is the standard diameter lower bound (the classic
+    double-sweep heuristic).  Each sweep is exactly ``rounds`` synchronous
+    unit-weight min-plus relaxations — the same fixed-round semantics as
+    ``minplus_fixed_rounds``, so the result is a deterministic function of
+    the graph and SQL-replayable.
+
+    Returns ONE row (start, far_a, far_b, diameter_lb).  The two
+    between-sweep selections are O(1)-row driver actions (like the Louvain
+    m2 scalar), not data collects; each sweep moves frontier-sized rows.
+    """
+    sym_fwd = edges.select(F.col("i"), F.col("j"))
+    sym = (
+        sym_fwd.unionByName(
+            sym_fwd.select(F.col("j").alias("i"), F.col("i").alias("j")))
+        .filter(F.col("i") != F.col("j"))
+        .distinct()
+    )
+    v0 = sym.agg(F.min(F.least("i", "j"))).first()[0]
+    d1 = minplus_fixed_rounds(sym, v0, rounds)
+    a_row = d1.orderBy(F.col("v").desc(), F.col("id").asc()).first()
+    a = a_row["id"]
+    d2 = minplus_fixed_rounds(sym, a, rounds)
+    far = d2.orderBy(F.col("v").desc(), F.col("id").asc()).limit(1)
+    return far.select(
+        F.lit(v0).cast("long").alias("start"),
+        F.lit(a).cast("long").alias("far_a"),
+        F.col("id").cast("long").alias("far_b"),
+        F.col("v").cast("long").alias("diameter_lb"),
+    )

@@ -1,3 +1,4 @@
-from graph_python_spark.pipeline import dedup, multimodal, similarity, text
+from graph_python_spark.pipeline import (dedup, features, multimodal,
+                                         sampling, similarity, text)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "sampling", "features"]

@@ -227,6 +227,67 @@ def token_jaccard_pairs(docs: DataFrame, threshold_num: int = 1,
     )
 
 
+def char_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Distinct (doc_id, tok) character n-gram shingles — the sub-word
+    near-dup relation (catches edits word tokenization misses).  Pure SQL
+    expression (sequence + transform + substring), replayable in any
+    engine; a text shorter than ``n`` yields itself as its one shingle.
+    """
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(1, length(text) - {n - 1})),"
+                    f" i -> substring(text, i, {n}))"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 8,
+                        threshold_num: int = 1, threshold_den: int = 2,
+                        df_cap: int | None = None) -> DataFrame:
+    """Exact character-n-gram Jaccard near-dup pairs — the same inverted-
+    index plan as ``token_jaccard_pairs`` (shingle is the join key, one
+    groupBy per pair, integer-only math) over the ``char_ngrams`` relation.
+
+    ``df_cap`` plays the identical scale-guard role: shingles present in
+    more than ``df_cap`` documents (boilerplate, whitespace runs) are
+    dropped BEFORE sizes and intersections on both engines — they bound
+    the per-shingle self-join at df_cap² and carry ~zero discrimination.
+    """
+    toks = char_ngrams(docs, n=n)
+    if df_cap is not None:
+        dfreq = (
+            toks.groupBy("tok").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("tok")
+        )
+        toks = toks.join(dfreq, "tok")
+    toks = toks.cache()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("szb")), "doc_b")
+        .select("doc_a", "doc_b", "inter",
+                (F.col("sza") + F.col("szb") - F.col("inter")).cast("long").alias("union_sz"))
+        .filter(F.col("inter") * threshold_den >= F.col("union_sz") * threshold_num)
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """SimHash signature: per-bit majority vote over the md5 bits of each
     distinct token.

@@ -191,3 +191,151 @@ def test_walks_deterministic_across_partitionings(spark):
     r1 = sorted(map(tuple, deterministic_walks(e1, sdf, steps=5).collect()))
     r2 = sorted(map(tuple, deterministic_walks(e2, sdf, steps=5).collect()))
     assert r1 == r2
+
+
+def test_pseudo_diameter_path_and_star(spark):
+    from graph_python_spark.algorithms.traversal import pseudo_diameter
+
+    path = edge_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    row = pseudo_diameter(path, rounds=8).collect()[0]
+    assert (row["start"], row["far_a"], row["far_b"], row["diameter_lb"]) == (0, 4, 0, 4)
+
+    star = edge_df(spark, [(0, k) for k in range(1, 6)])
+    row = pseudo_diameter(star, rounds=8).collect()[0]
+    # from 0 the farthest is leaf 1 (tie-break min id); from 1 the farthest
+    # is another leaf at distance 2
+    assert (row["start"], row["far_a"], row["diameter_lb"]) == (0, 1, 2)
+    assert row["far_b"] == 2
+
+
+def _ngram_oracle(texts, n, num, den, df_cap):
+    shingles = {}
+    for did, t in texts.items():
+        ln = max(1, len(t) - (n - 1))
+        shingles[did] = {t[i:i + n] for i in range(ln)}
+    from collections import Counter
+    dfreq = Counter(tok for s in shingles.values() for tok in s)
+    capped = {did: {tok for tok in s if dfreq[tok] <= df_cap}
+              for did, s in shingles.items()}
+    out = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a]) + len(capped[b]) - inter
+            if inter and inter * den >= union * num:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_ngram_jaccard_differential(spark):
+    from graph_python_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumped over the lazy dog",
+        3: "a completely different document body here",
+        4: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        5: "tiny",                                          # shorter than n
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"])
+           for r in ngram_jaccard_pairs(docs, n=8, threshold_num=1,
+                                        threshold_den=2, df_cap=10).collect()}
+    want = _ngram_oracle(texts, 8, 1, 2, 10)
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)][0] == got[(1, 4)][1]  # exact dup
+    assert (1, 2) in got  # one-word edit still a near-dup
+
+
+def test_ngram_df_cap_drops_boilerplate(spark):
+    from graph_python_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    # identical boilerplate in every doc; unique tails.  Each pair shares
+    # the 12 boilerplate-only shingles of 26 distinct (Jaccard 12/26).
+    # With the cap at 2 those shingles (df = 3) vanish, the tails share
+    # nothing, and no candidate pair even materializes.
+    texts = {1: "SHARED-BOILERPLATE aaaaaaa", 2: "SHARED-BOILERPLATE bbbbbbb",
+             3: "SHARED-BOILERPLATE ccccccc"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    capped = ngram_jaccard_pairs(docs, n=8, threshold_num=2, threshold_den=5,
+                                 df_cap=2).collect()
+    assert capped == []
+    uncapped = ngram_jaccard_pairs(docs, n=8, threshold_num=2,
+                                   threshold_den=5).collect()
+    assert len(uncapped) == 3  # 12/26 passes 2/5 for every pair
+    assert all(r["inter"] == 12 and r["union_sz"] == 26 for r in uncapped)
+
+
+def _harmonic_oracle(pairs, seeds, rounds):
+    adj = defaultdict(set)
+    for a, b in set(pairs):
+        adj[a].add(b)
+    dist = {}
+    for s in seeds:
+        d = {s: 0}
+        for _ in range(rounds):
+            new = dict(d)
+            for v, dv in d.items():
+                for w in adj.get(v, ()):
+                    if dv + 1 < new.get(w, 1 << 60):
+                        new[w] = dv + 1
+            d = new
+        for v, dv in d.items():
+            if dv > 0:
+                dist.setdefault(v, []).append(dv)
+    return {v: sum(1.0 / d for d in ds) for v, ds in dist.items()}
+
+
+def test_harmonic_random(spark):
+    from graph_python_spark.algorithms.centrality import harmonic_centrality
+
+    pairs = rand_graph(seed=23)
+    seeds = sorted({v for p in pairs for v in p})[:4]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {r["id"]: r["harmonic"]
+           for r in harmonic_centrality(edge_df(spark, pairs), sdf,
+                                        rounds=6).collect()}
+    want = _harmonic_oracle(pairs, seeds, 6)
+    assert set(got) == set(want)
+    for v, h in want.items():
+        assert np.isclose(got[v], h, atol=1e-9)
+
+
+def test_harmonic_path(spark):
+    from graph_python_spark.algorithms.centrality import harmonic_centrality
+
+    # directed path 0->1->2->3: from seed 0, H = 1, 1/2, 1/3
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    sdf = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["harmonic"]
+           for r in harmonic_centrality(edge_df(spark, pairs), sdf,
+                                        rounds=8).collect()}
+    assert got == {1: 1.0, 2: 0.5, 3: 1.0 / 3.0}
+
+
+def test_neighbor_mean_embeddings(spark):
+    from graph_python_spark.pipeline.features import neighbor_mean_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])],
+        "vec_id long, embedding array<double>")
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (0, 1)], "src long, dst long")
+    got = {(r["id"], r["pos"]): (r["mean_val"], r["n_nbrs"])
+           for r in neighbor_mean_embeddings(edges, emb).collect()}
+    assert got == {
+        (2, 0): (2.0, 2), (2, 1): (3.0, 2),   # mean of vec 0 and 1
+        (1, 0): (1.0, 1), (1, 1): (2.0, 1),   # vec 0 alone
+    }
+
+
+def test_l2_normalize(spark):
+    from graph_python_spark.pipeline.features import l2_normalize
+
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r["embedding"] for r in l2_normalize(emb).collect()}
+    assert np.allclose(rows[0], [0.6, 0.8])
+    assert rows[1] == [0.0, 0.0]  # zero vector passes through, no NaN

@@ -25,8 +25,10 @@ AUDITED = [
     "kcore", "hits", "ppr", "jaccard_neighbors",
     # r2 session 3: truss/clustering wedge joins, Brandes waves, Luby MIS
     "ktruss", "clustering_coeff", "betweenness", "mis",
-    # r2 session 4: link-prediction wedge join, metric label joins, walks
+    # r2 session 4: link-prediction wedge join, metric label joins, walks,
+    # shingle inverted index, double-sweep BFS
     "link_predict", "modularity", "assortativity", "random_walks",
+    "ngram_jaccard", "pseudo_diameter", "harmonic", "feature_prop",
 ]
 
 
