@@ -533,6 +533,7 @@ NGRAM_DF_CAP = 50     # drop boilerplate shingles present in > 50 docs
 NGRAM_NUM, NGRAM_DEN = 3, 10
 HC_SOURCES = 6
 HC_ROUNDS = 8
+COCITE_MIN_TOTAL = 3
 FEAT_OFFSETS = (1, 3, 7)  # deterministic ring-skip doc graph for feature prop
 
 
@@ -713,6 +714,15 @@ def q_ngram_jaccard(spark, sf_dir):
         df_cap=NGRAM_DF_CAP)
 
 
+def q_cocitation(spark, sf_dir):
+    from graph_python_spark.algorithms.vertexsim import cocitation_scores
+
+    e = customer_graph(spark, sf_dir)
+    return cocitation_scores(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        min_total=COCITE_MIN_TOTAL)
+
+
 def q_harmonic(spark, sf_dir):
     from graph_python_spark.algorithms.centrality import harmonic_centrality
 
@@ -826,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "harmonic": q_harmonic,
         "feature_prop": q_feature_prop,
+        "cocitation": q_cocitation,
     }
 
 
@@ -1698,6 +1709,29 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
 WHERE i.inter * {den} >= (sa.sz + sb.sz - i.inter) * {num}"""
 
 
+def _cocitation_sql(min_total: int) -> str:
+    """Directed wedge self-joins for co-citation (common in-neighbors) and
+    bibliographic coupling (common out-neighbors) — mirrors
+    algorithms/vertexsim.cocitation_scores."""
+    return f"""WITH {customer_graph_sql().strip()},
+e AS (SELECT DISTINCT src AS i, dst AS j FROM eg),
+cc AS (
+  SELECT a.j AS u, b.j AS v, CAST(count(*) AS BIGINT) AS cocite
+  FROM e a JOIN e b ON a.i = b.i AND a.j < b.j
+  GROUP BY 1, 2
+),
+cp AS (
+  SELECT a.i AS u, b.i AS v, CAST(count(*) AS BIGINT) AS coupling
+  FROM e a JOIN e b ON a.j = b.j AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT COALESCE(cc.u, cp.u) AS u, COALESCE(cc.v, cp.v) AS v,
+       CAST(COALESCE(cc.cocite, 0) AS BIGINT) AS cocite,
+       CAST(COALESCE(cp.coupling, 0) AS BIGINT) AS coupling
+FROM cc FULL OUTER JOIN cp ON cc.u = cp.u AND cc.v = cp.v
+WHERE COALESCE(cc.cocite, 0) + COALESCE(cp.coupling, 0) >= {min_total}"""
+
+
 def _harmonic_sql(rounds: int, n_seeds: int) -> str:
     """Batched multi-source min-plus unroll keyed (src, id) — mirrors
     algorithms/centrality.harmonic_centrality (fixed rounds, directed
@@ -1854,6 +1888,7 @@ FROM sp"""
                                                NGRAM_DF_CAP)
     sqls["harmonic"] = _harmonic_sql(HC_ROUNDS, HC_SOURCES)
     sqls["feature_prop"] = _feature_prop_sql(FEAT_OFFSETS)
+    sqls["cocitation"] = _cocitation_sql(COCITE_MIN_TOTAL)
 
     sqls["outer_product"] = """
 SELECT CAST(n.n_nationkey AS BIGINT) AS i, CAST(r.r_regionkey AS BIGINT) AS j,

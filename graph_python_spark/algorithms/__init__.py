@@ -24,6 +24,7 @@ from graph_python_spark.algorithms.centrality import (
 )
 from graph_python_spark.algorithms.scc import strongly_connected_components
 from graph_python_spark.algorithms.vertexsim import (
+    cocitation_scores,
     jaccard_neighbors,
     link_prediction_scores,
 )
@@ -60,4 +61,5 @@ __all__ = [
     "deterministic_walks",
     "ranked_adjacency",
     "harmonic_centrality",
+    "cocitation_scores",
 ]

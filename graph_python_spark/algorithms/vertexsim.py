@@ -88,6 +88,61 @@ def link_prediction_scores(
     )
 
 
+def cocitation_scores(
+    edges: DataFrame,
+    min_total: int = 1,
+    max_degree: Optional[int] = None,
+) -> DataFrame:
+    """Directed co-citation and bibliographic coupling for unordered vertex
+    pairs (u < v) of the deduped directed graph (long columns i, j):
+
+    - ``cocite``    |{w : w→u and w→v}|  (common in-neighbors — pages cited
+                    together; A^T·A over plus_pair)
+    - ``coupling``  |{w : u→w and v→w}|  (common out-neighbors — pages citing
+                    the same things; A·A^T over plus_pair)
+
+    Returns pairs where cocite + coupling >= ``min_total`` (absent side 0).
+
+    Spark shape: two directed wedge self-joins (one keyed on the shared
+    source, one on the shared destination) merged with a full outer join on
+    the pair key.  ``max_degree`` prunes wedges through stop-hubs: centers
+    with out-degree (for cocite) / in-degree (for coupling) above the cap
+    contribute ~zero discrimination and quadratic wedge fan-out — the same
+    df_cap argument as `jaccard_neighbors`.
+    """
+    e = edges.select("i", "j").distinct()
+    wedge_in = e   # center = i (the citing page)
+    wedge_out = e  # center = j (the cited page)
+    if max_degree is not None:
+        dout = e.groupBy("i").agg(F.count("*").alias("_d"))
+        din = e.groupBy("j").agg(F.count("*").alias("_d"))
+        wedge_in = e.join(dout.filter(F.col("_d") <= max_degree).select("i"), "i")
+        wedge_out = e.join(din.filter(F.col("_d") <= max_degree).select("j"), "j")
+    cocite = (
+        wedge_in.alias("a")
+        .join(wedge_in.alias("b"),
+              (F.col("a.i") == F.col("b.i")) & (F.col("a.j") < F.col("b.j")))
+        .groupBy(F.col("a.j").alias("u"), F.col("b.j").alias("v"))
+        .agg(F.count("*").cast("long").alias("cocite"))
+    )
+    coupling = (
+        wedge_out.alias("a")
+        .join(wedge_out.alias("b"),
+              (F.col("a.j") == F.col("b.j")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("u"), F.col("b.i").alias("v"))
+        .agg(F.count("*").cast("long").alias("coupling"))
+    )
+    return (
+        cocite.join(coupling, ["u", "v"], "full_outer")
+        .select(
+            "u", "v",
+            F.coalesce(F.col("cocite"), F.lit(0)).cast("long").alias("cocite"),
+            F.coalesce(F.col("coupling"), F.lit(0)).cast("long").alias("coupling"),
+        )
+        .filter(F.col("cocite") + F.col("coupling") >= F.lit(min_total))
+    )
+
+
 def jaccard_neighbors(
     edges: DataFrame,
     min_sim: float = 0.0,

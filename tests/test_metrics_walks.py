@@ -339,3 +339,44 @@ def test_l2_normalize(spark):
     rows = {r["vec_id"]: r["embedding"] for r in l2_normalize(emb).collect()}
     assert np.allclose(rows[0], [0.6, 0.8])
     assert rows[1] == [0.0, 0.0]  # zero vector passes through, no NaN
+
+
+def _cocitation_oracle(pairs, min_total):
+    e = set(pairs)
+    inn = defaultdict(set)
+    out = defaultdict(set)
+    for a, b in e:
+        out[a].add(b)
+        inn[b].add(a)
+    res = {}
+    verts = {v for p in e for v in p}
+    for u in verts:
+        for v in verts:
+            if u < v:
+                cc = len(inn[u] & inn[v])
+                cp = len(out[u] & out[v])
+                if cc + cp >= min_total:
+                    res[(u, v)] = (cc, cp)
+    return res
+
+
+def test_cocitation_random(spark):
+    from graph_python_spark.algorithms.vertexsim import cocitation_scores
+
+    pairs = rand_graph(seed=29)
+    want = _cocitation_oracle(pairs, min_total=1)
+    got = {(r["u"], r["v"]): (r["cocite"], r["coupling"])
+           for r in cocitation_scores(edge_df(spark, pairs),
+                                      min_total=1).collect()}
+    assert got == want
+
+
+def test_cocitation_directed_semantics(spark):
+    from graph_python_spark.algorithms.vertexsim import cocitation_scores
+
+    # 0->2, 1->2 (coupling for (0,1)); 3->0, 3->1 (cocite for (0,1))
+    pairs = [(0, 2), (1, 2), (3, 0), (3, 1)]
+    got = {(r["u"], r["v"]): (r["cocite"], r["coupling"])
+           for r in cocitation_scores(edge_df(spark, pairs),
+                                      min_total=1).collect()}
+    assert got == {(0, 1): (1, 1)}

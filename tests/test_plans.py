@@ -29,6 +29,7 @@ AUDITED = [
     # shingle inverted index, double-sweep BFS
     "link_predict", "modularity", "assortativity", "random_walks",
     "ngram_jaccard", "pseudo_diameter", "harmonic", "feature_prop",
+    "cocitation",
 ]
 
 
