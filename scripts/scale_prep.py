@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     n_vertices = int(sys.argv[1])
     out_dir = sys.argv[2]
+    degree_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     damping = float(os.environ.get("SPARK_GRAFT_SCALE_DAMPING", "0.85"))
     shuffle = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "32"))
 
@@ -40,7 +41,7 @@ def main() -> None:
     from graph_python_spark.sources.corpus import scale_fixture_edges
 
     spark = get_spark(app=f"scale-prep-{n_vertices}")
-    edges = scale_fixture_edges(spark, n_vertices).select(
+    edges = scale_fixture_edges(spark, n_vertices, degree_scale).select(
         F.col("src").alias("i"), F.col("dst").alias("j")
     )
     prepared = prepare_graph(edges, damping=damping, partitions=shuffle)
@@ -48,7 +49,8 @@ def main() -> None:
     prepared.adj.write.mode("overwrite").parquet(out_dir)
     with open(os.path.join(out_dir, "_scale_meta.json"), "w") as f:
         json.dump({"n": prepared.n, "nnz": int(nnz), "damping": damping,
-                   "n_vertices_param": n_vertices}, f)
+                   "n_vertices_param": n_vertices,
+                   "degree_scale": degree_scale}, f)
     spark.stop()
     print(json.dumps({"out": out_dir, "n": prepared.n, "nnz": int(nnz)}))
 

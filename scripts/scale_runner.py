@@ -101,7 +101,8 @@ def main() -> None:
         prepared = PreparedGraph(adj, None, meta["n"], meta["damping"])
         nnz = meta["nnz"]
     else:
-        edges = scale_fixture_edges(spark, n_vertices).select(
+        degree_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DEGREE", "1"))
+        edges = scale_fixture_edges(spark, n_vertices, degree_scale).select(
             F.col("src").alias("i"), F.col("dst").alias("j")
         )
         t0 = time.time()
