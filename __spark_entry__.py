@@ -522,6 +522,8 @@ BC_LEVELS = 8         # SQL unroll; empty frontiers past the fixpoint are identi
 MIS_ROUNDS = 10       # SQL unroll; converges in 7 at sf0.01, 6 at sf0.1
 KATZ_ITERS = 6
 KATZ_ALPHA = 0.05
+EIGEN_ITERS = 6       # power iteration on exact longs — bit-identical engines
+COLOR_ROUNDS = 40     # SQL unroll; JP converges in 34 at sf0.01, 29 at sf0.001
 DEGREE_HIST_BUCKETS = 24
 JACCARD_MIN_SIM = 0.1
 LP_MIN_COMMON = 2     # link-prediction pair floor (scores below it carry no signal)
@@ -605,6 +607,26 @@ def q_katz(spark, sf_dir):
     x = katz_fixed(e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
                    iterations=KATZ_ITERS, alpha=KATZ_ALPHA)
     return x.select("id", F.round("katz", 4).alias("katz"))
+
+
+def q_eigenvector(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import eigenvector_fixed
+
+    e = customer_graph(spark, sf_dir)
+    x = eigenvector_fixed(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        iterations=EIGEN_ITERS)
+    return x.select("id", F.round("score", 9).alias("score"))
+
+
+def q_coloring(spark, sf_dir):
+    from graph_python_spark.algorithms.coloring import greedy_coloring
+
+    e = customer_graph(spark, sf_dir)
+    colors, _rounds = greedy_coloring(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        max_rounds=COLOR_ROUNDS)
+    return colors.select("id", "color")
 
 
 def q_degree_hist(spark, sf_dir):
@@ -825,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "mis": q_mis,
         "katz": q_katz,
+        "eigenvector": q_eigenvector,
+        "coloring": q_coloring,
         "degree_hist": q_degree_hist,
         "scc": q_scc,
         "jaccard_neighbors": q_jaccard_neighbors,
@@ -1297,6 +1321,99 @@ x{t} AS MATERIALIZED (
 )""")
     return head + "".join(steps) + f"""
 SELECT id, ROUND(CAST(v AS DOUBLE), 4) AS katz FROM x{iters}"""
+
+
+def _eigenvector_sql(iters: int) -> str:
+    """Unrolled integer power iteration: x_{t+1}(j) = sum_{i->j} x_t(i) on
+    exact BIGINTs, single end L1 normalization — mirrors
+    algorithms/centrality.eigenvector_fixed (order-independent, so any
+    engine computes identical bits)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+x0 AS (SELECT id, CAST(1 AS BIGINT) AS v FROM verts)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+x{t} AS MATERIALIZED (
+  SELECT vt.id, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+  FROM verts vt LEFT JOIN (
+    SELECT e.dst AS id, SUM(x.v) AS v
+    FROM eb e JOIN x{t - 1} x ON e.src = x.id
+    GROUP BY e.dst
+  ) c ON vt.id = c.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT id, ROUND(CAST(v AS DOUBLE)
+                 / (SELECT CAST(SUM(v) AS DOUBLE) FROM x{iters}), 9) AS score
+FROM x{iters}"""
+
+
+def _coloring_sql(rounds: int) -> str:
+    """Unrolled deterministic Jones–Plassmann — mirrors
+    algorithms/coloring.greedy_coloring: per-round re-salted priority
+    rp_t(v) = (((v + t*SALT mod P) mod P) * MULT) mod P (a bijection in v
+    per round, so tie-free), winners = uncolored local minima among
+    uncolored neighbors (residual-isolated vertices win by default),
+    winner color = mex over already-colored FULL-graph neighbors.  Rounds
+    past the fixpoint see an empty uncolored set and are identity."""
+    from graph_python_spark.algorithms.coloring import ROUND_SALT
+    from graph_python_spark.algorithms.mis import PRIO_MOD, PRIO_MULT
+
+    def rp(col: str, t: int) -> str:
+        salt = (t * ROUND_SALT) % PRIO_MOD
+        return (f"((({col} + {salt}) % {PRIO_MOD}) * {PRIO_MULT})"
+                f" % {PRIO_MOD}")
+
+    head = f"""WITH {customer_graph_sql().strip()},
+sym AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM eg WHERE src <> dst
+    UNION ALL SELECT dst, src FROM eg WHERE src <> dst
+  )
+),
+u0 AS (SELECT DISTINCT s AS id FROM sym),
+e0 AS (SELECT s, d FROM sym),
+c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color
+       WHERE 1 = 0)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        p = t - 1
+        steps.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT u.id FROM u{p} u
+  LEFT JOIN (SELECT s, MIN({rp('d', t)}) AS m FROM e{p} GROUP BY s) nm
+    ON nm.s = u.id
+  WHERE nm.m IS NULL OR {rp('u.id', t)} < nm.m
+),
+nc{t} AS MATERIALIZED (
+  SELECT DISTINCT w.id, c.color
+  FROM w{t} w JOIN sym e ON e.s = w.id JOIN c{p} c ON c.id = e.d
+),
+newc{t} AS MATERIALIZED (
+  SELECT g.id, CAST(MIN(g.g) AS BIGINT) AS color FROM (
+    SELECT b.id, UNNEST(generate_series(0, b.cnt)) AS g FROM (
+      SELECT w.id, COALESCE(cs.cnt, 0) AS cnt FROM w{t} w
+      LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM nc{t} GROUP BY id) cs
+        USING (id)
+    ) b
+  ) g
+  WHERE NOT EXISTS (SELECT 1 FROM nc{t} n
+                    WHERE n.id = g.id AND n.color = g.g)
+  GROUP BY g.id
+),
+c{t} AS MATERIALIZED (
+  SELECT id, color FROM c{p} UNION ALL SELECT id, color FROM newc{t}
+),
+u{t} AS MATERIALIZED (
+  SELECT id FROM u{p} WHERE id NOT IN (SELECT id FROM w{t})
+),
+e{t} AS MATERIALIZED (
+  SELECT s, d FROM e{p}
+  WHERE s NOT IN (SELECT id FROM w{t}) AND d NOT IN (SELECT id FROM w{t})
+)""")
+    return head + "".join(steps) + f"""
+SELECT id, color FROM c{rounds}"""
 
 
 def _degree_hist_sql(buckets: int) -> str:
@@ -1876,6 +1993,8 @@ FROM sp"""
     sqls["betweenness"] = _betweenness_sql(BC_SOURCES, BC_LEVELS)
     sqls["mis"] = _mis_sql(MIS_ROUNDS)
     sqls["katz"] = _katz_sql(KATZ_ITERS, KATZ_ALPHA)
+    sqls["eigenvector"] = _eigenvector_sql(EIGEN_ITERS)
+    sqls["coloring"] = _coloring_sql(COLOR_ROUNDS)
     sqls["scc"] = _scc_sql()
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)

@@ -338,6 +338,61 @@ def katz_fixed(
 
 
 @iterative
+def eigenvector_fixed(
+    edges: DataFrame,
+    iterations: int = 6,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exactly ``iterations`` power-iteration steps of eigenvector
+    centrality on the binarized deduped edge set (long columns i -> j):
+    x_{t+1}(j) = sum_{i->j} x_t(i)  (an A^T x SpMV — the same plus_times
+    kernel as ``katz_fixed`` without the teleport term), x_0 = 1.
+
+    With a non-negative matrix and non-negative iterates, per-round
+    normalization only rescales, so the loop runs UNNORMALIZED on exact
+    64-bit integers — every partial sum is order-independent, making the
+    result bit-identical across engines and partitionings — and divides by
+    the final L1 sum once when materializing scores (reference analogue:
+    repeated ``mxv`` over plus_times, SURVEY §2.1).  Integer growth is
+    bounded by n * max_in_degree^K; at 100 TB scale with large K switch the
+    accumulator to double and accept last-ulp noise.  Returns (id, score)
+    over all vertices, L1-normalized (score sums to 1; vertices with no
+    in-edges reached within K rounds score 0).
+    """
+    spark = edges.sparkSession
+    raw = edges.select("i", "j")
+    vertices = materialize(
+        raw.select(F.col("i").alias("id"))
+        .unionByName(raw.select(F.col("j").alias("id")))
+        .distinct()
+    )
+    n = vertices.count()
+    pin = _Pin()
+    with loop_shuffle_width(spark, n) as width:
+        w = partitions if partitions is not None else width
+        if partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        eb = materialize(raw.repartition(w, "i").dropDuplicates(["i", "j"]))
+        x = vertices.select("id", F.lit(1).cast("long").alias("v"))
+        for _ in range(iterations):
+            contrib = (
+                eb.join(x.withColumnRenamed("id", "i"), "i")
+                .groupBy(F.col("j").alias("id"))
+                .agg(F.sum("v").alias("c"))
+            )
+            x = (
+                vertices.join(contrib, "id", "left_outer")
+                .select("id", F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                        .alias("v"))
+            )
+            (x,) = pin.pin(x)
+    eb.unpersist()
+    total = x.agg(F.sum("v")).first()[0] or 1
+    return x.select(
+        "id", (F.col("v").cast("double") / F.lit(float(total))).alias("score"))
+
+
+@iterative
 def harmonic_centrality(
     edges: DataFrame,
     sources: DataFrame,

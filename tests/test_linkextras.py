@@ -258,3 +258,84 @@ def test_scc_random(spark):
         got, _ = strongly_connected_components(edge_df(spark, pairs))
         got = {r["id"]: r["component"] for r in got.collect()}
         assert got == O.scc_labels(pairs, n)
+
+
+def test_eigenvector_random(spark):
+    from graph_python_spark.algorithms.centrality import eigenvector_fixed
+
+    pairs = rand_graph(n=25, m=100, seed=33)
+    got = {r["id"]: r["score"]
+           for r in eigenvector_fixed(edge_df(spark, pairs),
+                                      iterations=6).collect()}
+    # NumPy replay: integer power iteration, single end L1 normalization
+    n = 25
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in set(pairs):
+        A[a, b] = 1
+    x = np.ones(n, dtype=np.int64)
+    for _ in range(6):
+        x = A.T @ x
+    exp = x / x.sum()
+    present = {v for p in pairs for v in p}
+    assert set(got) == present
+    for v in present:
+        assert got[v] == exp[v]  # exact: integer loop + one double division
+    assert np.isclose(sum(got.values()), 1.0)
+
+
+def _jp_oracle(pairs, rounds=60):
+    """Pure-Python replay of deterministic Jones-Plassmann."""
+    from graph_python_spark.algorithms.coloring import ROUND_SALT
+    from graph_python_spark.algorithms.mis import PRIO_MOD, PRIO_MULT
+
+    def rp(v, t):
+        return (((v + (t * ROUND_SALT) % PRIO_MOD) % PRIO_MOD)
+                * PRIO_MULT) % PRIO_MOD
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    unc = set(adj)
+    colors = {}
+    for t in range(1, rounds + 1):
+        if not unc:
+            break
+        winners = [v for v in unc
+                   if all(rp(v, t) < rp(n, t) for n in adj[v] if n in unc)]
+        for v in winners:
+            used = {colors[n] for n in adj[v] if n in colors}
+            c = 0
+            while c in used:
+                c += 1
+            colors[v] = c
+        unc -= set(winners)
+    return colors
+
+
+def test_coloring_random(spark):
+    from graph_python_spark.algorithms.coloring import greedy_coloring
+
+    pairs = rand_graph(n=30, m=120, seed=5)
+    got = {r["id"]: r["color"]
+           for r in greedy_coloring(edge_df(spark, pairs))[0].collect()}
+    exp = _jp_oracle(pairs)
+    assert got == exp
+    # proper: adjacent vertices never share a color
+    for a, b in pairs:
+        if a != b:
+            assert got[a] != got[b]
+
+
+def test_coloring_path_and_clique(spark):
+    from graph_python_spark.algorithms.coloring import greedy_coloring
+
+    # path 0-1-2-3-4 (2-colorable greedily <= 3) + K4 on 10..13
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    k4 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    got = {r["id"]: r["color"]
+           for r in greedy_coloring(edge_df(spark, pairs + k4))[0].collect()}
+    assert got == _jp_oracle(pairs + k4)
+    assert len({got[v] for v in range(10, 14)}) == 4  # K4 needs 4 colors
