@@ -524,6 +524,8 @@ KATZ_ITERS = 6
 KATZ_ALPHA = 0.05
 EIGEN_ITERS = 6       # power iteration on exact longs — bit-identical engines
 COLOR_ROUNDS = 40     # SQL unroll; JP converges in 34 at sf0.01, 29 at sf0.001
+MSF_ROUNDS = 5        # SQL unroll; Boruvka converges in 3 at sf0.01
+MSF_JUMPS = 10        # inner pointer-jump unroll (idempotent past the roots)
 DEGREE_HIST_BUCKETS = 24
 JACCARD_MIN_SIM = 0.1
 LP_MIN_COMMON = 2     # link-prediction pair floor (scores below it carry no signal)
@@ -627,6 +629,17 @@ def q_coloring(spark, sf_dir):
         e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
         max_rounds=COLOR_ROUNDS)
     return colors.select("id", "color")
+
+
+def q_msf(spark, sf_dir):
+    from graph_python_spark.algorithms.msf import boruvka_msf
+
+    e = customer_graph(spark, sf_dir)
+    forest, _rounds = boruvka_msf(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j"),
+                 F.col("w")),
+        max_rounds=MSF_ROUNDS)
+    return forest.select("u", "v", "w")
 
 
 def q_degree_hist(spark, sf_dir):
@@ -849,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "coloring": q_coloring,
+        "msf": q_msf,
         "degree_hist": q_degree_hist,
         "scc": q_scc,
         "jaccard_neighbors": q_jaccard_neighbors,
@@ -1414,6 +1428,71 @@ e{t} AS MATERIALIZED (
 )""")
     return head + "".join(steps) + f"""
 SELECT id, color FROM c{rounds}"""
+
+
+def _msf_sql(rounds: int, jumps: int) -> str:
+    """Unrolled distributed Borůvka — mirrors algorithms/msf.boruvka_msf:
+    canonical (u < v) edges with the composite key w*2^42 + u*2^21 + v
+    (unique -> unique MSF), per-round min outgoing edge per component,
+    mutual-pair hook broken toward the smaller label, fixed pointer-jump
+    unroll (identity past the roots), component relabel.  Rounds past the
+    fixpoint see no cross-component edges and are identity."""
+    from graph_python_spark.algorithms.msf import PACK_V, PACK_W
+
+    head = f"""WITH {customer_graph_sql().strip()},
+canon AS MATERIALIZED (
+  SELECT u, v, MIN(w) AS w, MIN(w * {PACK_W} + u * {PACK_V} + v) AS wkey
+  FROM (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, w
+        FROM eg WHERE src <> dst)
+  GROUP BY u, v
+),
+comp0 AS (SELECT id, id AS c
+          FROM (SELECT u AS id FROM canon UNION SELECT v FROM canon)),
+f0 AS (SELECT CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v,
+              CAST(NULL AS BIGINT) AS w WHERE 1 = 0)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        p = t - 1
+        steps.append(f""",
+ce{t} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w, e.wkey, a.c AS cu, b.c AS cv
+  FROM canon e JOIN comp{p} a ON a.id = e.u JOIN comp{p} b ON b.id = e.v
+  WHERE a.c <> b.c
+),
+both{t} AS (
+  SELECT cu AS c, u, v, w, wkey, cu, cv FROM ce{t}
+  UNION ALL SELECT cv, u, v, w, wkey, cu, cv FROM ce{t}
+),
+me{t} AS MATERIALIZED (
+  SELECT b.* FROM both{t} b
+  JOIN (SELECT c, MIN(wkey) AS wk FROM both{t} GROUP BY c) m
+    ON b.c = m.c AND b.wkey = m.wk
+),
+f{t} AS (SELECT u, v, w FROM f{p}
+         UNION SELECT DISTINCT u, v, w FROM me{t}),
+pr{t}_0 AS MATERIALIZED (
+  SELECT a.c,
+         CASE WHEN EXISTS (SELECT 1 FROM me{t} b
+                           WHERE (CASE WHEN b.c = b.cu THEN b.cv ELSE b.cu END)
+                                 = a.c
+                             AND b.c = (CASE WHEN a.c = a.cu THEN a.cv
+                                             ELSE a.cu END))
+              THEN LEAST(a.c, CASE WHEN a.c = a.cu THEN a.cv ELSE a.cu END)
+              ELSE (CASE WHEN a.c = a.cu THEN a.cv ELSE a.cu END) END AS p
+  FROM me{t} a
+)"""
+                     + "".join(f""",
+pr{t}_{j} AS MATERIALIZED (
+  SELECT x.c, COALESCE(y.p, x.p) AS p
+  FROM pr{t}_{j - 1} x LEFT JOIN pr{t}_{j - 1} y ON x.p = y.c
+)""" for j in range(1, jumps + 1))
+                     + f""",
+comp{t} AS MATERIALIZED (
+  SELECT m.id, COALESCE(pj.p, m.c) AS c
+  FROM comp{p} m LEFT JOIN pr{t}_{jumps} pj ON pj.c = m.c
+)""")
+    return head + "".join(steps) + f"""
+SELECT u, v, w FROM f{rounds}"""
 
 
 def _degree_hist_sql(buckets: int) -> str:
@@ -1995,6 +2074,7 @@ FROM sp"""
     sqls["katz"] = _katz_sql(KATZ_ITERS, KATZ_ALPHA)
     sqls["eigenvector"] = _eigenvector_sql(EIGEN_ITERS)
     sqls["coloring"] = _coloring_sql(COLOR_ROUNDS)
+    sqls["msf"] = _msf_sql(MSF_ROUNDS, MSF_JUMPS)
     sqls["scc"] = _scc_sql()
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)

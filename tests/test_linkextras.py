@@ -339,3 +339,60 @@ def test_coloring_path_and_clique(spark):
            for r in greedy_coloring(edge_df(spark, pairs + k4))[0].collect()}
     assert got == _jp_oracle(pairs + k4)
     assert len({got[v] for v in range(10, 14)}) == 4  # K4 needs 4 colors
+
+
+def _kruskal(pairs_w):
+    """Independent oracle: Kruskal under the same composite total order —
+    unique weights make the MSF unique, so it must equal Boruvka's."""
+    from graph_python_spark.algorithms.msf import PACK_V, PACK_W
+
+    canon = {}
+    for a, b, w in pairs_w:
+        if a == b:
+            continue
+        u, v = min(a, b), max(a, b)
+        key = w * PACK_W + u * PACK_V + v
+        if (u, v) not in canon or key < canon[(u, v)][0]:
+            canon[(u, v)] = (key, w)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for (u, v), (key, w) in sorted(canon.items(), key=lambda kv: kv[1][0]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.add((u, v, w))
+    return forest
+
+
+def test_msf_random_weights(spark):
+    from graph_python_spark.algorithms.msf import boruvka_msf
+
+    rng = random.Random(11)
+    pairs_w = [(rng.randrange(30), rng.randrange(30), rng.randrange(1, 9))
+               for _ in range(120)]
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in pairs_w],
+        "i long, j long, w long")
+    forest, rounds = boruvka_msf(df)
+    got = {(r["u"], r["v"], r["w"]) for r in forest.collect()}
+    assert got == _kruskal(pairs_w)
+
+
+def test_msf_two_components(spark):
+    from graph_python_spark.algorithms.msf import boruvka_msf
+
+    # component A: triangle with a heavy edge to skip; component B: a path
+    pairs_w = [(0, 1, 1), (1, 2, 2), (0, 2, 5),
+               (10, 11, 3), (11, 12, 1)]
+    df = spark.createDataFrame(pairs_w, "i long, j long, w long")
+    forest, _ = boruvka_msf(df)
+    got = {(r["u"], r["v"], r["w"]) for r in forest.collect()}
+    assert got == {(0, 1, 1), (1, 2, 2), (10, 11, 3), (11, 12, 1)}
+    assert got == _kruskal(pairs_w)
