@@ -415,6 +415,14 @@ def q_quality(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    return text.pii_scrub(_docs(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
 
@@ -840,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality": q_quality,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
         "ann_cosine_topk": q_ann_cosine_topk,
         "near_dup_cosine": q_near_dup_cosine,
         "dedup_clusters": q_dedup_clusters,
@@ -2305,6 +2315,58 @@ SELECT doc_id, n_tokens, ROUND(stop_ratio, 6) AS stop_ratio,
        ROUND(punct_ratio, 6) AS punct_ratio,
        ROUND(stop_ratio - punct_ratio + length_term, 6) AS quality
 FROM m"""
+
+    sqls["repetition"] = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+arr AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(list_distinct(toks)) AS nd,
+         len(bg) AS nb,
+         len(list_distinct(bg)) AS ndb
+  FROM (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, GREATEST(len(toks) - 1, 0)),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bg
+    FROM base
+  )
+)
+SELECT a.doc_id, a.n_tokens,
+       ROUND(CASE WHEN a.n_tokens > 0
+                  THEN CAST(a.nd AS DOUBLE) / a.n_tokens ELSE 0.0 END, 6)
+         AS distinct_ratio,
+       ROUND(CASE WHEN a.n_tokens > 0
+                  THEN CAST(COALESCE(t.top, 0) AS DOUBLE) / a.n_tokens
+                  ELSE 0.0 END, 6) AS top_tok_ratio,
+       ROUND(CASE WHEN a.nb > 0
+                  THEN 1.0 - CAST(a.ndb AS DOUBLE) / a.nb ELSE 0.0 END, 6)
+         AS dup_bigram_ratio
+FROM arr a LEFT JOIN top t USING (doc_id)"""
+
+    from graph_python_spark.pipeline.text import (PII_EMAIL, PII_IPV4,
+                                                  PII_PHONE)
+
+    sqls["pii_scrub"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents"""
 
     sqls["ann_cosine_topk"] = """
 WITH v AS (

@@ -113,6 +113,86 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition / boilerplate metrics — the standard pre-training quality
+    gates (Rae et al. Gopher rules): per document,
+
+      * ``distinct_ratio``   — |distinct tokens| / |tokens|
+      * ``top_tok_ratio``    — occurrences of the most frequent token / |tokens|
+      * ``dup_bigram_ratio`` — 1 − |distinct bigrams| / |bigrams|
+
+    Token mode goes through one explode + two partial-aggregated groupBys
+    (the only shuffles); bigrams stay array-local via sequence/transform
+    expressions.  Zero tokens → all ratios 0.
+    """
+    base = docs.select("doc_id", tokens_col().alias("toks"))
+    # mode frequency: explode -> count per (doc, tok) -> max per doc
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("_c"))
+        .groupBy("doc_id").agg(F.max("_c").alias("_top"))
+    )
+    # NB: Spark's sequence(1, 0) steps BACKWARDS ([1, 0]) instead of being
+    # empty, so docs with < 2 tokens need the explicit empty-array branch
+    bigrams = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END")
+    arr = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("_nd"),
+        F.size(bigrams).alias("_nb"),
+        F.size(F.array_distinct(bigrams)).alias("_ndb"),
+    )
+    return (
+        arr.join(top, "doc_id", "left_outer")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.when(F.col("n_tokens") > 0,
+                           F.col("_nd").cast("double") / F.col("n_tokens"))
+                    .otherwise(F.lit(0.0)), 6).alias("distinct_ratio"),
+            F.round(F.when(F.col("n_tokens") > 0,
+                           F.coalesce(F.col("_top"), F.lit(0)).cast("double")
+                           / F.col("n_tokens"))
+                    .otherwise(F.lit(0.0)), 6).alias("top_tok_ratio"),
+            F.round(F.when(F.col("_nb") > 0,
+                           F.lit(1.0) - F.col("_ndb").cast("double") / F.col("_nb"))
+                    .otherwise(F.lit(0.0)), 6).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+# PII patterns — deliberately conservative regex syntax that means the same
+# thing in Java regex (Spark), RE2 (DuckDB), and Python re, so the scrub is
+# engine-replayable.  Redaction order: email, then IPv4, then phone.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction for training-data hygiene: per document,
+    match counts for emails / IPv4 addresses / plus-prefixed phone numbers
+    and the md5 of the redacted text (matches replaced by ``<EMAIL>`` /
+    ``<IP>`` / ``<PHONE>`` in that order).  Pure regexp projections —
+    whole-stage codegen, no Python in the hot path; the md5 keeps the
+    output row narrow so the scan's text column prunes immediately after
+    the projection."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: minimum md5 over token bigrams (winnowing-style
     min-hash over rolling shingles; single-token docs fall back to the token).

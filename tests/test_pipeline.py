@@ -327,3 +327,54 @@ def test_streaming_dedup_minhash(spark, tmp_path):
                   for r in spark.sql("SELECT doc_id FROM mh_stream").collect())
     # 2 and 3 share doc 0's token set -> same signature -> dropped
     assert kept == [0, 1, 4]
+
+
+def test_repetition_stats(spark):
+    from graph_python_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"),                 # one token repeated
+         (1, "x y z w"),                 # all distinct
+         (2, "a b a b a b"),             # repeated bigram
+         (3, "")],                       # empty
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["distinct_ratio"] == 0.25
+    assert got[0]["top_tok_ratio"] == 1.0
+    assert got[0]["dup_bigram_ratio"] == round(1 - 1 / 3, 6)
+    assert got[1]["distinct_ratio"] == 1.0
+    assert got[1]["top_tok_ratio"] == 0.25
+    assert got[1]["dup_bigram_ratio"] == 0.0
+    # "a b a b a b": bigrams [ab, ba, ab, ba, ab] -> 2 distinct of 5
+    assert got[2]["dup_bigram_ratio"] == round(1 - 2 / 5, 6)
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["distinct_ratio"] == 0.0
+
+
+def test_pii_scrub(spark):
+    import hashlib
+    import re
+
+    from graph_python_spark.pipeline.text import (PII_EMAIL, PII_IPV4,
+                                                  PII_PHONE, pii_scrub)
+
+    texts = {
+        0: "contact me at john.doe+spam@example.co.uk or +4915112345678",
+        1: "server 10.0.0.1 and 192.168.255.255 reachable; not 1.2.3",
+        2: "no pii here at all",
+        3: "a@b.io b@c.net 127.0.0.1 +1234567",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    for i, txt in texts.items():
+        assert got[i]["n_emails"] == len(re.findall(PII_EMAIL, txt)), i
+        assert got[i]["n_ipv4"] == len(re.findall(PII_IPV4, txt)), i
+        assert got[i]["n_phones"] == len(re.findall(PII_PHONE, txt)), i
+        red = re.sub(PII_PHONE, "<PHONE>",
+                     re.sub(PII_IPV4, "<IP>",
+                            re.sub(PII_EMAIL, "<EMAIL>", txt)))
+        assert got[i]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest(), i
+    assert got[0]["n_emails"] == 1 and got[0]["n_phones"] == 1
+    assert got[1]["n_ipv4"] == 2
+    assert got[3]["n_emails"] == 2 and got[3]["n_ipv4"] == 1 and got[3]["n_phones"] == 1
