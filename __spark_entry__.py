@@ -423,6 +423,11 @@ def q_pii_scrub(spark, sf_dir):
     return text.pii_scrub(_docs(spark, sf_dir))
 
 
+def q_kmeans(spark, sf_dir):
+    return similarity.kmeans_fixed(_emb(spark, sf_dir), k=KMEANS_K,
+                                   iterations=KMEANS_ITERS)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
 
@@ -534,6 +539,8 @@ EIGEN_ITERS = 6       # power iteration on exact longs — bit-identical engines
 COLOR_ROUNDS = 40     # SQL unroll; JP converges in 34 at sf0.01, 29 at sf0.001
 MSF_ROUNDS = 5        # SQL unroll; Boruvka converges in 3 at sf0.01
 MSF_JUMPS = 10        # inner pointer-jump unroll (idempotent past the roots)
+KMEANS_K = 8
+KMEANS_ITERS = 2      # fixed Lloyd steps; integer-quantized centroid sums
 DEGREE_HIST_BUCKETS = 24
 JACCARD_MIN_SIM = 0.1
 LP_MIN_COMMON = 2     # link-prediction pair floor (scores below it carry no signal)
@@ -850,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
+        "kmeans": q_kmeans,
         "ann_cosine_topk": q_ann_cosine_topk,
         "near_dup_cosine": q_near_dup_cosine,
         "dedup_clusters": q_dedup_clusters,
@@ -1141,6 +1149,57 @@ def _emb_head_sql() -> str:
     return """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v
       WHERE sqrt(list_dot_product(emb, emb)) > 0)"""
+
+
+def _kmeans_sql(k: int, iters: int, dim: int) -> str:
+    """Unrolled fixed-iteration Lloyd k-means — mirrors
+    pipeline/similarity.kmeans_fixed: md5-ordered init, argmin of
+    pp - 2*pc + cc with (d2, cid) tie-break, integer-quantized centroid
+    update CAST(SUM(ROUND(x * 2^20) :: BIGINT) AS DOUBLE)/(n * 2^20)
+    (order-independent, so partial-aggregation order can't skew the mean)."""
+    from graph_python_spark.pipeline.similarity import KMEANS_SCALE
+
+    d2 = ("(list_dot_product(p.emb, p.emb)"
+          " - 2.0 * list_dot_product(p.emb, c.c)"
+          " + list_dot_product(c.c, c.c))")
+    head = f"""WITH {_emb_head_sql()},
+cent0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                             vec_id ASC) - 1) AS cid,
+         emb AS c
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                             vec_id ASC) <= {k}
+)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+asg{t} AS MATERIALIZED (
+  SELECT vec_id, emb, cid FROM (
+    SELECT p.vec_id, p.emb, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM v p CROSS JOIN cent{t - 1} c
+  ) WHERE rn = 1
+),
+cent{t} AS MATERIALIZED (
+  SELECT cid, list(val ORDER BY pos) AS c FROM (
+    SELECT a.cid, i.pos,
+           CAST(SUM(CAST(ROUND(a.emb[i.pos] * {float(KMEANS_SCALE)}) AS BIGINT))
+                AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * {float(KMEANS_SCALE)}) AS val
+    FROM asg{t} a
+    CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS pos) i
+    GROUP BY a.cid, i.pos
+  ) GROUP BY cid
+)""")
+    return head + "".join(steps) + f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d2, 6) AS dist2 FROM (
+  SELECT p.vec_id, c.cid, {d2} AS d2,
+         row_number() OVER (PARTITION BY p.vec_id
+                            ORDER BY {d2} ASC, c.cid ASC) AS rn
+  FROM v p CROSS JOIN cent{iters} c
+) WHERE rn = 1"""
 
 
 def _near_dup_sql(threshold: float, dim: int, bands: int, band_bits: int) -> str:
@@ -2422,6 +2481,7 @@ FROM documents
 QUALIFY sample_rank <= 50"""
     sqls["lsh_cosine_topk"] = _lsh_topk_sql(n_queries=10, dim=64, k=5, planes=6)
     sqls["ivf_topk"] = _ivf_topk_sql(n_queries=10, k=5, n_cells=16, n_probe=2)
+    sqls["kmeans"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS, dim=64)
 
     sqls["bpe_tokens"] = r"""
 WITH base AS (

@@ -273,3 +273,93 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 16
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
     )
+
+
+KMEANS_SCALE = 1 << 20
+
+
+def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Fixed-iteration Lloyd k-means over the embedding column — the vector
+    quantization / corpus-clustering operator of the training-data pipeline
+    (IVF coarse quantizers, dedup-cluster sharding).
+
+    Determinism across engines (what makes the DuckDB oracle exact):
+
+      * init: centroids = the k vectors with the smallest md5(id) digest
+        (the ivf_topk sample), cluster ids 0..k-1 in that digest order;
+      * assignment: argmin squared L2 computed as pp - 2*pc + cc where every
+        dot product is the same sequential left fold both engines run,
+        ties broken toward the smaller cluster id;
+      * update: member sums are computed on QUANTIZED components
+        round(x * 2^20) as int64 — integer addition is order-independent,
+        so the new centroid component CAST(sum AS DOUBLE)/(n * 2^20) is
+        bit-identical regardless of partitioning or engine.  (A plain
+        double mean would depend on partial-aggregation order.)
+
+    Plan shape at scale: the k centroids travel as ONE broadcast row
+    holding an array of (cid, vector, cc) structs, and the argmin is a
+    map-side fold over that array — assignment shuffles NOTHING; the only
+    per-iteration shuffle is the groupBy(cid, pos) of dim-exploded
+    quantized components, which partial-aggregates to k*dim rows per
+    partition before the exchange.  (The fold visits centroids in
+    collect_list order, which is nondeterministic — but strict (d2, cid)
+    lexicographic comparison makes the minimum order-independent.)
+    Returns (vec_id, cluster, dist2) for every vector: the assignment
+    under the FINAL centroids, dist2 rounded 1e-6.
+    """
+    pts = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    pts = pts.withColumn("_pp", _dot(F.col("_v"), F.col("_v")))
+    init_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                            F.col("vec_id").asc())
+    cents = (
+        pts.select("vec_id", "_v")
+        .withColumn("_rn", F.row_number().over(init_w))
+        .filter(F.col("_rn") <= k)
+        .select((F.col("_rn") - 1).cast("long").alias("cid"),
+                F.transform(F.col("_v"), lambda x: x.cast("double")).alias("_c"))
+    )
+
+    def assign(cframe: DataFrame) -> DataFrame:
+        cc = cframe.withColumn("_cc", _dot(F.col("_c"), F.col("_c")))
+        carr = cc.agg(F.collect_list(F.struct("cid", "_c", "_cc")).alias("_cs"))
+        init = F.struct(F.lit(float("inf")).alias("_d2"),
+                        F.lit(-1).cast("long").alias("cid"))
+
+        def step(acc, c):
+            d2 = (F.col("_pp") - F.lit(2.0) * _dot(F.col("_v"), c["_c"])
+                  + c["_cc"])
+            better = (d2 < acc["_d2"]) | ((d2 == acc["_d2"])
+                                          & (c["cid"] < acc["cid"]))
+            return F.when(better, F.struct(d2.alias("_d2"),
+                                           c["cid"].alias("cid"))) \
+                    .otherwise(acc)
+
+        best = F.aggregate(F.col("_cs"), init, step)
+        return pts.crossJoin(F.broadcast(carr)).select(
+            "vec_id", "_v", best["_d2"].alias("_d2"), best["cid"].alias("cid"))
+
+    for _ in range(iterations):
+        asg = assign(cents)
+        comp = (
+            asg.select("cid", F.posexplode("_v").alias("pos", "_x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum(F.round(F.col("_x").cast("double")
+                               * F.lit(float(KMEANS_SCALE))).cast("long")).alias("_s"),
+                 F.count("*").alias("_n"))
+            .select("cid", "pos",
+                    (F.col("_s").cast("double")
+                     / (F.col("_n").cast("double") * F.lit(float(KMEANS_SCALE))))
+                    .alias("_val"))
+        )
+        cents = (
+            comp.groupBy("cid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_val"))),
+                lambda s: s["_val"]).alias("_c"))
+        )
+        cents = cents.localCheckpoint(eager=True)
+
+    final = assign(cents)
+    return final.select("vec_id", F.col("cid").alias("cluster"),
+                        F.round("_d2", 6).alias("dist2"))

@@ -378,3 +378,43 @@ def test_pii_scrub(spark):
     assert got[0]["n_emails"] == 1 and got[0]["n_phones"] == 1
     assert got[1]["n_ipv4"] == 2
     assert got[3]["n_emails"] == 2 and got[3]["n_ipv4"] == 1 and got[3]["n_phones"] == 1
+
+
+def test_kmeans_fixed(spark):
+    import hashlib
+
+    import numpy as np
+
+    from graph_python_spark.pipeline.similarity import KMEANS_SCALE, kmeans_fixed
+
+    rng = np.random.RandomState(3)
+    n, dim, k, iters = 40, 6, 3, 2
+    X = rng.randn(n, dim).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cluster"], r["dist2"])
+           for r in kmeans_fixed(df, k=k, iterations=iters).collect()}
+
+    # NumPy replay of the quantized Lloyd loop
+    order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = X[order[:k]].astype(np.float64)
+
+    def assign(C):
+        pp = (X.astype(np.float64) ** 2).sum(1)
+        cc = (C ** 2).sum(1)
+        d2 = pp[:, None] - 2.0 * X.astype(np.float64) @ C.T + cc[None, :]
+        return d2.argmin(1), d2.min(1)  # argmin ties -> smallest cid (numpy)
+
+    for _ in range(iters):
+        a, _ = assign(cents)
+        new = np.zeros((k, dim))
+        for c in range(k):
+            members = X[a == c].astype(np.float64)
+            q = np.round(members * KMEANS_SCALE).astype(np.int64)
+            new[c] = q.sum(0) / (len(members) * KMEANS_SCALE)
+        cents = new
+    a, d2 = assign(cents)
+    for i in range(n):
+        assert got[i][0] == a[i], i
+        assert abs(got[i][1] - round(float(d2[i]), 6)) < 2e-6, i
