@@ -20,10 +20,17 @@ chosen from both ends — the classic Borůvka invariant), so hooking breaks
 each mutual pair toward the smaller label and pointer jumping over the
 resulting forest converges in O(log cluster-diameter) inner steps.
 
-Spark shape: the canonical edge set is the only O(E) relation; per round it
-is relabeled with two hash joins against the component map (O(V)) and
-reduced with one min aggregate; hooking/jumping shuffle only O(#components).
-All state is pinned per round (localCheckpoint) and released on return.
+Spark shape: component labels live ON the edge state (no O(V) vertex->label
+map is ever built or joined).  Each round the cross-component edge state is
+min-reduced per component, relabeled through the O(#touched-components)
+parent map (small — broadcastable once components start merging), and
+CONTRACTED: parallel edges between the same component pair coalesce to
+their minimum-key edge, so the state shrinks geometrically like the
+component count.  Min-per-component is invariant under that coalescing
+(min of mins), so the forest is unchanged — it is the unique MSF under the
+total order either way, which is also why the unrolled SQL oracle may
+relabel from the original edge set and still match.  All state is pinned
+per round (localCheckpoint) and released on return.
 """
 
 from __future__ import annotations
@@ -79,36 +86,23 @@ def boruvka_msf(
     canon = _canonical(edges)
     if partitions is not None:
         canon = canon.repartition(partitions, "u")
-    canon = materialize(canon)
-    n_edges = canon.count()
-    comp = materialize(
-        canon.select(F.col("u").alias("id"))
-        .unionByName(canon.select(F.col("v").alias("id")))
-        .distinct()
-        .select("id", F.col("id").alias("c"))
-    )
+    # edge state carries its own component labels; initially label = vertex
+    est = materialize(canon.select(
+        "u", "v", "w", "wkey",
+        F.col("u").alias("cu"), F.col("v").alias("cv")))
+    n_edges = est.count()
     forest_parts: list[DataFrame] = []
     rounds = 0
     with loop_shuffle_width(spark, max(n_edges, 1)):
         for _ in range(max_rounds):
             rounds += 1
-            # relabel endpoints with current components; cross-component only
-            ce = (
-                canon.join(comp.select(F.col("id").alias("u"),
-                                       F.col("c").alias("cu")), "u")
-                .join(comp.select(F.col("id").alias("v"),
-                                  F.col("c").alias("cv")), "v")
-                .filter(F.col("cu") != F.col("cv"))
-            )
-            ce = ce.localCheckpoint(eager=True)
-            if ce.isEmpty():
-                ce.unpersist()
+            if est.isEmpty():
                 break
             # minimum outgoing edge per component (both directions)
-            both = ce.select(F.col("cu").alias("c"), "wkey", "u", "v", "w",
-                             "cu", "cv") \
-                .unionByName(ce.select(F.col("cv").alias("c"), "wkey", "u", "v",
-                                       "w", "cu", "cv"))
+            both = est.select(F.col("cu").alias("c"), "wkey", "u", "v", "w",
+                              "cu", "cv") \
+                .unionByName(est.select(F.col("cv").alias("c"), "wkey", "u", "v",
+                                        "w", "cu", "cv"))
             me = materialize(
                 both.groupBy("c").agg(
                     F.min_by(F.struct("u", "v", "w", "wkey", "cu", "cv"),
@@ -152,15 +146,33 @@ def boruvka_msf(
                 parent = jumped
                 if changed == 0:
                     break
-            # contract: every touched component adopts its root label
-            comp_next = materialize(
-                comp.join(parent.select(F.col("c"), F.col("p")), "c",
-                          "left_outer")
-                .select("id", F.coalesce("p", "c").alias("c"))
+            # contract: relabel the edge state through the parent map
+            # (every label in est chose an edge, so parent covers them all),
+            # drop intra-component edges, and coalesce parallel edges per
+            # component pair to their min-key edge — the state shrinks with
+            # the component count
+            pa = parent.select(F.col("c").alias("cu"), F.col("p").alias("_pu"))
+            pb = parent.select(F.col("c").alias("cv"), F.col("p").alias("_pv"))
+            relabeled = (
+                est.join(pa, "cu", "left_outer")
+                .join(pb, "cv", "left_outer")
+                .select("u", "v", "w", "wkey",
+                        F.coalesce("_pu", "cu").alias("cu"),
+                        F.coalesce("_pv", "cv").alias("cv"))
+                .filter(F.col("cu") != F.col("cv"))
             )
-            comp.unpersist()
-            comp = comp_next
-            ce.unpersist()
+            est_next = materialize(
+                relabeled.groupBy(
+                    F.least("cu", "cv").alias("cu"),
+                    F.greatest("cu", "cv").alias("cv"))
+                .agg(F.min_by(F.struct("u", "v", "w", "wkey"),
+                              F.col("wkey")).alias("_e"))
+                .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"),
+                        F.col("_e.w").alias("w"),
+                        F.col("_e.wkey").alias("wkey"), "cu", "cv")
+            )
+            est.unpersist()
+            est = est_next
             me.unpersist()
             parent.unpersist()
 
@@ -171,7 +183,7 @@ def boruvka_msf(
         forest = materialize(allf.select("u", "v", "w").distinct())
     else:
         forest = spark.createDataFrame([], "u long, v long, w long")
-    for df in forest_parts + [canon, comp]:
+    for df in forest_parts + [est]:
         try:
             df.unpersist()
         except Exception:
