@@ -773,6 +773,19 @@ def q_cocitation(spark, sf_dir):
         min_total=COCITE_MIN_TOTAL)
 
 
+def q_closeness(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import closeness_centrality
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(HC_SOURCES)
+    out = closeness_centrality(e, seeds, rounds=HC_ROUNDS)
+    return out.select("id", "n_reached", "sum_dist",
+                      F.round("closeness", 9).alias("closeness"))
+
+
 def q_harmonic(spark, sf_dir):
     from graph_python_spark.algorithms.centrality import harmonic_centrality
 
@@ -891,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudo_diameter": q_pseudo_diameter,
         "ngram_jaccard": q_ngram_jaccard,
         "harmonic": q_harmonic,
+        "closeness": q_closeness,
         "feature_prop": q_feature_prop,
         "cocitation": q_cocitation,
     }
@@ -2023,6 +2037,34 @@ SELECT id, ROUND(SUM(1.0 / v), 6) AS harmonic
 FROM d{rounds} WHERE v > 0 GROUP BY id"""
 
 
+def _closeness_sql(rounds: int, n_seeds: int) -> str:
+    """Sampled closeness over the same multi-source min-plus unroll as
+    _harmonic_sql — integer distance sums (order-independent), one end
+    division: mirrors algorithms/centrality.closeness_centrality."""
+    head = f"""WITH {customer_graph_sql().strip()},
+rel AS (SELECT DISTINCT src AS s, dst AS d FROM eg),
+verts AS (SELECT s AS id FROM rel UNION SELECT d FROM rel),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+d0 AS (SELECT id AS src, id, CAST(0 AS BIGINT) AS v FROM seeds)"""
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT COALESCE(d.src, m.src) AS src, COALESCE(d.id, m.id) AS id,
+         LEAST(d.v, m.mv) AS v
+  FROM d{k - 1} d FULL OUTER JOIN (
+    SELECT d2.src, e.d AS id, MIN(d2.v + 1) AS mv
+    FROM rel e JOIN d{k - 1} d2 ON e.s = d2.id
+    GROUP BY d2.src, e.d
+  ) m ON d.src = m.src AND d.id = m.id
+)""")
+    return head + "".join(parts) + f"""
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(v) AS BIGINT) AS sum_dist,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(v) AS DOUBLE), 9) AS closeness
+FROM d{rounds} WHERE v > 0 GROUP BY id"""
+
+
 def _feature_prop_sql(offsets: tuple) -> str:
     """Neighbor-mean embedding aggregation over the deterministic
     ring-skip doc graph — mirrors pipeline/features.neighbor_mean_embeddings
@@ -2155,6 +2197,7 @@ FROM sp"""
     sqls["ngram_jaccard"] = _ngram_jaccard_sql(NGRAM_N, NGRAM_NUM, NGRAM_DEN,
                                                NGRAM_DF_CAP)
     sqls["harmonic"] = _harmonic_sql(HC_ROUNDS, HC_SOURCES)
+    sqls["closeness"] = _closeness_sql(HC_ROUNDS, HC_SOURCES)
     sqls["feature_prop"] = _feature_prop_sql(FEAT_OFFSETS)
     sqls["cocitation"] = _cocitation_sql(COCITE_MIN_TOTAL)
 

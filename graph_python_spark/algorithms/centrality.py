@@ -392,26 +392,19 @@ def eigenvector_fixed(
         "id", (F.col("v").cast("double") / F.lit(float(total))).alias("score"))
 
 
-@iterative
-def harmonic_centrality(
+def _multi_source_distances(
     edges: DataFrame,
     sources: DataFrame,
-    rounds: int = 8,
-    partitions: Optional[int] = None,
+    rounds: int,
+    partitions: Optional[int],
 ) -> DataFrame:
-    """Harmonic centrality restricted to a source sample, batched
-    multi-source:  H(v) = Σ_{s ∈ S, d(s,v) ≥ 1}  1 / d(s,v), with d the
-    directed unweighted shortest-path distance after exactly ``rounds``
-    synchronous min-plus relaxations (the same fixed-round semantics as
-    ``minplus_fixed_rounds``, so the result is a deterministic function of
-    the graph and SQL-unrollable).
+    """Batched multi-source fixed-round min-plus distances, pinned:
+    (src, id, v) for every vertex reached from a source within ``rounds``
+    synchronous relaxations (v = 0 on the sources themselves).
 
     The state is keyed (src, v) like the batch-Brandes forward wave: a
     1000-source sample is ONE wave of joins per round, not 1000 BFS runs,
-    and the per-round shuffle is O(reached (src, v) pairs).  Returns
-    (id, harmonic) for every vertex reached from at least one source at
-    distance >= 1.
-    """
+    and the per-round shuffle is O(reached (src, v) pairs)."""
     spark = edges.sparkSession
     eb = edges.select("i", "j")
     if partitions is not None:
@@ -439,12 +432,66 @@ def harmonic_centrality(
                         F.least(F.col("v"), F.col("_nd")).alias("v"))
             )
             (dist,) = pin.pin(dist)
+    out = dist.localCheckpoint(eager=True)
+    pin.pin()  # release the loop's last pinned state
+    eb.unpersist()
+    return out
+
+
+@iterative
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 8,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Harmonic centrality restricted to a source sample, batched
+    multi-source:  H(v) = Σ_{s ∈ S, d(s,v) ≥ 1}  1 / d(s,v), with d the
+    directed unweighted shortest-path distance after exactly ``rounds``
+    synchronous min-plus relaxations (the same fixed-round semantics as
+    ``minplus_fixed_rounds``, so the result is a deterministic function of
+    the graph and SQL-unrollable).  Returns (id, harmonic) for every
+    vertex reached from at least one source at distance >= 1.
+    """
+    dist = _multi_source_distances(edges, sources, rounds, partitions)
     out = (
         dist.filter(F.col("v") > 0)
         .groupBy("id")
         .agg(F.sum(F.lit(1.0) / F.col("v")).alias("harmonic"))
     )
     out = out.localCheckpoint(eager=True)
-    pin.pin()  # release the loop's last pinned state
-    eb.unpersist()
+    dist.unpersist()
+    return out
+
+
+@iterative
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 8,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Sampled closeness centrality (Wasserman–Faust inward form over a
+    source sample): for each vertex v reached from at least one source at
+    distance >= 1,
+
+        closeness(v) = n_reached(v) / Σ_{s ∈ S, d(s,v) ≥ 1} d(s, v)
+
+    with the same batched fixed-round min-plus distances as
+    ``harmonic_centrality`` — integer distance sums, one division at the
+    end, so any engine computes identical bits.  Returns
+    (id, n_reached, sum_dist, closeness).
+    """
+    dist = _multi_source_distances(edges, sources, rounds, partitions)
+    out = (
+        dist.filter(F.col("v") > 0)
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_reached"),
+             F.sum("v").cast("long").alias("sum_dist"))
+        .select("id", "n_reached", "sum_dist",
+                (F.col("n_reached").cast("double")
+                 / F.col("sum_dist").cast("double")).alias("closeness"))
+    )
+    out = out.localCheckpoint(eager=True)
+    dist.unpersist()
     return out

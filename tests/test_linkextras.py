@@ -396,3 +396,21 @@ def test_msf_two_components(spark):
     got = {(r["u"], r["v"], r["w"]) for r in forest.collect()}
     assert got == {(0, 1, 1), (1, 2, 2), (10, 11, 3), (11, 12, 1)}
     assert got == _kruskal(pairs_w)
+
+
+def test_closeness_path(spark):
+    from graph_python_spark.algorithms.centrality import closeness_centrality
+
+    # directed path 0 -> 1 -> 2 -> 3, sources {0, 1}
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    seeds = spark.createDataFrame([(0,), (1,)], "id long")
+    got = {r["id"]: (r["n_reached"], r["sum_dist"], r["closeness"])
+           for r in closeness_centrality(edge_df(spark, pairs), seeds,
+                                         rounds=5).collect()}
+    # v=1: d(0,1)=1            -> (1, 1, 1.0)
+    # v=2: d(0,2)=2, d(1,2)=1  -> (2, 3, 2/3)
+    # v=3: d(0,3)=3, d(1,3)=2  -> (2, 5, 0.4)
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (2, 3, 2.0 / 3.0)
+    assert got[3] == (2, 5, 0.4)
+    assert 0 not in got  # sources at distance 0 are excluded
