@@ -554,6 +554,15 @@ HC_SOURCES = 6
 HC_ROUNDS = 8
 COCITE_MIN_TOTAL = 3
 FEAT_OFFSETS = (1, 3, 7)  # deterministic ring-skip doc graph for feature prop
+ANF_RADIUS = 3
+ANF_K = 16            # KMV sketch size; < k-sized balls are counted exactly
+DAG_ROUNDS = 12       # SQL unroll; max-plus relaxation is idempotent past depth
+BM25_TERMS = ("hash", "spark", "window")
+BM25_K = 20
+BM25_K1, BM25_B = 1.2, 0.75
+CONTAM_N = 3          # word n-gram size for the decontamination check
+CONTAM_MOD = 20       # doc_id % 20 == 0 -> benchmark (eval) split
+SEMDEDUP_THRESHOLD = 0.45  # same cosine bar as near_dup_cosine
 
 
 def q_kcore(spark, sf_dir):
@@ -825,6 +834,54 @@ def q_multimodal_features(spark, sf_dir):
                         F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def q_anf_reach(spark, sf_dir):
+    from graph_python_spark.algorithms.anf import anf_sketches
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    return anf_sketches(e, radius=ANF_RADIUS, k=ANF_K)
+
+
+def q_dag_levels(spark, sf_dir):
+    from graph_python_spark.algorithms.traversal import dag_longest_path_levels
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    # src < dst makes the edge table acyclic (ids strictly increase on paths)
+    return dag_longest_path_levels(e.filter(F.col("i") < F.col("j")),
+                                   rounds=DAG_ROUNDS)
+
+
+def q_reciprocity(spark, sf_dir):
+    from graph_python_spark.algorithms.metrics import reciprocity
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    return reciprocity(e)
+
+
+def q_bm25(spark, sf_dir):
+    from graph_python_spark.pipeline.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=BM25_K,
+                     k1=BM25_K1, b=BM25_B)
+
+
+def q_contamination(spark, sf_dir):
+    from graph_python_spark.pipeline.retrieval import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
+    train = docs.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    return contamination_check(train, bench, n=CONTAM_N)
+
+
+def q_semdedup(spark, sf_dir):
+    return similarity.semantic_dedup(_emb(spark, sf_dir), k=KMEANS_K,
+                                     iterations=KMEANS_ITERS,
+                                     threshold=SEMDEDUP_THRESHOLD)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_out": q_degree_out,
@@ -907,6 +964,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "feature_prop": q_feature_prop,
         "cocitation": q_cocitation,
+        "anf_reach": q_anf_reach,
+        "dag_levels": q_dag_levels,
+        "reciprocity": q_reciprocity,
+        "bm25": q_bm25,
+        "contamination": q_contamination,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2086,6 +2149,135 @@ FROM ed JOIN ex ON ex.src = ed.src
 GROUP BY 1, 2"""
 
 
+def _anf_sql(radius: int, k: int) -> str:
+    """Unrolled KMV neighborhood sketches — mirrors algorithms/anf.
+    anf_sketches: sketch(v) ← k lexicographically smallest md5 digests of
+    own ∪ out-neighbor sketches, estimator (k−1)/U(kth digest) with U =
+    first 12 hex chars / 16^12 (hex-string and decimal conversions agree
+    across engines exactly)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+s0 AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts)"""
+    steps = []
+    for t in range(1, radius + 1):
+        steps.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT id, h FROM (
+    SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h ASC) AS rn
+    FROM (SELECT id, h FROM s{t - 1}
+          UNION
+          SELECT e.src AS id, x.h FROM eb e JOIN s{t - 1} x ON e.dst = x.id)
+  ) WHERE rn <= {k}
+)""")
+    return head + "".join(steps) + f"""
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(k - 1)} /
+                       (CAST(('0x' || substr(MAX(h), 1, 12)) AS BIGINT)
+                        / {float(16 ** 12)}) END, 6) AS est_reach
+FROM s{radius} GROUP BY id"""
+
+
+def _dag_levels_sql(rounds: int) -> str:
+    """Unrolled max-plus longest-path layering of the src < dst DAG —
+    mirrors algorithms/traversal.dag_longest_path_levels."""
+    head = f"""WITH {customer_graph_sql().strip()},
+dag AS (SELECT DISTINCT src, dst FROM eg WHERE src < dst),
+verts AS (SELECT src AS id FROM dag UNION SELECT dst FROM dag),
+l0 AS (SELECT id, CAST(0 AS BIGINT) AS level FROM verts)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f""",
+l{t} AS MATERIALIZED (
+  SELECT p.id, GREATEST(p.level, COALESCE(c.nl, 0)) AS level
+  FROM l{t - 1} p LEFT JOIN (
+    SELECT e.dst AS id, MAX(x.level) + 1 AS nl
+    FROM dag e JOIN l{t - 1} x ON e.src = x.id
+    GROUP BY e.dst
+  ) c ON p.id = c.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT id, CAST(level AS BIGINT) AS level FROM l{rounds}"""
+
+
+def _bm25_sql(terms: tuple, k: int, k1: float, b: float) -> str:
+    """Okapi BM25 — mirrors pipeline/retrieval.bm25_topk (exact-integer
+    dl and avgdl = SUM(dl)/N, ln(1 + (N−df+0.5)/(df+0.5)) idf)."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""WITH tok AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(string_split(documents.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+       WHERE tok IN ({tlist}) GROUP BY doc_id, tok),
+dl AS (SELECT doc_id,
+              len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+       FROM documents),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+dft AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       ROUND(SUM(ln(1.0 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf * {k1 + 1.0}
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / corpus.avgdl))),
+             6) AS score
+FROM tf JOIN dft ON tf.tok = dft.tok
+CROSS JOIN corpus JOIN dl ON dl.doc_id = tf.doc_id
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}"""
+
+
+def _contamination_sql(n: int, mod: int) -> str:
+    """Word n-gram eval-set overlap — mirrors pipeline/retrieval.
+    contamination_check over the doc_id % mod benchmark split."""
+    return f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - {n - 1}),
+                            i -> array_to_string(toks[i:i + {n - 1}], ' ')) AS grams
+      FROM t),
+bench AS (SELECT DISTINCT gram
+          FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % {mod} = 0)),
+dg AS (SELECT DISTINCT doc_id, gram
+       FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+             WHERE doc_id % {mod} <> 0)),
+hits AS (SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_contaminated
+         FROM dg LEFT JOIN bench b ON dg.gram = b.gram
+         GROUP BY dg.doc_id)
+SELECT d.doc_id, COALESCE(h.n_ngrams, 0) AS n_ngrams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       ROUND(CASE WHEN COALESCE(h.n_ngrams, 0) > 0
+                  THEN CAST(h.n_contaminated AS DOUBLE) / h.n_ngrams
+                  ELSE 0.0 END, 6) AS contamination
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
+def _semdedup_sql(k: int, iters: int, dim: int, threshold: float) -> str:
+    """SemDeDup: the kmeans assignment (identical unroll to _kmeans_sql) +
+    within-cluster min-lower-id cosine pruning — mirrors
+    pipeline/similarity.semantic_dedup."""
+    return f"""WITH {_emb_head_sql()},
+asg AS (SELECT * FROM ({_kmeans_sql(k, iters, dim)})),
+mem AS (SELECT a.vec_id, a.cluster, n.emb, n.nrm
+        FROM asg a JOIN n ON n.vec_id = a.vec_id),
+dups AS (SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+         FROM mem a JOIN mem b
+           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+               >= {threshold}
+         GROUP BY b.vec_id)
+SELECT a.vec_id, a.cluster, (d.dup_of IS NOT NULL) AS pruned, d.dup_of
+FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     sp = supplier_part_graph_sql().strip().rstrip(")") + "\n)"
     eg = customer_graph_sql().strip()
@@ -2542,5 +2734,23 @@ FROM base"""
 SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
        CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS total_value
 FROM events GROUP BY 1, 2"""
+
+    sqls["anf_reach"] = _anf_sql(ANF_RADIUS, ANF_K)
+    sqls["dag_levels"] = _dag_levels_sql(DAG_ROUNDS)
+
+    sqls["reciprocity"] = f"""WITH {eg},
+e AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst),
+r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+      FROM e a WHERE EXISTS (SELECT 1 FROM e b
+                             WHERE b.src = a.dst AND b.dst = a.src))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges, r.n_reciprocal,
+       ROUND(CAST(r.n_reciprocal AS DOUBLE)
+             / (SELECT COUNT(*) FROM e), 6) AS reciprocity
+FROM r"""
+
+    sqls["bm25"] = _bm25_sql(BM25_TERMS, BM25_K, BM25_K1, BM25_B)
+    sqls["contamination"] = _contamination_sql(CONTAM_N, CONTAM_MOD)
+    sqls["semdedup"] = _semdedup_sql(KMEANS_K, KMEANS_ITERS, dim=64,
+                                     threshold=SEMDEDUP_THRESHOLD)
 
     return sqls

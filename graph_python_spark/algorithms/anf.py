@@ -1,0 +1,110 @@
+"""Approximate neighborhood function (ANF / HyperANF-style) via
+k-minimum-values sketches.
+
+N(v, r) = |{u : d(v → u) ≤ r}| for every vertex at once.  Exact
+computation is an all-pairs BFS (O(V) state per vertex — the batched
+Brandes/closeness loops do it for a source *sample*); the classic
+scale answer (Palmer et al. ANF, KDD'02; Boldi et al. HyperANF,
+WWW'11) keeps a fixed-size distinct-counting sketch per vertex and
+iterates sketch(v) ← sketch(v) ∪ ⋃_{v→u} sketch(u), one min-plus-shaped
+shuffle per radius, O(V·k) total state at any radius.
+
+HyperANF uses HyperLogLog registers; here we use k-minimum-values (KMV,
+Bar-Yossef et al.) over md5 — deliberately, for engine parity: the
+sketch is the k lexicographically smallest md5(vertex-id) hex digests,
+so the whole loop is expressible in portable SQL (the DuckDB oracle
+replays it exactly — md5 and string ordering agree across engines),
+union = array merge + sort + truncate, and the estimator
+(k−1)/frac(kth digest) is a deterministic function of the input.  At
+k = 16 the KMV estimate has ~26% relative standard error per vertex —
+the same accuracy class HyperANF runs at; sums over vertices (the
+neighborhood function itself) concentrate much tighter.
+
+Scale shape: state is (v, sketch: array<string> ≤ k); each round is ONE
+shuffle — edges(i,j) ⋈ state(j) then groupBy(i) flatten/sort/slice, all
+JVM array expressions — on the same key the edge table is pre-partitioned
+by, exactly the SpMV plan PageRank runs.  Sketch rows are bounded (k·33
+bytes), so there is no hub-row blowup: a 10⁸-degree vertex still carries
+a ≤ k-element sketch.
+
+No reference counterpart (python-graphblas has no sketching); closest is
+iterated mxv reachability (``notebooks/Example B.1``) which this bounds
+in memory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_python_spark.plans.iterate import iterative, loop_shuffle_width, materialize
+
+
+def _merge_sketches(col, k: int):
+    """k smallest distinct digests of a flattened array-of-arrays."""
+    return F.slice(F.array_sort(F.array_distinct(F.flatten(col))), 1, k)
+
+
+@iterative
+def anf_sketches(
+    edges: DataFrame,
+    radius: int = 3,
+    k: int = 16,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """KMV sketches of the out-ball of every vertex after ``radius``
+    rounds.  Returns (id, n_exact, est_reach):
+
+    * ``n_exact`` — the sketch size; when < k the ball was counted
+      EXACTLY (every member's digest is in the sketch), and est_reach
+      equals it.
+    * ``est_reach`` — KMV estimate (k−1)/U(kth digest) when the sketch
+      saturated, where U maps the first 12 hex chars to (0,1); rounded
+      to 1e-6.  The ball includes v itself.
+    """
+    e = edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct()
+    verts = (e.select(F.col("s").alias("id"))
+             .unionByName(e.select(F.col("d").alias("id"))).distinct())
+    n_verts = verts.count()
+
+    with loop_shuffle_width(edges.sparkSession, n_verts) as width:
+        # edges partitioned by source once; every round's join reuses it
+        e = materialize(e.repartition(partitions or width, "s"))
+        state = materialize(
+            verts.select("id", F.array(F.md5(F.col("id").cast("string"))).alias("sketch")))
+        for _ in range(radius):
+            nbr = (
+                e.join(state.select(F.col("id").alias("d"), "sketch"), "d")
+                .groupBy(F.col("s").alias("id"))
+                .agg(F.collect_list("sketch").alias("nbr_sketches"))
+            )
+            new = (
+                state.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    _merge_sketches(
+                        F.concat(F.array(F.col("sketch")),
+                                 F.coalesce(F.col("nbr_sketches"),
+                                            F.array().cast("array<array<string>>"))),
+                        k).alias("sketch"))
+            )
+            prev, state = state, materialize(new)
+            prev.unpersist()
+
+    kth_frac = (
+        F.conv(F.substring(F.element_at("sketch", k), 1, 12), 16, 10)
+        .cast("double") / F.lit(float(16 ** 12)))
+    n_exact = F.size("sketch").cast("long")
+    out = (
+        state.select(
+            "id", n_exact.alias("n_exact"),
+            F.round(
+                F.when(n_exact < k, n_exact.cast("double"))
+                .otherwise(F.lit(float(k - 1)) / kth_frac), 6).alias("est_reach"))
+    )
+    out = out.localCheckpoint(eager=True)
+    state.unpersist()
+    e.unpersist()
+    return out

@@ -113,3 +113,27 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         (F.col("n") / 2).cast("long").alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Edge reciprocity of the directed simple graph: the fraction of
+    directed non-loop edges (i → j) whose reverse (j → i) is also present.
+
+    Returns ONE row (n_edges, n_reciprocal, reciprocity).  Plan: the
+    distinct edge set left-semi-joins its own transpose on the pair key —
+    one hash join on (i, j), no window, no collect; O(E) shuffle.
+    """
+    e = (edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
+         .localCheckpoint(eager=True))
+    rev = e.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    recip = e.join(rev, ["i", "j"], "left_semi")
+    out = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").cast("long").alias("n_reciprocal"))
+    ).select(
+        "n_edges", "n_reciprocal",
+        F.round(F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6)
+        .alias("reciprocity"),
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

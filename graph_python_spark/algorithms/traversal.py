@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_python_spark.plans.iterate import materialize, iterative
+from graph_python_spark.plans.iterate import materialize, iterative, loop_shuffle_width
 
 
 @iterative
@@ -212,3 +212,47 @@ def pseudo_diameter(edges: DataFrame, rounds: int = 8) -> DataFrame:
         F.col("id").cast("long").alias("far_b"),
         F.col("v").cast("long").alias("diameter_lb"),
     )
+
+
+@iterative
+def dag_longest_path_levels(edges: DataFrame, rounds: int = 16) -> DataFrame:
+    """Longest-path layering of a DAG: level(v) = length of the longest
+    directed path ending at v (sources = 0) — the critical-path /
+    topological-layer assignment, i.e. the max-plus twin of the min-plus
+    BFS loop (same SpMV shape, ``max`` monoid instead of ``min``).
+
+    ``edges`` (i, j) MUST be acyclic (callers pass e.g. the i < j
+    restriction of a general edge table); with exactly ``rounds``
+    synchronous max-plus relaxations the result is a deterministic
+    function of the input even if ``rounds`` undershoots the true depth,
+    so the query is SQL-unrollable.  Converged when ``rounds`` ≥ depth.
+
+    Scale shape: identical to ``minplus_fixed_rounds`` — the edge table is
+    partitioned by source once and every round's join reuses that
+    partitioning; the per-round shuffle is O(reached edges); state is one
+    (id, level) row per vertex.
+    """
+    e = edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct()
+    verts = (e.select(F.col("s").alias("id"))
+             .unionByName(e.select(F.col("d").alias("id"))).distinct())
+    spark = edges.sparkSession
+    with loop_shuffle_width(spark, verts.count()) as width:
+        e = materialize(e.repartition(width, "s"))
+        lvl = materialize(verts.select("id", F.lit(0).cast("long").alias("level")))
+        for _ in range(rounds):
+            cand = (
+                e.join(lvl.select(F.col("id").alias("s"), "level"), "s")
+                .groupBy(F.col("d").alias("id"))
+                .agg((F.max("level") + 1).alias("_nl"))  # max_plus
+            )
+            new = (
+                lvl.join(cand, "id", "left")
+                .select("id", F.greatest(
+                    F.col("level"), F.coalesce(F.col("_nl"), F.lit(0))).alias("level"))
+            )
+            prev, lvl = lvl, materialize(new)
+            prev.unpersist()
+    out = lvl.localCheckpoint(eager=True)
+    lvl.unpersist()
+    e.unpersist()
+    return out

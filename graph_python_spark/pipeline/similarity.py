@@ -310,14 +310,19 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
     """
     pts = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     pts = pts.withColumn("_pp", _dot(F.col("_v"), F.col("_v")))
-    init_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
-                            F.col("vec_id").asc())
+    # init: the k smallest-digest vectors via a distributed TakeOrdered
+    # (per-partition top-k + merge), then cid = rank from ONE sorted
+    # k-element array — no window at all, so nothing ever funnels the
+    # corpus through a single task
     cents = (
-        pts.select("vec_id", "_v")
-        .withColumn("_rn", F.row_number().over(init_w))
-        .filter(F.col("_rn") <= k)
-        .select((F.col("_rn") - 1).cast("long").alias("cid"),
-                F.transform(F.col("_v"), lambda x: x.cast("double")).alias("_c"))
+        pts.select(F.md5(F.col("vec_id").cast("string")).alias("_d"),
+                   "vec_id", "_v")
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .agg(F.array_sort(F.collect_list(F.struct("_d", "vec_id", "_v"))).alias("_cs"))
+        .select(F.posexplode("_cs").alias("_cid", "_s"))
+        .select(F.col("_cid").cast("long").alias("cid"),
+                F.transform(F.col("_s._v"), lambda x: x.cast("double")).alias("_c"))
     )
 
     def assign(cframe: DataFrame) -> DataFrame:
@@ -363,3 +368,49 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
     final = assign(cents)
     return final.select("vec_id", F.col("cid").alias("cluster"),
                         F.round("_d2", 6).alias("dist2"))
+
+
+def semantic_dedup(emb: DataFrame, k: int = 8, iterations: int = 2,
+                   threshold: float = 0.92,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embeddings with fixed-iteration k-means, then inside each cluster
+    prune every vector whose cosine similarity to a LOWER-id cluster member
+    is ≥ ``threshold`` (the kept row is the min-id member of each near-dup
+    neighborhood, so the output is a pure function of the input).
+
+    Returns every vector: (vec_id, cluster, pruned, dup_of) with dup_of =
+    the smallest lower id it matched (NULL for kept rows).
+
+    Scale shape: the candidate join is an equi-join on the cluster id —
+    never all-pairs across the corpus.  At 100 TB you size k ≈ N/⟨cluster⟩
+    so each cluster is a few thousand rows and Σ cluster² stays linear-ish;
+    the quadratic term is confined inside clusters exactly as in the
+    published recipe.  Skewed (giant) clusters are the known failure mode —
+    the k-means granularity IS the skew control.
+    """
+    asg = kmeans_fixed(emb, k=k, iterations=iterations,
+                       vec_col=vec_col, id_col=id_col)
+    nr = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), "_norm")
+    mem = (asg.select("vec_id", "cluster")
+           .join(nr, "vec_id")
+           .filter(F.col("_norm") > 0))
+    a = mem.select(F.col("cluster"), F.col("vec_id").alias("_ia"),
+                   F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    b = mem.select(F.col("cluster"), F.col("vec_id").alias("_ib"),
+                   F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(F.round(_dot(F.col("_va"), F.col("_vb"))
+                        / (F.col("_na") * F.col("_nb")), 6) >= threshold)
+        .groupBy(F.col("_ib").alias("vec_id"))
+        .agg(F.min("_ia").alias("dup_of"))
+    )
+    return (
+        asg.select("vec_id", "cluster")
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cluster",
+                F.col("dup_of").isNotNull().alias("pruned"), "dup_of")
+    )
