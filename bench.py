@@ -100,6 +100,8 @@ def run_headlines(spark, results: dict) -> None:
         "ktruss", "clustering_coeff",
         # added r2 session 4: link-prediction wedge join + walk sampling
         "link_predict", "random_walks",
+        # added r2 session 6: sketched reachability + embedding dedup
+        "anf_reach", "semdedup",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

@@ -28,8 +28,14 @@ from graph_python_spark.algorithms.vertexsim import (
     jaccard_neighbors,
     link_prediction_scores,
 )
-from graph_python_spark.algorithms.metrics import degree_assortativity, modularity
+from graph_python_spark.algorithms.metrics import (
+    degree_assortativity,
+    modularity,
+    reciprocity,
+)
 from graph_python_spark.algorithms.walks import deterministic_walks, ranked_adjacency
+from graph_python_spark.algorithms.anf import anf_sketches
+from graph_python_spark.algorithms.traversal import dag_longest_path_levels
 
 __all__ = [
     "pagerank",
@@ -62,4 +68,7 @@ __all__ = [
     "ranked_adjacency",
     "harmonic_centrality",
     "cocitation_scores",
+    "reciprocity",
+    "anf_sketches",
+    "dag_longest_path_levels",
 ]

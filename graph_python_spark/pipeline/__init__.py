@@ -1,4 +1,5 @@
 from graph_python_spark.pipeline import (dedup, features, multimodal,
-                                         sampling, similarity, text)
+                                         retrieval, sampling, similarity, text)
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "sampling", "features"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "sampling",
+           "features", "retrieval"]
