@@ -882,6 +882,36 @@ def q_semdedup(spark, sf_dir):
                                      threshold=SEMDEDUP_THRESHOLD)
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_sessionize(spark, sf_dir):
+    from graph_python_spark.pipeline.temporal import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800.0)
+
+
+def q_asof_join(spark, sf_dir):
+    from graph_python_spark.pipeline.temporal import asof_last_event
+
+    return asof_last_event(_events(spark, sf_dir), right_type="purchase",
+                           left_type="click")
+
+
+def q_funnel(spark, sf_dir):
+    from graph_python_spark.pipeline.temporal import funnel_counts_df
+
+    return funnel_counts_df(_events(spark, sf_dir),
+                            steps=["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    from graph_python_spark.pipeline.temporal import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), bucket_seconds=604800)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_out": q_degree_out,
@@ -970,6 +1000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "contamination": q_contamination,
         "semdedup": q_semdedup,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2752,5 +2786,67 @@ FROM r"""
     sqls["contamination"] = _contamination_sql(CONTAM_N, CONTAM_MOD)
     sqls["semdedup"] = _semdedup_sql(KMEANS_K, KMEANS_ITERS, dim=64,
                                      threshold=SEMDEDUP_THRESHOLD)
+
+    # Event-time analytics (pipeline/temporal.py).  Epochs compared as
+    # DOUBLE on both engines (Spark ts.cast(double) == DuckDB epoch(ts),
+    # microsecond fraction preserved) so gap/tie arithmetic is bit-equal.
+    sqls["sessionize"] = """
+WITH e AS (
+  SELECT user_id AS u, epoch(ts) AS ep, event_id AS eid, value AS val FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > 1800.0 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY ep, eid)
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY u ORDER BY ep, eid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT u AS user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(FLOOR(MIN(ep)) AS BIGINT) AS session_start_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(ep) - MIN(ep), 6) AS duration_sec,
+       ROUND(SUM(val), 6) AS total_value
+FROM sess GROUP BY 1, 2"""
+
+    sqls["asof_join"] = """
+WITH base AS (
+  SELECT user_id AS u, epoch(ts) AS ep, event_id AS eid,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT u, ep, eid, tag,
+    last_value(CASE WHEN tag = 0 THEN eid END IGNORE NULLS) OVER w AS left_eid,
+    last_value(CASE WHEN tag = 0 THEN ep END IGNORE NULLS) OVER w AS left_ep
+  FROM base
+  WINDOW w AS (PARTITION BY u ORDER BY ep, tag, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT eid AS event_id, u AS user_id, left_eid AS prev_event_id,
+       ROUND(ep - left_ep, 6) AS lag_sec
+FROM carried WHERE tag = 1 AND left_eid IS NOT NULL AND left_ep < ep"""
+
+    sqls["funnel"] = """
+WITH base AS (SELECT user_id AS u, epoch(ts) AS ep, event_type AS et FROM events),
+s1 AS (SELECT u, MIN(ep) AS t FROM base WHERE et = 'view' GROUP BY u),
+s2 AS (SELECT b.u, MIN(b.ep) AS t FROM base b JOIN s1 ON b.u = s1.u
+       WHERE b.et = 'click' AND b.ep > s1.t GROUP BY b.u),
+s3 AS (SELECT b.u, MIN(b.ep) AS t FROM base b JOIN s2 ON b.u = s2.u
+       WHERE b.et = 'purchase' AND b.ep > s2.t GROUP BY b.u)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3"""
+
+    sqls["cohort_retention"] = """
+WITH acts AS (SELECT DISTINCT user_id AS u,
+                     CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT) AS b FROM events),
+coh AS (SELECT u, MIN(b) AS cb FROM acts GROUP BY u)
+SELECT c.cb AS cohort_bucket, CAST(a.b - c.cb AS BIGINT) AS bucket_offset,
+       CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_users
+FROM acts a JOIN coh c ON a.u = c.u GROUP BY 1, 2"""
 
     return sqls

@@ -1,5 +1,6 @@
 from graph_python_spark.pipeline import (dedup, features, multimodal,
-                                         retrieval, sampling, similarity, text)
+                                         retrieval, sampling, similarity,
+                                         temporal, text)
 
 __all__ = ["dedup", "similarity", "text", "multimodal", "sampling",
-           "features", "retrieval"]
+           "features", "retrieval", "temporal"]
