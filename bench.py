@@ -102,6 +102,9 @@ def run_headlines(spark, results: dict) -> None:
         "link_predict", "random_walks",
         # added r2 session 6: sketched reachability + embedding dedup
         "anf_reach", "semdedup",
+        # added r2 session 7: event-time analytics (single user-key-shuffle
+        # window plans)
+        "sessionize", "asof_join",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

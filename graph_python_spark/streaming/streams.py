@@ -186,3 +186,84 @@ def stream_dedup_minhash(spark: SparkSession, path: str, k: int = 8,
         .dropDuplicatesWithinWatermark(["sig_key"])
         .select("doc_id", "ts", "sig_key")
     )
+
+
+def stream_sessionize(spark: SparkSession, path: str,
+                      gap_seconds: float = 1800.0,
+                      watermark: str = "1 hour",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming sessionization — the incremental twin of
+    ``pipeline.temporal.sessionize`` (same gap rule, same aggregates).
+
+    Per-user GroupState holds ONLY the open session (seq, start_us,
+    last_us, n, total — one fixed-width row per user).  A session closes
+    and is emitted when either (a) a later event for the user arrives more
+    than ``gap_seconds`` after the session's last event, or (b) the event-
+    time watermark passes last_event + gap (``GroupStateTimeout.
+    EventTimeTimeout``), which is what bounds state for users that simply
+    stop: state is O(active users within the gap horizon), never O(events).
+
+    Events inside a micro-batch are processed in (ts, event_id) order;
+    out-of-order arrivals WITHIN the watermark horizon that land after the
+    user's open-session tail are folded into the open session (their ts
+    counts toward n/total but cannot reopen a closed session) — the
+    standard streaming relaxation; the batch operator is the exact oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(path)
+
+    out_schema = ("user_id long, session_seq long, session_start_epoch long, "
+                  "n_events long, duration_sec double, total_value double")
+    state_schema = "seq long, start_us long, last_us long, n long, total double"
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def _row(user, seq, start_us, last_us, n, total):
+        return pd.DataFrame({
+            "user_id": [user], "session_seq": [seq],
+            "session_start_epoch": [start_us // 1_000_000],
+            "n_events": [n],
+            "duration_sec": [round((last_us - start_us) / 1e6, 6)],
+            "total_value": [round(total, 6)],
+        })
+
+    def update(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            seq, start_us, last_us, n, total = state.get
+            state.remove()
+            yield _row(user, seq, start_us, last_us, n, total)
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.dropna(subset=["ts"])
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"])
+        ts_us = (batch["ts"].astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
+        vals = batch["value"].fillna(0.0).to_numpy()
+        if state.exists:
+            seq, start_us, last_us, n, total = state.get
+        else:
+            seq, start_us, last_us, n, total = 0, None, None, 0, 0.0
+        for ev_us, v in zip(ts_us, vals):
+            ev_us = int(ev_us)
+            if start_us is None:
+                seq, start_us, last_us, n, total = seq + 1, ev_us, ev_us, 1, float(v)
+            elif ev_us - last_us > gap_us:
+                yield _row(user, seq, start_us, last_us, n, total)
+                seq, start_us, last_us, n, total = seq + 1, ev_us, ev_us, 1, float(v)
+            else:
+                last_us = max(last_us, ev_us)
+                n += 1
+                total += float(v)
+        state.update((seq, start_us, last_us, n, total))
+        # fire once the watermark passes the open session's gap horizon
+        state.setTimeoutTimestamp(last_us // 1000 + int(gap_seconds * 1000))
+
+    return events.withWatermark("ts", watermark).groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -6,6 +6,8 @@ import datetime as dt
 import random
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from graph_python_spark.pipeline.temporal import (
     asof_last_event,
     cohort_retention,
@@ -164,3 +166,44 @@ def test_plans_are_partition_parallel(spark):
         assert "SinglePartition" not in plan, plan
         assert "BroadcastNestedLoop" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions emitted by the streaming sessionizer equal the batch
+    sessionize rows once the watermark passes every user's gap horizon."""
+    from graph_python_spark.streaming.streams import run_to_memory, stream_sessionize
+
+    rows = []
+    eid = 0
+    for u in range(3):
+        for sess in range(3):
+            base = u * 17 + sess * 5000  # sessions 5000s apart, gap 600s
+            for k in range(4):
+                rows.append((eid, base + k * 100, u, "click", float(u + k)))
+                eid += 1
+    ev = _ev(spark, rows)
+    path = str(tmp_path / "sess_events")
+    # file 1: the data; files 2+3: far-future sentinels that advance the
+    # watermark so every real session times out and is emitted
+    ev.withColumn("props", F.lit("{}")) \
+        .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .coalesce(1).write.parquet(path)
+    sentinel = _ev(spark, [(99990, 2 * 86400, 99, "click", 0.0)])
+    sentinel2 = _ev(spark, [(99991, 4 * 86400, 99, "click", 0.0)])
+    for s in (sentinel, sentinel2):
+        s.withColumn("props", F.lit("{}")) \
+            .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+            .coalesce(1).write.mode("append").parquet(path)
+
+    out = stream_sessionize(spark, path, gap_seconds=600.0,
+                            watermark="10 minutes", max_files_per_trigger=1)
+    run_to_memory(out, "ssess", "append")
+    got = {(r["user_id"], r["session_seq"]):
+           (r["session_start_epoch"], r["n_events"], r["duration_sec"], r["total_value"])
+           for r in spark.sql("SELECT * FROM ssess WHERE user_id < 99").collect()}
+
+    want = {(r["user_id"], r["session_seq"]):
+            (r["session_start_epoch"], r["n_events"], r["duration_sec"], r["total_value"])
+            for r in sessionize(ev, gap_seconds=600.0).collect()}
+    assert got == want
+    assert len(got) == 9
