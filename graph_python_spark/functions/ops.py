@@ -403,3 +403,55 @@ agg = _Namespace(
     first_index=PositionalAgg("first_index", lambda v, idx: F.min(idx)),
     last_index=PositionalAgg("last_index", lambda v, idx: F.max(idx)),
 )
+
+
+# ---------------------------------------------------------------------------
+# Complex dtypes FC32/FC64 (reference core/dtypes.py:13, gated on the
+# backend; op catalog GxB_CONJ/CREAL/CIMAG/CARG + polymorphic arithmetic).
+# Spark has no complex atomic type; the declared SURVEY §1.2 mapping is a
+# struct<re: double, im: double> value column.  The reference's arithmetic
+# ops are dtype-polymorphic; our ops are Column-expression builders, so the
+# complex forms get explicit c-prefixed names — same kernels, same algebra,
+# all pure JVM expressions (no UDF anywhere on this path).
+# ---------------------------------------------------------------------------
+def _cplx(re: Column, im: Column) -> Column:
+    return F.struct(re.alias("re"), im.alias("im"))
+
+
+unary.conj = lambda z: _cplx(z["re"], -z["im"])
+unary.creal = lambda z: z["re"]
+unary.cimag = lambda z: z["im"]
+unary.carg = lambda z: F.atan2(z["im"], z["re"])
+unary.cabs = lambda z: F.sqrt(z["re"] * z["re"] + z["im"] * z["im"])
+unary.cainv = lambda z: _cplx(-z["re"], -z["im"])
+# 1/z = conj(z) / |z|^2
+unary.cminv = lambda z: _cplx(
+    z["re"] / (z["re"] * z["re"] + z["im"] * z["im"]),
+    -z["im"] / (z["re"] * z["re"] + z["im"] * z["im"]),
+)
+unary.cone = lambda z: _cplx(F.lit(1.0), F.lit(0.0))
+
+binary.cmplx = lambda re, im: _cplx(re.cast("double"), im.cast("double"))
+binary.cplus = lambda a, b: _cplx(a["re"] + b["re"], a["im"] + b["im"])
+binary.cminus = lambda a, b: _cplx(a["re"] - b["re"], a["im"] - b["im"])
+binary.ctimes = lambda a, b: _cplx(
+    a["re"] * b["re"] - a["im"] * b["im"],
+    a["re"] * b["im"] + a["im"] * b["re"],
+)
+# a/b = a * conj(b) / |b|^2
+binary.cdiv = lambda a, b: _cplx(
+    (a["re"] * b["re"] + a["im"] * b["im"]) / (b["re"] * b["re"] + b["im"] * b["im"]),
+    (a["im"] * b["re"] - a["re"] * b["im"]) / (b["re"] * b["re"] + b["im"] * b["im"]),
+)
+binary.ceq = lambda a, b: (a["re"] == b["re"]) & (a["im"] == b["im"])
+binary.cfirst = lambda a, b: a
+binary.csecond = lambda a, b: b
+
+# ⊕ monoid over complex: component-wise sum packaged back into the struct.
+# Partial aggregation (map-side combine) applies to both component sums.
+monoid.cplus = Monoid(
+    "cplus",
+    lambda c: F.struct(F.sum(c["re"]).alias("re"), F.sum(c["im"]).alias("im")),
+    binary.cplus,
+    (0.0, 0.0),
+)

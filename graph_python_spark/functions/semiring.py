@@ -112,3 +112,8 @@ _register("any_first", monoid.any, binary.first, np.maximum, _np_first, None)
 _register("any_second", monoid.any, binary.second, np.maximum, _np_second, None)
 _register("times_times", monoid.times, binary.times, np.multiply, np.multiply, 1)
 _register("times_plus", monoid.times, binary.plus, np.multiply, np.add, 1)
+
+# complex FC64 semiring (SURVEY §1.2 struct<re,im> mapping): DataFrame path
+# only — the blocked/Arrow kernel path needs a flat numeric dtype, so the
+# numpy twins stay None and kernels fall back to the exchange-based plan.
+_register("plus_times_fc64", monoid.cplus, binary.ctimes, None, None, (0.0, 0.0))
