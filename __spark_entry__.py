@@ -882,6 +882,25 @@ def q_semdedup(spark, sf_dir):
                                      threshold=SEMDEDUP_THRESHOLD)
 
 
+REBALANCE_FRACS = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0}
+REBALANCE_DEFAULT = 0.75
+
+
+def q_weighted_sample(spark, sf_dir):
+    from graph_python_spark.pipeline.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(docs, key_col="doc_id", weight_col="n_chars", n=100)
+
+
+def q_rebalance_sources(spark, sf_dir):
+    from graph_python_spark.pipeline.sampling import rebalance_sources
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return rebalance_sources(docs, "source", "doc_id", REBALANCE_FRACS,
+                             default_fraction=REBALANCE_DEFAULT)
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1004,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "weighted_sample": q_weighted_sample,
+        "rebalance_sources": q_rebalance_sources,
     }
 
 
@@ -2848,5 +2869,30 @@ coh AS (SELECT u, MIN(b) AS cb FROM acts GROUP BY u)
 SELECT c.cb AS cohort_bucket, CAST(a.b - c.cb AS BIGINT) AS bucket_offset,
        CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_users
 FROM acts a JOIN coh c ON a.u = c.u GROUP BY 1, 2"""
+
+    # Deterministic sampling (pipeline/sampling.py): priority q = w / u with
+    # u = ((key*P + salt) mod M + 1) / M — exact integer arithmetic, then
+    # one exactly-rounded multiply/divide, so priorities are bit-identical
+    # across engines (no transcendental in the path).
+    sqls["weighted_sample"] = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / (CAST(((doc_id * 1000003 + 17) % 1000000007) + 1 AS DOUBLE)
+              / 1000000007.0) AS pri
+  FROM documents)
+ORDER BY pri DESC, doc_id LIMIT 100"""
+
+    frac_case = " ".join(
+        f"WHEN '{s}' THEN {f!r}" for s, f in sorted(REBALANCE_FRACS.items())
+    )
+    sqls["rebalance_sources"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         CAST(((doc_id * 1000003 + 29) % 1000000007) + 1 AS DOUBLE)
+           / 1000000007.0 AS u,
+         CASE source {frac_case} ELSE {REBALANCE_DEFAULT!r} END AS f
+  FROM documents)
+WHERE u <= f"""
 
     return sqls

@@ -53,3 +53,69 @@ def deterministic_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:
         df.orderBy(_hash_order(key_col), F.col(key_col))
         .limit(n)
     )
+
+
+# affine-mod-prime unit hash, the house deterministic-priority pattern
+# (walks.py neighbor rank, mis.py priorities): exact integer arithmetic in
+# both engines, then ONE multiply + ONE divide on doubles — each IEEE
+# exactly-rounded, so the derived priorities are bit-identical in Spark and
+# DuckDB (no transcendental in the path, unlike the classic exp-key A-ES
+# formulation).
+_P1 = 1000003
+_MOD = 1000000007
+
+
+def _unit_hash(key_col: str, salt: int):
+    """Deterministic u(key) in (0, 1]: ((key*P + salt) mod M + 1) / M."""
+    h = (F.col(key_col) * _P1 + F.lit(salt)) % _MOD
+    return (h + 1).cast("double") / F.lit(float(_MOD))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: int = 17,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows —
+    priority sampling (Duffield-Lund-Thorup): keep the n rows with the
+    largest priority q = w / u, u ~ U(0,1] derived from the key hash.
+    Heavier rows win proportionally more often; a row with weight 0 is
+    never taken before any positively-weighted row.
+
+    Plans as a distributed TakeOrdered (per-partition top-n, merge on the
+    driver-side heap) — no global sort, no single-task exchange, and the
+    scan only carries (key, weight) width until the final row fetch.
+    """
+    pri = (F.col(weight_col).cast("double") / _unit_hash(key_col, salt)).alias("_pri")
+    return (
+        df.withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), F.col(key_col))
+        .limit(n)
+        .drop("_pri")
+    )
+
+
+def rebalance_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    keep_fractions: dict,
+    default_fraction: float = 1.0,
+    salt: int = 29,
+) -> DataFrame:
+    """Static source-mix rebalance: independently keep each row of source
+    ``s`` with probability ``keep_fractions[s]`` — the deterministic
+    Bernoulli thinning used to hit per-domain token budgets (the static
+    form of DoReMi-style mixture reweighting).  u(key) ∈ (0,1] so a
+    fraction of 1.0 keeps everything and 0.0 drops everything.
+
+    Pure map-side filter: ZERO shuffles, the predicate is pushed into the
+    scan stage, and the decision is a function of (key, source) alone —
+    reproducible across partitionings, cluster sizes, and engines.
+    """
+    frac = F.lit(float(default_fraction))
+    for s, f in sorted(keep_fractions.items()):
+        frac = F.when(F.col(source_col) == s, F.lit(float(f))).otherwise(frac)
+    return df.filter(_unit_hash(key_col, salt) <= frac)

@@ -418,3 +418,50 @@ def test_kmeans_fixed(spark):
     for i in range(n):
         assert got[i][0] == a[i], i
         assert abs(got[i][1] - round(float(d2[i]), 6)) < 2e-6, i
+
+
+def test_weighted_sample(spark):
+    from graph_python_spark.pipeline.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1000.0 if i < 10 else 1.0) for i in range(500)], "id long, w double")
+    # partition-invariant and reproducible
+    s1 = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50).collect())
+    s2 = sorted(r["id"] for r in weighted_sample(df.repartition(7), "id", "w", 50).collect())
+    assert s1 == s2 and len(s1) == 50
+    # 1000x-weight rows all make a 10%-cut sample (P(miss) ~ (q/1000)^heavy)
+    assert set(range(10)) <= set(s1)
+    # priority sampling replay: q = w/u with the same unit hash
+    got = set(s1)
+    P, M = 1000003, 1000000007
+    pri = {i: (1000.0 if i < 10 else 1.0) / (((i * P + 17) % M + 1) / M)
+           for i in range(500)}
+    want = set(sorted(pri, key=lambda i: (-pri[i], i))[:50])
+    assert got == want
+    # zero-weight rows are never taken before positive ones
+    dfz = spark.createDataFrame([(i, 0.0 if i < 490 else 1.0) for i in range(500)],
+                                "id long, w double")
+    sz = {r["id"] for r in weighted_sample(dfz, "id", "w", 10).collect()}
+    assert sz == set(range(490, 500))
+
+
+def test_rebalance_sources(spark):
+    from graph_python_spark.pipeline.sampling import rebalance_sources
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(4000)], "id long, src string")
+    fr = {"s0": 0.0, "s1": 0.25, "s2": 1.0}
+    kept = rebalance_sources(df, "src", "id", fr, default_fraction=0.5)
+    counts = {r["src"]: r["n"] for r in
+              kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "s0" not in counts                      # fraction 0 drops all
+    assert counts["s2"] == 1000                    # fraction 1 keeps all
+    assert abs(counts["s1"] - 250) < 80            # ~25% of 1000
+    assert abs(counts["s3"] - 500) < 100           # default 0.5
+    # decision is a pure function of (key, source): partition-invariant
+    k2 = {r["id"] for r in rebalance_sources(df.repartition(11), "src", "id", fr,
+                                             default_fraction=0.5).collect()}
+    assert k2 == {r["id"] for r in kept.collect()}
+    # zero shuffles: the filter stays in the scan stage
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
