@@ -901,6 +901,18 @@ def q_rebalance_sources(spark, sf_dir):
                              default_fraction=REBALANCE_DEFAULT)
 
 
+SPARSIFY_DEG = 6
+
+
+def q_sparsify(spark, sf_dir):
+    from graph_python_spark.algorithms.sparsify import sparsify_by_degree
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j")).distinct()
+    return sparsify_by_degree(e, target_degree=SPARSIFY_DEG).select(
+        F.col("i").alias("src"), F.col("j").alias("dst"))
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1025,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "weighted_sample": q_weighted_sample,
         "rebalance_sources": q_rebalance_sources,
+        "sparsify": q_sparsify,
     }
 
 
@@ -2878,7 +2891,8 @@ FROM acts a JOIN coh c ON a.u = c.u GROUP BY 1, 2"""
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
          CAST(n_chars AS DOUBLE)
-           / (CAST(((doc_id * 1000003 + 17) % 1000000007) + 1 AS DOUBLE)
+           / (CAST((((doc_id * 1000003 + 17) % 1000000007) * 1000003 + 99991)
+                   % 1000000007 + 1 AS DOUBLE)
               / 1000000007.0) AS pri
   FROM documents)
 ORDER BY pri DESC, doc_id LIMIT 100"""
@@ -2889,10 +2903,21 @@ ORDER BY pri DESC, doc_id LIMIT 100"""
     sqls["rebalance_sources"] = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source,
-         CAST(((doc_id * 1000003 + 29) % 1000000007) + 1 AS DOUBLE)
+         CAST((((doc_id * 1000003 + 29) % 1000000007) * 1000003 + 99991)
+              % 1000000007 + 1 AS DOUBLE)
            / 1000000007.0 AS u,
          CASE source {frac_case} ELSE {REBALANCE_DEFAULT!r} END AS f
   FROM documents)
 WHERE u <= f"""
+
+    eg = customer_graph_sql().strip().lstrip()
+    sqls["sparsify"] = f"""WITH {eg},
+e AS (SELECT DISTINCT src AS i, dst AS j FROM eg),
+deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY i)
+SELECT e.i AS src, e.j AS dst
+FROM e JOIN deg ON e.i = deg.i
+WHERE (CAST((((e.i * 1000003 + e.j * 10007 + 41) % 1000000007) * 1000003
+             + 99991) % 1000000007 + 1 AS DOUBLE)
+       / 1000000007.0) * deg.d < {float(SPARSIFY_DEG)!r}"""
 
     return sqls

@@ -66,9 +66,16 @@ _MOD = 1000000007
 
 
 def _unit_hash(key_col: str, salt: int):
-    """Deterministic u(key) in (0, 1]: ((key*P + salt) mod M + 1) / M."""
-    h = (F.col(key_col) * _P1 + F.lit(salt)) % _MOD
-    return (h + 1).cast("double") / F.lit(float(_MOD))
+    """Deterministic u(key) in (0, 1] from TWO affine rounds mod M:
+    h1 = (key*P + salt) mod M;  h2 = (h1*P + 99991) mod M;  u = (h2+1)/M.
+    One round is not enough — for keys small relative to M/P the affine
+    value never wraps and u is proportional to the key (systematically
+    tiny); the second multiply wraps the modulus hundreds of times even
+    for single-digit keys.  All intermediates < 1e15 << 2^63: exact in
+    BIGINT on both engines."""
+    h1 = (F.col(key_col) * _P1 + F.lit(salt)) % _MOD
+    h2 = (h1 * _P1 + F.lit(99991)) % _MOD
+    return (h2 + 1).cast("double") / F.lit(float(_MOD))
 
 
 def weighted_sample(

@@ -158,3 +158,26 @@ def test_bfs_parents_fixed_rounds(spark):
     got = {r["id"]: r["parent"] for r in bfs_parents_fixed(e, source=0, rounds=8).collect()}
     # dist: 0:0, 1:1, 2:1, 3:2, 4:2; min-id predecessor on a shortest path
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_sparsify_by_degree(spark):
+    from graph_python_spark.algorithms.sparsify import sparsify_by_degree
+
+    # star hub (deg 40) + a 3-cycle of leaves (deg 1 each)
+    pairs = [(0, t) for t in range(1, 41)] + [(100, 101), (101, 102), (102, 100)]
+    e = spark.createDataFrame(pairs, "i long, j long")
+    kept = sparsify_by_degree(e, target_degree=6)
+    rows = {(r["i"], r["j"]) for r in kept.collect()}
+    # every low-degree edge survives
+    assert {(100, 101), (101, 102), (102, 100)} <= rows
+    hub_kept = [p for p in rows if p[0] == 0]
+    # hub is downsampled to ~6 (binomial(40, 6/40)); deterministic exact replay:
+    P1, P2, M = 1000003, 10007, 1000000007
+    want = {(0, t) for t in range(1, 41)
+            if (((((0 * P1 + t * P2 + 41) % M) * P1 + 99991) % M + 1) / M) * 40 < 6.0}
+    assert set(hub_kept) == want
+    assert 1 <= len(hub_kept) <= 15
+    # partition-invariant
+    rows2 = {(r["i"], r["j"]) for r in
+             sparsify_by_degree(e.repartition(7), target_degree=6).collect()}
+    assert rows2 == rows

@@ -434,7 +434,8 @@ def test_weighted_sample(spark):
     # priority sampling replay: q = w/u with the same unit hash
     got = set(s1)
     P, M = 1000003, 1000000007
-    pri = {i: (1000.0 if i < 10 else 1.0) / (((i * P + 17) % M + 1) / M)
+    pri = {i: (1000.0 if i < 10 else 1.0)
+           / (((((i * P + 17) % M) * P + 99991) % M + 1) / M)
            for i in range(500)}
     want = set(sorted(pri, key=lambda i: (-pri[i], i))[:50])
     assert got == want
