@@ -902,6 +902,17 @@ def q_rebalance_sources(spark, sf_dir):
 
 
 SPARSIFY_DEG = 6
+NF_RADIUS = 3
+NF_K = 16
+
+
+def q_neighborhood_fn(spark, sf_dir):
+    from graph_python_spark.algorithms.anf import neighborhood_function
+
+    e = customer_graph(spark, sf_dir)
+    return neighborhood_function(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        radius=NF_RADIUS, k=NF_K)
 
 
 def q_sparsify(spark, sf_dir):
@@ -1038,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "rebalance_sources": q_rebalance_sources,
         "sparsify": q_sparsify,
+        "neighborhood_fn": q_neighborhood_fn,
     }
 
 
@@ -2247,6 +2259,45 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_exact,
 FROM s{radius} GROUP BY id"""
 
 
+def _nf_sql(radius: int, k: int) -> str:
+    """Unrolled neighborhood function N(r) for r = 0..radius — mirrors
+    algorithms/anf.neighborhood_function: per-vertex KMV estimate
+    quantized to integer micro-units before the (order-independent) sum;
+    frac = total(r) / total(radius), one exactly-rounded divide."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+s0 AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts)"""
+    steps, tots = [], []
+    for t in range(1, radius + 1):
+        steps.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT id, h FROM (
+    SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h ASC) AS rn
+    FROM (SELECT id, h FROM s{t - 1}
+          UNION
+          SELECT e.src AS id, x.h FROM eb e JOIN s{t - 1} x ON e.dst = x.id)
+  ) WHERE rn <= {k}
+)""")
+    for t in range(radius + 1):
+        tots.append(f""",
+tot{t} AS (
+  SELECT CAST({t} AS BIGINT) AS r,
+         CAST(SUM(CAST(ROUND(est * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS total_micro
+  FROM (
+    SELECT id, CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE {float(k - 1)} /
+                         (CAST(('0x' || substr(MAX(h), 1, 12)) AS BIGINT)
+                          / {float(16 ** 12)}) END AS est
+    FROM s{t} GROUP BY id)
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM tot{t}" for t in range(radius + 1))
+    return head + "".join(steps) + "".join(tots) + f"""
+SELECT c.r, c.total_micro,
+       ROUND(CAST(c.total_micro AS DOUBLE) / f.total_micro, 6) AS frac
+FROM ({union}) c CROSS JOIN tot{radius} f"""
+
+
 def _dag_levels_sql(rounds: int) -> str:
     """Unrolled max-plus longest-path layering of the src < dst DAG —
     mirrors algorithms/traversal.dag_longest_path_levels."""
@@ -2804,6 +2855,7 @@ SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2"""
 
     sqls["anf_reach"] = _anf_sql(ANF_RADIUS, ANF_K)
+    sqls["neighborhood_fn"] = _nf_sql(NF_RADIUS, NF_K)
     sqls["dag_levels"] = _dag_levels_sql(DAG_ROUNDS)
 
     sqls["reciprocity"] = f"""WITH {eg},

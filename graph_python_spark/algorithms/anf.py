@@ -108,3 +108,81 @@ def anf_sketches(
     state.unpersist()
     e.unpersist()
     return out
+
+
+@iterative
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int = 3,
+    k: int = 16,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """The neighborhood function N(r) = Σ_v |ball(v, r)| for r = 0..radius,
+    estimated from the same KMV sketch loop as :func:`anf_sketches`, plus
+    the effective-diameter curve: ``frac`` = N(r) / N(radius).  The
+    effective diameter at q is the smallest r with frac ≥ q (ANF's
+    canonical use — Palmer et al. KDD'02 §4).
+
+    Per-vertex estimates are quantized to integer micro-units BEFORE the
+    global sum (`sum(round(est*1e6))` as BIGINT) so the total is
+    order-independent and engine-bit-identical — the same trick the
+    k-means centroid update uses.  One extra 1-row aggregate per round;
+    no driver-side collect anywhere.
+    """
+    e = edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct()
+    verts = (e.select(F.col("s").alias("id"))
+             .unionByName(e.select(F.col("d").alias("id"))).distinct())
+    n_verts = verts.count()
+
+    def _total(state: DataFrame, r: int) -> DataFrame:
+        kth_frac = (
+            F.conv(F.substring(F.element_at("sketch", k), 1, 12), 16, 10)
+            .cast("double") / F.lit(float(16 ** 12)))
+        n_exact = F.size("sketch")
+        est = (F.when(n_exact < k, n_exact.cast("double"))
+               .otherwise(F.lit(float(k - 1)) / kth_frac))
+        return state.agg(
+            F.lit(r).cast("long").alias("r"),
+            F.sum(F.round(est * 1e6, 0).cast("long")).alias("total_micro"))
+
+    with loop_shuffle_width(edges.sparkSession, n_verts) as width:
+        e = materialize(e.repartition(partitions or width, "s"))
+        state = materialize(
+            verts.select("id", F.array(F.md5(F.col("id").cast("string"))).alias("sketch")))
+        totals = [materialize(_total(state, 0))]
+        for t in range(1, radius + 1):
+            nbr = (
+                e.join(state.select(F.col("id").alias("d"), "sketch"), "d")
+                .groupBy(F.col("s").alias("id"))
+                .agg(F.collect_list("sketch").alias("nbr_sketches"))
+            )
+            new = (
+                state.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    _merge_sketches(
+                        F.concat(F.array(F.col("sketch")),
+                                 F.coalesce(F.col("nbr_sketches"),
+                                            F.array().cast("array<array<string>>"))),
+                        k).alias("sketch"))
+            )
+            prev, state = state, materialize(new)
+            prev.unpersist()
+            totals.append(materialize(_total(state, t)))
+        state.unpersist()
+        e.unpersist()
+
+    curve = totals[0]
+    for t in totals[1:]:
+        curve = curve.unionByName(t)
+    final = totals[-1].select(F.col("total_micro").alias("_tm"))
+    out = (
+        curve.crossJoin(F.broadcast(final))
+        .select("r", "total_micro",
+                F.round(F.col("total_micro").cast("double") / F.col("_tm"), 6)
+                .alias("frac"))
+    )
+    out = out.localCheckpoint(eager=True)
+    for t in totals:
+        t.unpersist()
+    return out

@@ -205,3 +205,20 @@ def test_semdedup_prunes_duplicate_vectors(spark):
     assert got[24] == (True, 0)
     assert got[25] == (True, 3)
     assert not got[0][0] and not got[3][0]
+
+
+def test_neighborhood_function(spark):
+    from graph_python_spark.algorithms.anf import neighborhood_function
+
+    # directed path 0->1->2->3->4 plus isolated pair 10->11
+    e = edge_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {r["r"]: (r["total_micro"], r["frac"])
+           for r in neighborhood_function(e, radius=3, k=16).collect()}
+    # balls are all < k so the estimates are exact counts:
+    # r=0: 7 verts * 1; r=1: path 2+2+2+2+1, pair 2+1 = 12
+    # r=2: 3+3+3+2+1 + 2+1 = 15; r=3: 4+4+3+2+1 + 3 = 17
+    assert got[0][0] == 7_000_000
+    assert got[1][0] == 12_000_000
+    assert got[2][0] == 15_000_000
+    assert got[3] == (17_000_000, 1.0)
+    assert got[1][1] == round(12 / 17, 6)
