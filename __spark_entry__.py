@@ -924,6 +924,44 @@ def q_sparsify(spark, sf_dir):
         F.col("i").alias("src"), F.col("j").alias("dst"))
 
 
+def q_contract_nations(spark, sf_dir):
+    """Quotient of the customer graph under the customer→nation mapping
+    (the page→host contraction of this corpus)."""
+    from graph_python_spark.algorithms.contract import contract_graph
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"),
+        F.col("w").alias("v"))
+    mapping = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("group"))
+    g = contract_graph(e, mapping)
+    return g.select("gi", "gj", F.col("w").cast("long").alias("w"))
+
+
+def q_transitivity(spark, sf_dir):
+    from graph_python_spark.algorithms.metrics import transitivity
+
+    e = customer_graph(spark, sf_dir)
+    return transitivity(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")))
+
+
+RICH_CLUB_KS = (1, 2, 4, 8, 16, 32)
+
+
+def q_rich_club(spark, sf_dir):
+    from graph_python_spark.algorithms.metrics import rich_club
+
+    e = customer_graph(spark, sf_dir)
+    return rich_club(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        thresholds=RICH_CLUB_KS)
+
+
+def q_quality_filter(spark, sf_dir):
+    return text.quality_filter(_docs(spark, sf_dir))
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1050,6 +1088,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_sources": q_rebalance_sources,
         "sparsify": q_sparsify,
         "neighborhood_fn": q_neighborhood_fn,
+        "contract_nations": q_contract_nations,
+        "transitivity": q_transitivity,
+        "rich_club": q_rich_club,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -2971,5 +3013,90 @@ FROM e JOIN deg ON e.i = deg.i
 WHERE (CAST((((e.i * 1000003 + e.j * 10007 + 41) % 1000000007) * 1000003
              + 99991) % 1000000007 + 1 AS DOUBLE)
        / 1000000007.0) * deg.d < {float(SPARSIFY_DEG)!r}"""
+
+    sqls["contract_nations"] = f"""WITH {eg},
+m AS (SELECT c_custkey AS id, c_nationkey AS grp FROM customer)
+SELECT mi.grp AS gi, mj.grp AS gj, CAST(SUM(w) AS BIGINT) AS w
+FROM eg JOIN m mi ON eg.src = mi.id JOIN m mj ON eg.dst = mj.id
+WHERE mi.grp <> mj.grp
+GROUP BY 1, 2"""
+
+    sqls["transitivity"] = f"""WITH {eg},
+ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM eg WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS deg FROM (
+          SELECT a AS id FROM ue UNION ALL SELECT b AS id FROM ue)
+        GROUP BY id),
+w AS (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS wedges FROM deg),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM ue e1 JOIN ue e2 ON e1.b = e2.a
+                 JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT wedges, triangles,
+       ROUND(CASE WHEN wedges > 0 THEN 3.0 * triangles / wedges
+             ELSE 0.0 END, 6) AS transitivity
+FROM w, t"""
+
+    ks_values = ", ".join(f"({int(k)})" for k in RICH_CLUB_KS)
+    sqls["rich_club"] = f"""WITH {eg},
+ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM eg WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS deg FROM (
+          SELECT a AS id FROM ue UNION ALL SELECT b AS id FROM ue)
+        GROUP BY id),
+ks AS (SELECT k FROM (VALUES {ks_values}) t(k)),
+nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM ks JOIN deg ON deg.deg > ks.k GROUP BY k),
+ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+       FROM ks JOIN (SELECT LEAST(da.deg, db.deg) AS dmin
+                     FROM ue JOIN deg da ON ue.a = da.id
+                             JOIN deg db ON ue.b = db.id) e
+            ON e.dmin > ks.k GROUP BY k)
+SELECT ks.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+       COALESCE(ek.n_edges, 0) AS n_edges,
+       ROUND(CASE WHEN COALESCE(nk.n_nodes, 0) > 1
+                  THEN 2.0 * COALESCE(ek.n_edges, 0)
+                       / (nk.n_nodes * (nk.n_nodes - 1))
+             ELSE 0.0 END, 6) AS rich_club
+FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k"""
+
+    sqls["quality_filter"] = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+arr AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS wchars,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+  FROM base
+)
+SELECT a.doc_id, a.n_words,
+       (a.n_words >= 12 AND a.n_words <= 100000) AS ok_n_words,
+       CASE WHEN a.n_words > 0
+            THEN a.wchars >= 2.0 * a.n_words AND a.wchars <= 12.0 * a.n_words
+       ELSE FALSE END AS ok_word_len,
+       CASE WHEN a.n_words > 0 THEN a.nd >= 0.3 * a.n_words
+       ELSE FALSE END AS ok_distinct,
+       CASE WHEN a.n_words > 0 THEN COALESCE(t.top, 0) <= 0.3 * a.n_words
+       ELSE FALSE END AS ok_repetition,
+       ((a.n_words >= 12 AND a.n_words <= 100000)
+        AND CASE WHEN a.n_words > 0
+                 THEN a.wchars >= 2.0 * a.n_words
+                      AND a.wchars <= 12.0 * a.n_words
+            ELSE FALSE END
+        AND CASE WHEN a.n_words > 0 THEN a.nd >= 0.3 * a.n_words
+            ELSE FALSE END
+        AND CASE WHEN a.n_words > 0 THEN COALESCE(t.top, 0) <= 0.3 * a.n_words
+            ELSE FALSE END) AS keep
+FROM arr a LEFT JOIN top t USING (doc_id)"""
 
     return sqls

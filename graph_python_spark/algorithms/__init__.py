@@ -32,7 +32,10 @@ from graph_python_spark.algorithms.metrics import (
     degree_assortativity,
     modularity,
     reciprocity,
+    rich_club,
+    transitivity,
 )
+from graph_python_spark.algorithms.contract import contract_graph
 from graph_python_spark.algorithms.walks import deterministic_walks, ranked_adjacency
 from graph_python_spark.algorithms.anf import anf_sketches
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
@@ -71,4 +74,7 @@ __all__ = [
     "reciprocity",
     "anf_sketches",
     "dag_longest_path_levels",
+    "transitivity",
+    "rich_club",
+    "contract_graph",
 ]

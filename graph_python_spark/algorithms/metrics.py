@@ -115,6 +115,110 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def transitivity(edges: DataFrame) -> DataFrame:
+    """Global transitivity (global clustering coefficient) of the
+    undirected simple graph: 3·triangles / wedges, with
+    wedges = Σ_v d(v)·(d(v)−1)/2.
+
+    Returns ONE row (wedges, triangles, transitivity).  Both totals are
+    exact 64-bit integer sums (order-independent — bit-identical in any
+    engine); only the final ratio is floating, rounded 1e-6.
+
+    Plan: one degree aggregate + the tricount wedge-close join
+    (``algorithms/triangles.py`` — e1 ⋈ e2 on the shared endpoint, closed
+    by an equi-join on (a, c); the mask semi-join form of masked plus_pair
+    A·A, LAGraph tricount) over the pinned canonical edge set.  Hub skew
+    in the wedge join is the tricount skew story: the a<b canonicalization
+    already halves hub fan-out.
+    """
+    from .triangles import canonical_edges
+
+    ue = canonical_edges(edges).localCheckpoint(eager=True)
+    deg = (
+        ue.select(F.col("a").alias("id"))
+        .unionAll(ue.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("deg"))
+    )
+    # Σ d(d−1) is summed as exact int64, halved once at the end (every term
+    # is even) — order-independent, engine-bit-identical
+    wedges = deg.agg(
+        F.expr("sum(deg * (deg - 1)) div 2").cast("long").alias("wedges")
+    )
+    e1 = ue.select("a", "b")
+    e2 = ue.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = ue.select("a", F.col("b").alias("c"))
+    tri = (
+        e1.join(e2, "b").join(e3, ["a", "c"])
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    out = wedges.crossJoin(tri).select(
+        "wedges", "triangles",
+        F.round(F.when(F.col("wedges") > 0,
+                       3.0 * F.col("triangles") / F.col("wedges"))
+                .otherwise(F.lit(0.0)), 6).alias("transitivity"),
+    ).localCheckpoint(eager=True)
+    ue.unpersist()
+    return out
+
+
+def rich_club(edges: DataFrame, thresholds=(1, 2, 4, 8, 16, 32)) -> DataFrame:
+    """Rich-club coefficient φ(k) at each degree threshold: the edge
+    density of the subgraph induced by vertices with degree > k,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) over the undirected simple graph.
+
+    Returns one row per threshold (k, n_nodes, n_edges, rich_club),
+    thresholds with fewer than 2 qualifying nodes reporting 0.0.
+
+    Plan: ONE degree aggregate; each canonical edge picks up both endpoint
+    degrees (two hash joins on the vertex key); then both relations
+    explode over the tiny threshold literal array and aggregate by k —
+    K·|deg| and K·|E| intermediate rows with map-side partial aggregation,
+    never K scans of the edge table.  No windows, no collect.
+    """
+    from .triangles import canonical_edges
+
+    ks = F.array(*[F.lit(int(k)) for k in thresholds])
+    ue = canonical_edges(edges).localCheckpoint(eager=True)
+    deg = (
+        ue.select(F.col("a").alias("id"))
+        .unionAll(ue.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("deg"))
+    )
+    nodes_k = (
+        deg.select(F.explode(ks).alias("k"), "deg")
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k").agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    # an edge is in the k-club iff min(deg_a, deg_b) > k
+    e_deg = (
+        ue.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")), "b")
+        .select(F.least("_da", "_db").alias("_dmin"))
+    )
+    edges_k = (
+        e_deg.select(F.explode(ks).alias("k"), "_dmin")
+        .filter(F.col("_dmin") > F.col("k"))
+        .groupBy("k").agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    base = ue.sparkSession.createDataFrame(
+        [(int(k),) for k in thresholds], "k int")
+    out = (
+        base.join(nodes_k, "k", "left").join(edges_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                F.when(F.coalesce("n_nodes", F.lit(0)) > 1,
+                       2.0 * F.coalesce("n_edges", F.lit(0))
+                       / (F.col("n_nodes") * (F.col("n_nodes") - 1)))
+                .otherwise(F.lit(0.0)), 6).alias("rich_club"),
+        )
+    ).localCheckpoint(eager=True)
+    ue.unpersist()
+    return out
+
+
 def reciprocity(edges: DataFrame) -> DataFrame:
     """Edge reciprocity of the directed simple graph: the fraction of
     directed non-loop edges (i → j) whose reverse (j → i) is also present.

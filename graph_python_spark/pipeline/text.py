@@ -163,6 +163,73 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_words: int = 12,
+    max_words: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_distinct_ratio: float = 0.3,
+    max_top_tok_ratio: float = 0.3,
+) -> DataFrame:
+    """Composite pre-training keep/drop verdict (Gopher/C4-style rule
+    stack) — the operator a data pipeline actually runs, with the
+    individual signals (``quality_score``, ``repetition_stats``) kept as
+    diagnostics.  Per document: per-rule boolean flags plus the AND'd
+    ``keep`` verdict, so downstream can both filter and report *why*
+    documents died.
+
+    Rules (all engine-exact: integer token counts, ratios compared as
+    exact rational inequalities where possible):
+      * ``ok_n_words``     — token count in [min_words, max_words]
+      * ``ok_word_len``    — mean word length in [min_mean_word_len,
+        max_mean_word_len]; compared as n_chars_in_words vs bound·n_words
+        (no float division on the comparison path)
+      * ``ok_distinct``    — |distinct| / |tokens| ≥ min_distinct_ratio
+      * ``ok_repetition`` — top-token frequency / |tokens| ≤ max_top_tok_ratio
+
+    Plan: one explode + two partial-aggregated groupBys for the mode
+    frequency (shared shape with ``repetition_stats``); everything else is
+    array-local projection.  One O(docs) shuffle total.
+    """
+    base = docs.select("doc_id", tokens_col().alias("toks"))
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("_c"))
+        .groupBy("doc_id").agg(F.max("_c").alias("_top"))
+    )
+    n = F.col("n_words")
+    arr = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(F.col("toks"), F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).alias("_wchars"),
+        F.size(F.array_distinct("toks")).cast("long").alias("_nd"),
+    )
+    flags = (
+        arr.join(top, "doc_id", "left_outer")
+        .select(
+            "doc_id", "n_words",
+            ((n >= min_words) & (n <= max_words)).alias("ok_n_words"),
+            F.when(n > 0,
+                   (F.col("_wchars") >= F.lit(min_mean_word_len) * n)
+                   & (F.col("_wchars") <= F.lit(max_mean_word_len) * n))
+            .otherwise(F.lit(False)).alias("ok_word_len"),
+            F.when(n > 0, F.col("_nd") >= F.lit(min_distinct_ratio) * n)
+            .otherwise(F.lit(False)).alias("ok_distinct"),
+            F.when(n > 0,
+                   F.coalesce(F.col("_top"), F.lit(0))
+                   <= F.lit(max_top_tok_ratio) * n)
+            .otherwise(F.lit(False)).alias("ok_repetition"),
+        )
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("ok_n_words") & F.col("ok_word_len")
+        & F.col("ok_distinct") & F.col("ok_repetition"),
+    )
+
+
 # PII patterns — deliberately conservative regex syntax that means the same
 # thing in Java regex (Spark), RE2 (DuckDB), and Python re, so the scrub is
 # engine-replayable.  Redaction order: email, then IPv4, then phone.
