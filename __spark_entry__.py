@@ -962,6 +962,55 @@ def q_quality_filter(spark, sf_dir):
     return text.quality_filter(_docs(spark, sf_dir))
 
 
+DUPSPAN_W = 8
+
+
+def q_duplicate_spans(spark, sf_dir):
+    return dedup.duplicate_spans(_docs(spark, sf_dir), width=DUPSPAN_W,
+                                 min_docs=2)
+
+
+PRW_ITERS = 12
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    from graph_python_spark.algorithms.pagerank import pagerank_weighted_fixed
+
+    e = customer_graph(spark, sf_dir)
+    scores = pagerank_weighted_fixed(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j"),
+                 F.col("w").cast("double").alias("v")),
+        iterations=PRW_ITERS)
+    return scores.select("id", F.round(F.col("score"), 6).alias("score"))
+
+
+WL_ROUNDS = 2
+
+
+def q_wl_fingerprints(spark, sf_dir):
+    from graph_python_spark.algorithms.wl import wl_fingerprints
+
+    e = customer_graph(spark, sf_dir)
+    return wl_fingerprints(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        rounds=WL_ROUNDS)
+
+
+ATTRIB_HORIZON = 1800
+
+
+def q_click_attribution(spark, sf_dir):
+    from graph_python_spark.pipeline.temporal import click_attribution
+
+    out = click_attribution(_events(spark, sf_dir),
+                            horizon_seconds=ATTRIB_HORIZON)
+    return out.select(
+        "user_id", "purchase_id", "click_id",
+        F.col("click_ts").cast("timestamp").cast("double").alias("click_epoch"),
+        F.col("buy_ts").cast("timestamp").cast("double").alias("buy_epoch"),
+        "value")
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1092,6 +1141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "rich_club": q_rich_club,
         "quality_filter": q_quality_filter,
+        "duplicate_spans": q_duplicate_spans,
+        "click_attribution": q_click_attribution,
+        "wl_fingerprints": q_wl_fingerprints,
+        "pagerank_weighted": q_pagerank_weighted,
     }
 
 
@@ -1115,6 +1168,32 @@ r{k} AS MATERIALIZED (
   FROM verts vt LEFT JOIN (
     SELECT e.dst AS id, SUM(r.v * (0.85 / deg.d)) AS c
     FROM eb e JOIN r{k - 1} r ON e.src = r.i JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON vt.id = c.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT i AS id, ROUND(CAST(v AS DOUBLE), 6) AS score FROM r{iters}"""
+
+
+def _pagerank_weighted_sql(iters: int) -> str:
+    """Weighted pagerank_3f unroll: transition 0.85·w/Σw per edge (the
+    customer graph already collapses dup edges, so eg IS the plus-combined
+    weight relation the Spark side rebuilds)."""
+    head = f"""WITH {customer_graph_sql().strip().rstrip(')')}
+),
+verts AS (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
+nvv AS (SELECT count(*) AS n FROM verts),
+ow AS (SELECT src, SUM(w) AS ow FROM eg GROUP BY src),
+r0 AS (SELECT id AS i, 1.0 / (SELECT n FROM nvv) AS v FROM verts)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT vt.id AS i,
+         (0.15 / (SELECT n FROM nvv)) + COALESCE(c.c, 0.0) AS v
+  FROM verts vt LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.v * (0.85 * e.w / ow.ow)) AS c
+    FROM eg e JOIN r{k - 1} r ON e.src = r.i JOIN ow ON ow.src = e.src
     GROUP BY e.dst
   ) c ON vt.id = c.id
 )""")
@@ -3098,5 +3177,59 @@ SELECT a.doc_id, a.n_words,
         AND CASE WHEN a.n_words > 0 THEN COALESCE(t.top, 0) <= 0.3 * a.n_words
             ELSE FALSE END) AS keep
 FROM arr a LEFT JOIN top t USING (doc_id)"""
+
+    w = int(DUPSPAN_W)
+    sqls["duplicate_spans"] = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) < {w} THEN []
+           ELSE list_transform(generate_series(1, len(toks) - {w} + 1),
+                i -> md5(array_to_string(toks[i:i + {w} - 1], ' '))) END)
+           AS digs
+  FROM base
+),
+ex AS (SELECT doc_id, UNNEST(digs) AS dig FROM per_doc),
+dup AS (SELECT dig FROM ex GROUP BY dig HAVING COUNT(*) >= 2),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+        FROM ex JOIN dup USING (dig) GROUP BY doc_id)
+SELECT p.doc_id, CAST(len(digs) AS BIGINT) AS n_spans,
+       COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+       ROUND(CASE WHEN len(digs) > 0
+                  THEN CAST(COALESCE(c.n_dup_spans, 0) AS DOUBLE) / len(digs)
+             ELSE 0.0 END, 6) AS dup_ratio
+FROM per_doc p LEFT JOIN cnt c USING (doc_id)"""
+
+    sqls["click_attribution"] = f"""
+WITH c AS (SELECT user_id, epoch(ts) AS cep, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, epoch(ts) AS bep, event_id AS purchase_id, value
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, b.purchase_id, c.click_id,
+       c.cep AS click_epoch, b.bep AS buy_epoch, b.value
+FROM c JOIN b ON c.user_id = b.user_id
+WHERE c.cep < b.bep AND b.bep <= c.cep + {float(ATTRIB_HORIZON)!r}"""
+
+    wl_rounds = "".join(
+        f""",
+l{r + 1} AS (
+  SELECT l.id,
+         md5(l.label || '|' ||
+             array_to_string(list(nl.label ORDER BY nl.label), ',')) AS label
+  FROM l{r} l JOIN sym ON sym.s = l.id JOIN l{r} nl ON nl.id = sym.d
+  GROUP BY l.id, l.label
+)""" for r in range(WL_ROUNDS))
+    sqls["wl_fingerprints"] = f"""WITH {eg},
+sym AS (SELECT DISTINCT s, d FROM (
+  SELECT src AS s, dst AS d FROM eg
+  UNION ALL SELECT dst AS s, src AS d FROM eg) WHERE s <> d),
+l0 AS (SELECT s AS id, md5(CAST(COUNT(*) AS VARCHAR)) AS label
+       FROM sym GROUP BY s){wl_rounds}
+SELECT id, label FROM l{WL_ROUNDS}"""
+
+    sqls["pagerank_weighted"] = _pagerank_weighted_sql(PRW_ITERS)
 
     return sqls

@@ -36,6 +36,7 @@ from graph_python_spark.algorithms.metrics import (
     transitivity,
 )
 from graph_python_spark.algorithms.contract import contract_graph
+from graph_python_spark.algorithms.wl import wl_fingerprints, wl_label_histogram
 from graph_python_spark.algorithms.walks import deterministic_walks, ranked_adjacency
 from graph_python_spark.algorithms.anf import anf_sketches
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
@@ -77,4 +78,6 @@ __all__ = [
     "transitivity",
     "rich_club",
     "contract_graph",
+    "wl_fingerprints",
+    "wl_label_histogram",
 ]

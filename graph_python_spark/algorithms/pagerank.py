@@ -313,3 +313,67 @@ def pagerank_fixed(
     with loop_conf(adj.sparkSession), loop_shuffle_width(adj.sparkSession, n):
         contrib, _ = _contrib_loop(adj, teleport, 1.0 / n, iterations, pinned)
     return _finalize(vertices, contrib, teleport)
+
+
+def pagerank_weighted_fixed(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Weighted pagerank_3f twin over (i, j, v): transition mass out of a
+    vertex splits proportionally to edge weight, p_ij = damping · w_ij /
+    Σ_j w_ij — the anchor-count / click-count link-graph variant (the
+    reference's pagerank operates on one(A); this is the same semiring
+    SpMV with plus_times over the stochastic weights instead).
+
+    Exactly ``iterations`` steps — deterministic, so a fixed SQL unroll
+    oracles it.  Plan: the transition-probability edge table is built once
+    (dup edges collapsed plus_times-style, one groupBy + one src-key join),
+    hash(i)-partitioned and pinned; every iteration then joins the O(V)
+    contribution vector to it exchange-free on the edge side and shuffles
+    only the O(distinct dst) partial sums — identical shape to the
+    unweighted cached-adjacency loop.
+    """
+    spark = edges.sparkSession
+    npart = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.groupBy("i", "j").agg(F.sum("v").alias("w"))
+    ow = e.groupBy("i").agg(F.sum("w").alias("ow"))
+    trans = (
+        e.join(ow, "i")
+        .select("i", "j",
+                (F.lit(damping) * F.col("w") / F.col("ow")).alias("p"))
+        .repartition(npart, "i")
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("i").alias("id"))
+        .unionByName(e.select(F.col("j").alias("id")))
+        .distinct()
+        .cache()
+    )
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, score double")
+    teleport = (1.0 - damping) / n
+    r0 = 1.0 / n
+
+    pinned = _Pinned()
+    contrib = None
+    with loop_conf(spark), loop_shuffle_width(spark, n):
+        for k in range(iterations):
+            if contrib is None:
+                src = trans.select("j", (F.lit(r0) * F.col("p")).alias("x"))
+            else:
+                src = trans.join(contrib, "i", "left_outer").select(
+                    "j",
+                    ((F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0)))
+                     * F.col("p")).alias("x"))
+            new_contrib = (
+                src.groupBy(F.col("j").alias("i")).agg(F.sum("x").alias("c")))
+            if (k + 1) % 3 == 0 or k == iterations - 1:
+                new_contrib = pinned.pin(new_contrib)
+            contrib = new_contrib
+    out = _finalize(vertices, contrib, teleport)
+    trans.unpersist()
+    return out

@@ -253,6 +253,55 @@ def char_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def duplicate_spans(docs: DataFrame, width: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Exact duplicated-passage detection at fixed shingle width — the
+    fixed-granularity form of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``width``-token window whose text occurs in ≥ ``min_docs`` distinct
+    documents is a duplicated span.  Per document: distinct window count,
+    duplicated window count, and the duplicated fraction — the signal a
+    pipeline thresholds to drop boilerplate-heavy documents or to excise
+    the spans themselves.
+
+    Plan shape: windows are built array-locally (transform over sequence —
+    zero per-row Python, one md5 per window) and keyed by digest; document
+    frequency is ONE groupBy on the digest (map-side partial agg over
+    per-doc-distinct digests; md5 keys are uniform, so the shuffle cannot
+    skew); duplicated digests join back on the same key.  End to end the
+    moved data is O(total tokens) rows of 32-byte keys — the inverted-
+    index shape every dedup family here shares.
+    """
+    base = docs.select("doc_id", tokens_col().alias("toks"))
+    spans = F.expr(
+        f"CASE WHEN size(toks) < {int(width)} THEN array()"
+        f" ELSE transform(sequence(1, size(toks) - {int(width)} + 1),"
+        f" i -> md5(concat_ws(' ', slice(toks, i, {int(width)})))) END")
+    per_doc = base.select(
+        "doc_id", F.array_distinct(spans).alias("digs")).cache()
+    ex = per_doc.select("doc_id", F.explode("digs").alias("dig"))
+    dup = (
+        ex.groupBy("dig").agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs).select("dig")
+    )
+    cnt = ex.join(dup, "dig").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"))
+    out = (
+        per_doc.select("doc_id", F.size("digs").cast("long").alias("n_spans"))
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id", "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(F.col("n_spans") > 0,
+                       F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                       / F.col("n_spans"))
+                .otherwise(F.lit(0.0)), 6).alias("dup_ratio"),
+        )
+    )
+    return out
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 8,
                         threshold_num: int = 1, threshold_den: int = 2,
                         df_cap: int | None = None) -> DataFrame:

@@ -258,3 +258,46 @@ def cohort_retention(
         )
         .agg(F.countDistinct("user").cast("long").alias("n_users"))
     )
+
+
+def click_attribution(
+    events: DataFrame,
+    horizon_seconds: int = 3600,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Interval join: every (click, purchase) pair by the same user with
+    the purchase STRICTLY after the click and within ``horizon_seconds``
+    — the batch twin of ``streaming.stream_click_attribution`` (ad-click
+    attribution), emitting identical rows.
+
+    Plan: the time range rides on a USER-KEY EQUI-JOIN (one hash/SMJ
+    exchange per side on the user id, the range as a residual filter) —
+    never a pure time-range join, which Spark would plan as
+    BroadcastNestedLoop.  Per-user output is bounded by clicks×purchases
+    inside the horizon, the same bound as the streaming state store.
+
+    Output: (user_id, purchase_id, click_id, click_ts, buy_ts, value).
+    """
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_eid"),
+        F.col("event_type").alias("_etype"),
+        "value",
+    )
+    clicks = base.filter(F.col("_etype") == left_type).select(
+        "user_id", F.col("_ts").alias("click_ts"), F.col("_eid").alias("click_id"))
+    buys = base.filter(F.col("_etype") == right_type).select(
+        "user_id", F.col("_ts").alias("buy_ts"),
+        F.col("_eid").alias("purchase_id"), "value")
+    joined = clicks.join(buys, "user_id").filter(
+        (F.col("click_ts") < F.col("buy_ts"))
+        & (F.col("buy_ts")
+           <= F.col("click_ts") + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS"))
+    )
+    return joined.select("user_id", "purchase_id", "click_id",
+                         "click_ts", "buy_ts", "value")

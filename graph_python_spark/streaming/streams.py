@@ -188,6 +188,48 @@ def stream_dedup_minhash(spark: SparkSession, path: str, k: int = 8,
     )
 
 
+def stream_click_attribution(spark: SparkSession, path: str,
+                             horizon_seconds: int = 3600,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click
+    by the same user within the preceding ``horizon_seconds`` — the
+    canonical watermarked two-stream join (ad-click attribution).
+
+    Both sides carry an event-time watermark and the join condition pairs
+    the user-key equality with a bounded time range, so Spark's state
+    store retains each side only ``watermark + horizon`` deep: state is
+    O(events in the horizon window), never O(stream).  The shuffle key is
+    the user id on both sides — the same single key-exchange plan as the
+    batch twin ``pipeline.temporal.click_attribution``, which tests assert
+    emits identical rows.
+    """
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", watermark)
+    )
+    buys = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("user_id"),
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("value"))
+        .withWatermark("buy_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("buy_ts"))
+        & (F.col("buy_ts")
+           <= F.col("click_ts") + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS"))
+    )
+    return clicks.join(buys, cond, "inner").select(
+        "user_id", "purchase_id", "click_id", "click_ts", "buy_ts", "value")
+
+
 def stream_sessionize(spark: SparkSession, path: str,
                       gap_seconds: float = 1800.0,
                       watermark: str = "1 hour",

@@ -157,3 +157,212 @@ def test_quality_filter_empty_doc(spark):
     for r in rows:
         assert r.n_words == 0 and not r.keep
         assert not r.ok_word_len and not r.ok_distinct and not r.ok_repetition
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+def test_duplicate_spans_hand_fixture(spark):
+    from graph_python_spark.pipeline.dedup import duplicate_spans
+
+    shared = "a b c d"                       # one shared 4-token window
+    d0 = shared + " x1 x2 x3"                # windows at offsets 1..4
+    d1 = "y0 " + shared + " y1 y2"           # shares only the 'a b c d' window
+    d2 = "z0 z1 z2"                          # too short for any window
+    rows = {r.doc_id: r for r in duplicate_spans(
+        _doc_df(spark, [d0, d1, d2]), width=4, min_docs=2).collect()}
+    assert rows[0].n_spans == 4 and rows[0].n_dup_spans == 1
+    assert rows[1].n_spans == 4 and rows[1].n_dup_spans == 1
+    assert rows[2].n_spans == 0 and rows[2].n_dup_spans == 0
+    assert rows[2].dup_ratio == 0.0
+    assert abs(rows[0].dup_ratio - 0.25) < 1e-9
+
+
+def test_duplicate_spans_differential(spark):
+    from collections import Counter
+
+    from graph_python_spark.pipeline.dedup import duplicate_spans
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+             for _ in range(40)]
+    W = 5
+    per_doc = []
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        wins = {" ".join(toks[i:i + W]) for i in range(len(toks) - W + 1)}
+        per_doc.append(wins)
+    df_count = Counter(w for wins in per_doc for w in wins)
+    rows = {r.doc_id: r for r in duplicate_spans(
+        _doc_df(spark, texts), width=W, min_docs=2).collect()}
+    for i, wins in enumerate(per_doc):
+        dup = sum(1 for w in wins if df_count[w] >= 2)
+        assert rows[i].n_spans == len(wins), i
+        assert rows[i].n_dup_spans == dup, i
+
+
+# ---------------------------------------------------------------------------
+# click attribution (batch + stream-stream join parity)
+# ---------------------------------------------------------------------------
+import datetime as dt
+
+EPOCH0 = dt.datetime(2024, 1, 1)
+
+
+def _ev_df(spark, rows):
+    data = [(int(e), EPOCH0 + dt.timedelta(seconds=float(s)), int(u), t, float(v))
+            for e, s, u, t, v in rows]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+
+ATTRIB_ROWS = [
+    (0, 0, 1, "click", 0.0),
+    (1, 100, 1, "click", 0.0),
+    (2, 150, 1, "purchase", 9.0),   # attributed to clicks 0 and 1
+    (3, 4000, 1, "purchase", 7.0),  # outside 3600s of click 0... in of 1? 4000-100=3900 > 3600 → none
+    (4, 50, 2, "purchase", 5.0),    # user 2 has no click before
+    (5, 60, 2, "click", 0.0),
+    (6, 60, 3, "click", 0.0),
+    (7, 60, 3, "purchase", 1.0),    # tie: strict < excludes
+    (8, 3660, 3, "purchase", 2.0),  # exactly horizon after click 6 → included (<=)
+]
+
+
+def _expected_attrib():
+    return {(1, 2, 0), (1, 2, 1), (3, 8, 6)}
+
+
+def test_click_attribution_batch(spark):
+    from graph_python_spark.pipeline.temporal import click_attribution
+
+    out = click_attribution(_ev_df(spark, ATTRIB_ROWS), horizon_seconds=3600)
+    got = {(r.user_id, r.purchase_id, r.click_id) for r in out.collect()}
+    assert got == _expected_attrib()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_click_attribution_matches_batch(spark, tmp_path):
+    from graph_python_spark.streaming.streams import (
+        run_to_memory, stream_click_attribution)
+
+    path = str(tmp_path / "attrib_events")
+    _ev_df(spark, ATTRIB_ROWS).withColumn("props", F.lit("{}")) \
+        .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .coalesce(1).write.parquet(path)
+    out = stream_click_attribution(spark, path, horizon_seconds=3600,
+                                   watermark="1 hour")
+    run_to_memory(out, "sattrib", "append")
+    got = {(r.user_id, r.purchase_id, r.click_id)
+           for r in spark.sql("SELECT * FROM sattrib").collect()}
+    assert got == _expected_attrib()
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman fingerprints
+# ---------------------------------------------------------------------------
+def _wl_oracle(pairs, rounds):
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    adj = _sym(pairs)
+    labels = {v: md5(str(len(nb))) for v, nb in adj.items()}
+    for _ in range(rounds):
+        labels = {
+            v: md5(labels[v] + "|" + ",".join(sorted(labels[u] for u in adj[v])))
+            for v in adj
+        }
+    return labels
+
+
+def test_wl_distinguishes_path_endpoints(spark):
+    from graph_python_spark.algorithms.wl import wl_fingerprints
+
+    # path 1-2-3-4-5: by symmetry {1,5}, {2,4} share labels, 3 unique
+    e = edge_df(spark, [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)])
+    out = {r.id: r.label for r in wl_fingerprints(e.select("i", "j"), rounds=2).collect()}
+    assert out[1] == out[5] and out[2] == out[4]
+    assert len({out[1], out[2], out[3]}) == 3
+
+
+def test_wl_differential(spark):
+    from graph_python_spark.algorithms.wl import wl_fingerprints
+
+    pairs = rand_graph(n=25, m=90, seed=17)
+    want = _wl_oracle(pairs, rounds=2)
+    got = {r.id: r.label for r in wl_fingerprints(
+        edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j"),
+        rounds=2).collect()}
+    assert got == want
+
+
+def test_wl_histogram_sums_to_vertices(spark):
+    from graph_python_spark.algorithms.wl import wl_label_histogram
+
+    pairs = rand_graph(n=25, m=90, seed=17)
+    n_verts = len(_sym(pairs))
+    hist = wl_label_histogram(
+        edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j"),
+        rounds=1).collect()
+    assert sum(r.n_vertices for r in hist) == n_verts
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank
+# ---------------------------------------------------------------------------
+def _prw_oracle(triples, iters, damping=0.85):
+    import numpy as np
+
+    w = {}
+    for i, j, v in triples:
+        w[(i, j)] = w.get((i, j), 0.0) + float(v)
+    ids = sorted({i for i, _, _ in triples} | {j for _, j, _ in triples})
+    idx = {v: k for k, v in enumerate(ids)}
+    n = len(ids)
+    ow = {}
+    for (i, _j), v in w.items():
+        ow[i] = ow.get(i, 0.0) + v
+    P = np.zeros((n, n))
+    for (i, j), v in w.items():
+        P[idx[j], idx[i]] = damping * v / ow[i]
+    teleport = (1.0 - damping) / n
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = teleport + P @ r
+    return {ids[k]: r[k] for k in range(n)}
+
+
+def test_pagerank_weighted_differential(spark):
+    from graph_python_spark.algorithms.pagerank import pagerank_weighted_fixed
+
+    rng = random.Random(31)
+    triples = [(a, b, rng.randrange(1, 5)) for a, b in rand_graph(n=30, m=150, seed=9)
+               if a != b]
+    want = _prw_oracle(triples, iters=10)
+    got = {r.id: r.score for r in pagerank_weighted_fixed(
+        edge_df(spark, triples).withColumn("v", F.col("v").cast("double")),
+        iterations=10).collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_pagerank_weighted_uniform_matches_unweighted(spark):
+    from graph_python_spark.algorithms import pagerank_fixed
+    from graph_python_spark.algorithms.pagerank import pagerank_weighted_fixed
+
+    pairs = rand_graph(n=25, m=100, seed=21)
+    triples = [(a, b, 1) for a, b in pairs if a != b]
+    e = edge_df(spark, triples)
+    wgt = {r.id: r.score for r in pagerank_weighted_fixed(
+        e.withColumn("v", F.col("v").cast("double")), iterations=8).collect()}
+    unw = {r.id: r.score for r in pagerank_fixed(
+        e.select("i", "j"), iterations=8).collect()}
+    assert set(wgt) == set(unw)
+    for k in wgt:
+        assert abs(wgt[k] - unw[k]) < 1e-9, k
