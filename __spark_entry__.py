@@ -970,6 +970,18 @@ def q_duplicate_spans(spark, sf_dir):
                                  min_docs=2)
 
 
+DEGQ_PROBS = (0.5, 0.9, 0.99, 0.999)
+
+
+def q_degree_quantiles(spark, sf_dir):
+    from graph_python_spark.algorithms.metrics import degree_quantiles
+
+    e = customer_graph(spark, sf_dir)
+    return degree_quantiles(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        probs=DEGQ_PROBS)
+
+
 PRW_ITERS = 12
 
 
@@ -1145,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         "wl_fingerprints": q_wl_fingerprints,
         "pagerank_weighted": q_pagerank_weighted,
+        "degree_quantiles": q_degree_quantiles,
     }
 
 
@@ -3231,5 +3244,12 @@ l0 AS (SELECT s AS id, md5(CAST(COUNT(*) AS VARCHAR)) AS label
 SELECT id, label FROM l{WL_ROUNDS}"""
 
     sqls["pagerank_weighted"] = _pagerank_weighted_sql(PRW_ITERS)
+
+    degq_union = "\nUNION ALL\n".join(
+        f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"
+        f" AS deg_q FROM deg" for p in DEGQ_PROBS)
+    sqls["degree_quantiles"] = f"""WITH {eg},
+deg AS (SELECT src, COUNT(*) AS deg FROM eg GROUP BY src)
+{degq_union}"""
 
     return sqls

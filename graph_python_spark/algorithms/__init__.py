@@ -31,6 +31,7 @@ from graph_python_spark.algorithms.vertexsim import (
 from graph_python_spark.algorithms.metrics import (
     degree_assortativity,
     modularity,
+    degree_quantiles,
     reciprocity,
     rich_club,
     transitivity,
@@ -80,4 +81,5 @@ __all__ = [
     "contract_graph",
     "wl_fingerprints",
     "wl_label_histogram",
+    "degree_quantiles",
 ]

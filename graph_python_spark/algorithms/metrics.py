@@ -219,6 +219,33 @@ def rich_club(edges: DataFrame, thresholds=(1, 2, 4, 8, 16, 32)) -> DataFrame:
     return out
 
 
+def degree_quantiles(edges: DataFrame,
+                     probs=(0.5, 0.9, 0.99, 0.999),
+                     direction: str = "out") -> DataFrame:
+    """Exact (linearly interpolated) quantiles of the degree distribution —
+    the skew diagnostic that decides salting / hub-chunking parameters
+    before running anything expensive on a power-law graph.
+
+    Returns one row per probability (p, deg_q).  Spark's ``percentile`` is
+    the exact type-7 estimator (same as DuckDB ``quantile_cont``), so the
+    result is engine-identical up to the final rounding.  Scale shape: the
+    degree agg is one shuffle; the percentile agg's state is one count per
+    DISTINCT degree value (power-law graphs have O(max-degree) ≪ V of
+    them), merged map-side — no sort, no window, no collect.
+    """
+    key = "i" if direction == "out" else "j"
+    deg = edges.select(key).groupBy(key).agg(F.count("*").alias("deg"))
+    plist = ", ".join(repr(float(p)) for p in probs)
+    qarr = deg.agg(F.expr(f"percentile(deg, array({plist}))").alias("_qs"))
+    pcol = F.array(*[F.lit(float(p)) for p in probs])
+    return (
+        qarr.select(F.explode(F.arrays_zip(pcol.alias("p"),
+                                           F.col("_qs").alias("q"))).alias("z"))
+        .select(F.col("z.p").alias("p"),
+                F.round(F.col("z.q"), 6).alias("deg_q"))
+    )
+
+
 def reciprocity(edges: DataFrame) -> DataFrame:
     """Edge reciprocity of the directed simple graph: the fraction of
     directed non-loop edges (i → j) whose reverse (j → i) is also present.

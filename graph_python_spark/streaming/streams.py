@@ -230,6 +230,22 @@ def stream_click_attribution(spark: SparkSession, path: str,
         "user_id", "purchase_id", "click_id", "click_ts", "buy_ts", "value")
 
 
+def stream_enrich_events(spark: SparkSession, path: str,
+                         dim: DataFrame,
+                         key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: decorate the event stream with a
+    static dimension table (user → attributes) — the lookup-table pattern
+    of every streaming feature pipeline.
+
+    Spark plans a stream-static join with the static side read fresh per
+    micro-batch and broadcast when small — no streaming state at all (only
+    stream-stream joins buffer).  Left join keeps events with no dimension
+    row (attrs NULL) so the stream never silently drops records.
+    """
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    return events.join(dim, key, "left")
+
+
 def stream_sessionize(spark: SparkSession, path: str,
                       gap_seconds: float = 1800.0,
                       watermark: str = "1 hour",

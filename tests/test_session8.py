@@ -366,3 +366,39 @@ def test_pagerank_weighted_uniform_matches_unweighted(spark):
     assert set(wgt) == set(unw)
     for k in wgt:
         assert abs(wgt[k] - unw[k]) < 1e-9, k
+
+
+# ---------------------------------------------------------------------------
+# degree quantiles / stream-static enrichment
+# ---------------------------------------------------------------------------
+def test_degree_quantiles_matches_numpy(spark):
+    import numpy as np
+
+    from graph_python_spark.algorithms.metrics import degree_quantiles
+
+    pairs = rand_graph(n=40, m=300, seed=41)
+    e = edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j")
+    from collections import Counter
+    degs = np.array(sorted(Counter(a for a, _ in pairs).values()), dtype=float)
+    rows = {r.p: r.deg_q for r in degree_quantiles(e, probs=(0.5, 0.9)).collect()}
+    for p in (0.5, 0.9):
+        want = float(np.quantile(degs, p))  # numpy default = linear = type 7
+        assert abs(rows[p] - round(want, 6)) < 1e-9, (p, rows[p], want)
+
+
+def test_stream_enrich_events(spark, tmp_path):
+    from graph_python_spark.streaming.streams import (
+        run_to_memory, stream_enrich_events)
+
+    path = str(tmp_path / "enrich_events")
+    _ev_df(spark, [(0, 0, 1, "click", 1.0), (1, 5, 2, "view", 2.0),
+                   (2, 9, 7, "click", 3.0)]) \
+        .withColumn("props", F.lit("{}")) \
+        .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .coalesce(1).write.parquet(path)
+    dim = spark.createDataFrame([(1, "emea"), (2, "apac")],
+                                "user_id long, region string")
+    out = stream_enrich_events(spark, path, dim)
+    run_to_memory(out, "senrich", "append")
+    got = {r.event_id: r.region for r in spark.sql("SELECT * FROM senrich").collect()}
+    assert got == {0: "emea", 1: "apac", 2: None}
