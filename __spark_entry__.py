@@ -970,6 +970,16 @@ def q_duplicate_spans(spark, sf_dir):
                                  min_docs=2)
 
 
+def q_vertex_features(spark, sf_dir):
+    from graph_python_spark.algorithms.metrics import vertex_features
+
+    e = customer_graph(spark, sf_dir)
+    out = vertex_features(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")))
+    return out.select("id", "out_deg", "in_deg", "degree", "triangles",
+                      F.round("coeff", 6).alias("coeff"))
+
+
 DEGQ_PROBS = (0.5, 0.9, 0.99, 0.999)
 
 
@@ -1158,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_fingerprints": q_wl_fingerprints,
         "pagerank_weighted": q_pagerank_weighted,
         "degree_quantiles": q_degree_quantiles,
+        "vertex_features": q_vertex_features,
     }
 
 
@@ -3244,6 +3255,30 @@ l0 AS (SELECT s AS id, md5(CAST(COUNT(*) AS VARCHAR)) AS label
 SELECT id, label FROM l{WL_ROUNDS}"""
 
     sqls["pagerank_weighted"] = _pagerank_weighted_sql(PRW_ITERS)
+
+    sqls["vertex_features"] = f"""WITH {eg},
+ce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM eg WHERE src <> dst),
+de AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst),
+dout AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_deg FROM de GROUP BY src),
+din AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS in_deg FROM de GROUP BY dst),
+tri AS (SELECT x.a, x.b, y.b AS c
+        FROM ce x JOIN ce y ON x.b = y.a
+        JOIN ce z ON z.a = x.a AND z.b = y.b),
+tv AS (SELECT id, count(*) AS t FROM (
+         SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY id),
+deg AS (SELECT id, count(*) AS d FROM (
+          SELECT a AS id FROM ce UNION ALL SELECT b AS id FROM ce) GROUP BY id)
+SELECT deg.id,
+       COALESCE(dout.out_deg, 0) AS out_deg,
+       COALESCE(din.in_deg, 0) AS in_deg,
+       CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d >= 2 THEN 2.0 * COALESCE(t, 0) / (d * (d - 1))
+             ELSE 0.0 END, 6) AS coeff
+FROM deg LEFT JOIN tv ON deg.id = tv.id
+LEFT JOIN dout ON deg.id = dout.id LEFT JOIN din ON deg.id = din.id"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

@@ -33,8 +33,10 @@ from graph_python_spark.algorithms.metrics import (
     modularity,
     degree_quantiles,
     reciprocity,
+    vertex_features,
     rich_club,
     transitivity,
+    vertex_features,
 )
 from graph_python_spark.algorithms.contract import contract_graph
 from graph_python_spark.algorithms.wl import wl_fingerprints, wl_label_histogram
@@ -82,4 +84,5 @@ __all__ = [
     "wl_fingerprints",
     "wl_label_histogram",
     "degree_quantiles",
+    "vertex_features",
 ]

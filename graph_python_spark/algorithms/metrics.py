@@ -219,6 +219,38 @@ def rich_club(edges: DataFrame, thresholds=(1, 2, 4, 8, 16, 32)) -> DataFrame:
     return out
 
 
+def vertex_features(edges: DataFrame) -> DataFrame:
+    """Per-vertex structural feature table — the assembled input a GNN /
+    feature-store pipeline reads: directed out- and in-degree (simple
+    graph), undirected degree, triangle count, local clustering
+    coefficient.  One plan: the shared degree/tricount machinery
+    (``algorithms/triangles.clustering_coefficients``) plus two directed
+    degree aggregates and two vertex-key left joins — O(E) shuffles only,
+    nothing iterative.
+
+    Vertices appear if they touch any non-loop edge; directed degrees
+    count distinct simple edges (loops dropped), matching the undirected
+    base relation.
+    """
+    from .triangles import clustering_coefficients
+
+    base = clustering_coefficients(edges)
+    e = edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
+    dout = e.groupBy(F.col("i").alias("id")).agg(
+        F.count("*").cast("long").alias("out_deg"))
+    din = e.groupBy(F.col("j").alias("id")).agg(
+        F.count("*").cast("long").alias("in_deg"))
+    return (
+        base.join(dout, "id", "left").join(din, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            "degree", "triangles", "coeff",
+        )
+    )
+
+
 def degree_quantiles(edges: DataFrame,
                      probs=(0.5, 0.9, 0.99, 0.999),
                      direction: str = "out") -> DataFrame:

@@ -402,3 +402,23 @@ def test_stream_enrich_events(spark, tmp_path):
     run_to_memory(out, "senrich", "append")
     got = {r.event_id: r.region for r in spark.sql("SELECT * FROM senrich").collect()}
     assert got == {0: "emea", 1: "apac", 2: None}
+
+
+def test_vertex_features_differential(spark):
+    from graph_python_spark.algorithms.metrics import vertex_features
+
+    pairs = rand_graph(n=25, m=120, seed=47)
+    e = edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j")
+    adj = _sym(pairs)
+    simple = {(a, b) for a, b in pairs if a != b}
+    rows = {r.id: r for r in vertex_features(e).collect()}
+    assert set(rows) == set(adj)
+    for v, nb in adj.items():
+        r = rows[v]
+        assert r.degree == len(nb)
+        assert r.out_deg == sum(1 for a, _ in simple if a == v)
+        assert r.in_deg == sum(1 for _, b in simple if b == v)
+        tri = sum(1 for x in nb for y in nb if x < y and y in adj[x])
+        assert r.triangles == tri, v
+        want = 2.0 * tri / (len(nb) * (len(nb) - 1)) if len(nb) >= 2 else 0.0
+        assert abs(r.coeff - want) < 1e-9
