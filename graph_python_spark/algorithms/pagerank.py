@@ -332,8 +332,16 @@ def pagerank_weighted_fixed(
     (dup edges collapsed plus_times-style, one groupBy + one src-key join),
     hash(i)-partitioned and pinned; every iteration then joins the O(V)
     contribution vector to it exchange-free on the edge side and shuffles
-    only the O(distinct dst) partial sums — identical shape to the
-    unweighted cached-adjacency loop.
+    only the O(distinct dst) partial sums.
+
+    Measured ablation (22.9M edges / 4M vertices, local[32]): a weighted
+    CSR array loop (``operators/blocks.weighted_adjacency_table`` with
+    damping·w/Σw folded in, explode-of-zipped-arrays fan-out) runs the SAME
+    ~7-8.6 s/iteration as this edge join — the unweighted loop's 4× array
+    win comes from exploding bare long arrays; zipping a weight alongside
+    puts a struct in the explode and gives the gain back — while its 18 s
+    build never amortizes.  Edge form kept; the weighted adjacency builder
+    remains exported for block-level consumers.
     """
     spark = edges.sparkSession
     npart = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))

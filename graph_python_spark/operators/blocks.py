@@ -195,6 +195,90 @@ def adjacency_table(edges: DataFrame, src: str = "s", dst: str = "d",
     return built.cache()
 
 
+def weighted_adjacency_table(edges: DataFrame, src: str = "s",
+                             dst: str = "d", wcol: str = "w",
+                             partitions: Optional[int] = None,
+                             max_chunk: int = 4_000_000) -> DataFrame:
+    """Weighted twin of :func:`adjacency_table`: cached rows
+    ``(s, ds: array<long>, ws: array<double>, deg: long, tw: double)``
+    hash-partitioned by s, with ``ds``/``ws`` aligned (sorted by d,
+    duplicate (s, d) weights plus-combined — ``Matrix.build`` dup_op=plus,
+    reference graphblas/core/matrix.py:643-698), ``deg`` the TOTAL distinct
+    out-degree and ``tw`` the TOTAL out-weight on every chunk row.
+
+    Same hub segmentation and build strategy as the unweighted table
+    (numpy segment walk over Arrow batches after one hash(s) shuffle +
+    in-partition sort); the weight column rides along and duplicate
+    neighbors collapse via ``np.add.reduceat`` over the sorted runs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                     F.col(wcol).cast("double").alias("w"))
+    part = e.repartition(partitions, "s") if partitions else e.repartition("s")
+    sorted_e = part.sortWithinPartitions("s", "d")
+
+    schema = "s long, ds array<long>, ws array<double>, deg long, tw double"
+
+    def build(batches):
+        buf: dict[str, list] = {"s": [], "ds": [], "ws": [], "deg": [], "tw": []}
+        pend_s = None
+        pend_d: list[np.ndarray] = []
+        pend_w: list[np.ndarray] = []
+
+        def flush_group():
+            nonlocal pend_s, pend_d, pend_w
+            if pend_s is not None:
+                dd = np.concatenate(pend_d) if len(pend_d) > 1 else pend_d[0]
+                ww = np.concatenate(pend_w) if len(pend_w) > 1 else pend_w[0]
+                # chunks arrive d-sorted within themselves but not across
+                # batch boundaries; one stable sort restores global order
+                order = np.argsort(dd, kind="stable")
+                dd, ww = dd[order], ww[order]
+                uniq, starts = np.unique(dd, return_index=True)
+                sums = np.add.reduceat(ww, starts)
+                deg = len(uniq)
+                tw = float(sums.sum())
+                for lo in range(0, deg, max_chunk):
+                    buf["s"].append(pend_s)
+                    buf["ds"].append(uniq[lo:lo + max_chunk])
+                    buf["ws"].append(sums[lo:lo + max_chunk])
+                    buf["deg"].append(deg)
+                    buf["tw"].append(tw)
+            pend_s = None
+            pend_d, pend_w = [], []
+
+        for pdf in batches:
+            ss = pdf["s"].to_numpy()
+            dd = pdf["d"].to_numpy()
+            ww = pdf["w"].to_numpy(dtype=np.float64)
+            if len(ss) == 0:
+                continue
+            starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+            bounds = np.r_[starts, len(ss)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                key = int(ss[lo])
+                if pend_s == key:
+                    pend_d.append(dd[lo:hi])
+                    pend_w.append(ww[lo:hi])
+                else:
+                    flush_group()
+                    pend_s = key
+                    pend_d = [dd[lo:hi]]
+                    pend_w = [ww[lo:hi]]
+            if len(buf["s"]) >= 200000:
+                yield pd.DataFrame(buf)
+                buf = {"s": [], "ds": [], "ws": [], "deg": [], "tw": []}
+        flush_group()
+        if buf["s"]:
+            yield pd.DataFrame(buf)
+
+    built = sorted_e.mapInPandas(build, schema)
+    built = built.repartition(partitions, "s") if partitions else built.repartition("s")
+    return built.cache()
+
+
 def degree_skew_stats(edges: DataFrame, key: str = "j") -> dict:
     """Skew diagnostics: max/mean degree and the top-degree share —
     drives the decision to slot spmv_salted into a loop."""
