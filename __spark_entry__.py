@@ -980,6 +980,16 @@ def q_vertex_features(spark, sf_dir):
                       F.round("coeff", 6).alias("coeff"))
 
 
+KMV_K = 32
+
+
+def q_distinct_users_kmv(spark, sf_dir):
+    from graph_python_spark.pipeline.sketches import approx_distinct_kmv
+
+    return approx_distinct_kmv(_events(spark, sf_dir), ["event_type"],
+                               "user_id", k=KMV_K)
+
+
 DEGQ_PROBS = (0.5, 0.9, 0.99, 0.999)
 
 
@@ -1169,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "degree_quantiles": q_degree_quantiles,
         "vertex_features": q_vertex_features,
+        "distinct_users_kmv": q_distinct_users_kmv,
     }
 
 
@@ -3279,6 +3290,21 @@ SELECT deg.id,
              ELSE 0.0 END, 6) AS coeff
 FROM deg LEFT JOIN tv ON deg.id = tv.id
 LEFT JOIN dout ON deg.id = dout.id LEFT JOIN din ON deg.id = din.id"""
+
+    kk = int(KMV_K)
+    sqls["distinct_users_kmv"] = f"""
+WITH d AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS dig
+           FROM events),
+topk AS (SELECT event_type, dig FROM (
+           SELECT event_type, dig,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dig) AS rn
+           FROM d) WHERE rn <= {kk})
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CASE WHEN COUNT(*) < {kk} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(kk - 1)!r} /
+                       (CAST(('0x' || substr(MAX(dig), 1, 12)) AS BIGINT)
+                        / 281474976710656.0) END, 6) AS est_distinct
+FROM topk GROUP BY event_type"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

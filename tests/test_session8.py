@@ -441,3 +441,70 @@ def test_weighted_adjacency_table_dups_and_chunks(spark):
     assert flat == [(2, 1.0), (5, 5.0), (9, 4.0)]
     (v2,) = by_s[2]
     assert list(v2.ds) == [1] and list(v2.ws) == [2.0] and v2.deg == 1
+
+
+# ---------------------------------------------------------------------------
+# structural properties
+# ---------------------------------------------------------------------------
+def test_wl_permutation_invariance(spark):
+    """Relabeling vertices must permute WL fingerprints consistently: the
+    label multiset is identical and per-vertex labels map through the
+    permutation."""
+    from graph_python_spark.algorithms.wl import wl_fingerprints
+
+    pairs = rand_graph(n=20, m=70, seed=53)
+    perm = {v: (7 * v + 3) % 1009 for v in range(20)}  # injective on 0..19
+    orig = {r.id: r.label for r in wl_fingerprints(
+        edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j"),
+        rounds=2).collect()}
+    relab = {r.id: r.label for r in wl_fingerprints(
+        edge_df(spark, [(perm[a], perm[b], 1) for a, b in pairs]).select("i", "j"),
+        rounds=2).collect()}
+    assert {perm[v]: lbl for v, lbl in orig.items()} == relab
+
+
+def test_contract_weight_conservation(spark):
+    """Quotient weights must sum to the total cross-group weight, for any
+    mapping (with self-loops kept, to the full total)."""
+    from pyspark.sql import functions as F
+
+    pairs = rand_graph(n=50, m=300, seed=59)
+    triples = [(a, b, a % 7 + 1) for a, b in pairs]
+    edges = edge_df(spark, triples)
+    mapping = spark.createDataFrame(
+        [(v, v % 5) for v in range(50)], "id long, group long")
+    total = sum(v for _, _, v in triples)
+    g = contract_graph(edges, mapping, drop_self_loops=False)
+    assert g.agg(F.sum("w")).first()[0] == total
+
+
+def test_approx_distinct_kmv(spark):
+    import hashlib
+
+    from graph_python_spark.pipeline.sketches import approx_distinct_kmv
+
+    rng = random.Random(61)
+    rows = [("a", rng.randrange(2000)) for _ in range(4000)] + \
+           [("b", v) for v in range(5)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    out = {r.grp: r for r in approx_distinct_kmv(df, ["grp"], "val", k=32).collect()}
+    # small group: exact
+    assert out["b"].n_kept == 5 and out["b"].est_distinct == 5.0
+    # large group: matches the pure-Python replay of the same sketch, and
+    # lands within 3 standard errors (1/sqrt(k-2)) of the truth
+    truth = len({v for g, v in rows if g == "a"})
+    digs = sorted(hashlib.md5(str(v).encode()).hexdigest()
+                  for v in {v for g, v in rows if g == "a"})[:32]
+    want = 31.0 / (int(digs[31][:12], 16) / 16 ** 12)
+    assert abs(out["a"].est_distinct - round(want, 6)) < 1e-6
+    assert abs(out["a"].est_distinct - truth) / truth < 3 / (30 ** 0.5)
+
+
+def test_kmv_partitioning_invariance(spark):
+    from graph_python_spark.pipeline.sketches import approx_distinct_kmv
+
+    rows = [("g", v % 700) for v in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    a = approx_distinct_kmv(df.repartition(1), ["grp"], "val", k=16).first()
+    b = approx_distinct_kmv(df.repartition(13), ["grp"], "val", k=16).first()
+    assert a.est_distinct == b.est_distinct and a.n_kept == b.n_kept
