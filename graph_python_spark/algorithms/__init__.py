@@ -33,7 +33,6 @@ from graph_python_spark.algorithms.metrics import (
     modularity,
     degree_quantiles,
     reciprocity,
-    vertex_features,
     rich_club,
     transitivity,
     vertex_features,

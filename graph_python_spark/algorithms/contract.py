@@ -40,8 +40,11 @@ def contract_graph(
 
     ``unmapped``: 'drop' removes edges touching a vertex absent from the
     mapping (inner joins — the SQL-cleanest semantics); 'keep' retains
-    such vertices as their own singleton groups, re-keyed to ``-(id+1)``
-    so synthetic group ids can never collide with real ones.
+    such vertices as their own singleton groups, re-keyed to ``-(id+1)``.
+    PRECONDITION for 'keep': real group ids must be non-negative (and
+    vertex ids are, everywhere in this package) — a negative group id
+    could collide with a synthetic singleton key and silently merge an
+    unmapped vertex into a real group.
     """
     if unmapped not in ("drop", "keep"):
         raise ValueError(f"unmapped must be 'drop' or 'keep', got {unmapped!r}")

@@ -142,7 +142,8 @@ def transitivity(edges: DataFrame) -> DataFrame:
     # Σ d(d−1) is summed as exact int64, halved once at the end (every term
     # is even) — order-independent, engine-bit-identical
     wedges = deg.agg(
-        F.expr("sum(deg * (deg - 1)) div 2").cast("long").alias("wedges")
+        F.coalesce(F.expr("sum(deg * (deg - 1)) div 2"), F.lit(0))
+        .cast("long").alias("wedges")
     )
     e1 = ue.select("a", "b")
     e2 = ue.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -265,6 +266,8 @@ def degree_quantiles(edges: DataFrame,
     DISTINCT degree value (power-law graphs have O(max-degree) ≪ V of
     them), merged map-side — no sort, no window, no collect.
     """
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
     key = "i" if direction == "out" else "j"
     deg = edges.select(key).groupBy(key).agg(F.count("*").alias("deg"))
     plist = ", ".join(repr(float(p)) for p in probs)

@@ -143,11 +143,17 @@ def _step(adj, teleport: float, r0: float, contrib: Optional[DataFrame]) -> Data
 
 
 def _contrib_loop(adj, teleport, r0, iterations, pinned, contrib=None,
-                  rdiff_cb=None, tol=None):
-    """Shared iteration body. contrib=None means start from dense r0=1/n."""
+                  rdiff_cb=None, tol=None, step_fn=None):
+    """Shared iteration body — the ONE place the pin cadence / lineage
+    truncation lives.  contrib=None means start from dense r0=1/n;
+    ``step_fn`` overrides the default unweighted SpMV step (used by the
+    weighted variant) while keeping the identical loop mechanics."""
+    if step_fn is None:
+        def step_fn(c):
+            return _step(adj, teleport, r0, c)
     iters_done = 0
     for k in range(iterations):
-        new_contrib = _step(adj, teleport, r0, contrib)
+        new_contrib = step_fn(contrib)
         if rdiff_cb is not None:
             new_contrib = pinned.pin(new_contrib)
             rdiff = rdiff_cb(contrib, new_contrib, k)
@@ -366,22 +372,20 @@ def pagerank_weighted_fixed(
     teleport = (1.0 - damping) / n
     r0 = 1.0 / n
 
+    def step_fn(contrib):
+        if contrib is None:
+            src = trans.select("j", (F.lit(r0) * F.col("p")).alias("x"))
+        else:
+            src = trans.join(contrib, "i", "left_outer").select(
+                "j",
+                ((F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0)))
+                 * F.col("p")).alias("x"))
+        return src.groupBy(F.col("j").alias("i")).agg(F.sum("x").alias("c"))
+
     pinned = _Pinned()
-    contrib = None
     with loop_conf(spark), loop_shuffle_width(spark, n):
-        for k in range(iterations):
-            if contrib is None:
-                src = trans.select("j", (F.lit(r0) * F.col("p")).alias("x"))
-            else:
-                src = trans.join(contrib, "i", "left_outer").select(
-                    "j",
-                    ((F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0.0)))
-                     * F.col("p")).alias("x"))
-            new_contrib = (
-                src.groupBy(F.col("j").alias("i")).agg(F.sum("x").alias("c")))
-            if (k + 1) % 3 == 0 or k == iterations - 1:
-                new_contrib = pinned.pin(new_contrib)
-            contrib = new_contrib
+        contrib, _ = _contrib_loop(None, teleport, r0, iterations, pinned,
+                                   step_fn=step_fn)
     out = _finalize(vertices, contrib, teleport)
     trans.unpersist()
     return out

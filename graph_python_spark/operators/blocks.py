@@ -210,6 +210,11 @@ def weighted_adjacency_table(edges: DataFrame, src: str = "s",
     (numpy segment walk over Arrow batches after one hash(s) shuffle +
     in-partition sort); the weight column rides along and duplicate
     neighbors collapse via ``np.add.reduceat`` over the sorted runs.
+    NB: the batch-walk mechanics (flush buffering, 200k-row yield, the
+    closing repartition that re-asserts hash(s) partitioning) are kept in
+    LOCKSTEP with :func:`adjacency_table` above — change both together;
+    they stay separate functions because the unweighted inner loop
+    (np.unique only) is the measured hot path of every iterative sweep.
     """
     import numpy as np
     import pandas as pd

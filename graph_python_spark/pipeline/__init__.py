@@ -1,6 +1,6 @@
 from graph_python_spark.pipeline import (dedup, features, multimodal,
                                          retrieval, sampling, similarity,
-                                         temporal, text)
+                                         sketches, temporal, text)
 
 __all__ = ["dedup", "similarity", "text", "multimodal", "sampling",
-           "features", "retrieval", "temporal"]
+           "features", "retrieval", "temporal", "sketches"]

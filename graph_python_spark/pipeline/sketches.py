@@ -35,8 +35,13 @@ def approx_distinct_kmv(df: DataFrame, keys: Sequence[str], col: str,
     Returns (*keys, n_kept, est_distinct).
     """
     keys = list(keys)
+    # COUNT(DISTINCT col) ignores NULLs; dropping them here also keeps the
+    # window's NULL placement out of the sketch (Spark sorts NULLS FIRST,
+    # DuckDB NULLS LAST — a NULL digest would silently displace a real one
+    # on exactly one engine)
     dig = (
-        df.select(*keys, F.md5(F.col(col).cast("string")).alias("_dig"))
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, F.md5(F.col(col).cast("string")).alias("_dig"))
         .distinct()
     )
     w = Window.partitionBy(*keys).orderBy("_dig")
