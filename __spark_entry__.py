@@ -980,6 +980,18 @@ def q_vertex_features(spark, sf_dir):
                       F.round("coeff", 6).alias("coeff"))
 
 
+CORENESS_ROUNDS = 8
+
+
+def q_coreness(spark, sf_dir):
+    from graph_python_spark.algorithms.kcore import coreness_rounds
+
+    e = customer_graph(spark, sf_dir)
+    return coreness_rounds(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        rounds=CORENESS_ROUNDS)
+
+
 KMV_K = 32
 
 
@@ -1180,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_quantiles": q_degree_quantiles,
         "vertex_features": q_vertex_features,
         "distinct_users_kmv": q_distinct_users_kmv,
+        "coreness": q_coreness,
     }
 
 
@@ -3290,6 +3303,22 @@ SELECT deg.id,
              ELSE 0.0 END, 6) AS coeff
 FROM deg LEFT JOIN tv ON deg.id = tv.id
 LEFT JOIN dout ON deg.id = dout.id LEFT JOIN din ON deg.id = din.id"""
+
+    cr_steps = "".join(f""",
+c{r + 1} AS MATERIALIZED (
+  SELECT s AS id, CAST(MAX(LEAST(rn, cu)) AS BIGINT) AS c FROM (
+    SELECT sym.s, x.c AS cu,
+           row_number() OVER (PARTITION BY sym.s
+                              ORDER BY x.c DESC, sym.d) AS rn
+    FROM sym JOIN c{r} x ON sym.d = x.id)
+  GROUP BY s
+)""" for r in range(CORENESS_ROUNDS))
+    sqls["coreness"] = f"""WITH {eg},
+sym AS (SELECT DISTINCT s, d FROM (
+  SELECT src AS s, dst AS d FROM eg
+  UNION ALL SELECT dst AS s, src AS d FROM eg) WHERE s <> d),
+c0 AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY s){cr_steps}
+SELECT id, c AS coreness FROM c{CORENESS_ROUNDS}"""
 
     kk = int(KMV_K)
     sqls["distinct_users_kmv"] = f"""

@@ -12,7 +12,7 @@ from graph_python_spark.algorithms.louvain import (
     louvain_sweeps,
     modularity,
 )
-from graph_python_spark.algorithms.kcore import kcore
+from graph_python_spark.algorithms.kcore import coreness_rounds, kcore
 from graph_python_spark.algorithms.ktruss import ktruss
 from graph_python_spark.algorithms.mis import maximal_independent_set
 from graph_python_spark.algorithms.centrality import (
@@ -59,6 +59,7 @@ __all__ = [
     "louvain_sweeps",
     "modularity",
     "kcore",
+    "coreness_rounds",
     "ktruss",
     "maximal_independent_set",
     "hits_fixed",

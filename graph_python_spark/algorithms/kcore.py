@@ -145,3 +145,55 @@ def kcore(
     )
     cur.unpersist()
     return out.select(F.col("s").alias("id"), "kdeg"), rounds
+
+
+def coreness_rounds(edges: DataFrame, rounds: int = 8,
+                    partitions: Optional[int] = None) -> DataFrame:
+    """Full core decomposition (coreness number per vertex) by the
+    distributed h-index fixpoint (Montresor, De Pellegrini, Miorandi 2011):
+    start c(v) = deg(v) and synchronously update
+
+        c(v) ← h-index of { c(u) : u ∈ N(v) }
+
+    (the largest h with ≥ h neighbors whose estimate is ≥ h).  Estimates
+    only decrease and the fixpoint is exactly the coreness; updating a
+    fixpoint is the identity, so a run past convergence is deterministic
+    and a FIXED-round unroll is SQL-expressible — the same
+    idempotent-past-fixpoint trick the k-core/k-truss oracles use.
+
+    Per round: ONE join of the O(V) estimate vector to the pinned
+    symmetric edge state (exchange-free on the edge side) and one
+    per-vertex window over neighbor estimates (partition-parallel; each
+    vertex's frame is its degree — the same bounded-hub caveat as every
+    per-neighbor aggregate).  h = MAX(LEAST(rank, c_u)) over the
+    descending-sorted frame, which is order-independent under ties, so
+    any engine computes the identical value.
+
+    Returns (id, coreness).  Unlike :func:`kcore` (one k, shrinking
+    state), the state here is a dense O(V) vector and the edge relation
+    never shrinks — h-index trades peeling's data reduction for a round
+    count bounded by the coreness value instead of the peel depth.
+    """
+    from pyspark.sql.window import Window
+
+    sym = materialize(_sym_distinct(edges, partitions))
+    c = materialize(
+        sym.groupBy(F.col("s").alias("id"))
+        .agg(F.count("*").cast("long").alias("c")))
+    w = Window.partitionBy("s").orderBy(F.desc("cu"), F.asc("d"))
+    for _ in range(rounds):
+        nb = sym.join(c.select(F.col("id").alias("d"),
+                               F.col("c").alias("cu")), "d")
+        nxt = (
+            nb.select("s", "cu", F.row_number().over(w).alias("_rn"))
+            .select("s", F.least(F.col("_rn").cast("long"), F.col("cu")).alias("_h"))
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.max("_h").alias("c"))
+        )
+        prev, c = c, materialize(nxt)
+        prev.unpersist()
+    out = c.select("id", F.col("c").alias("coreness"))
+    out = out.localCheckpoint(eager=True)
+    c.unpersist()
+    sym.unpersist()
+    return out

@@ -508,3 +508,55 @@ def test_kmv_partitioning_invariance(spark):
     a = approx_distinct_kmv(df.repartition(1), ["grp"], "val", k=16).first()
     b = approx_distinct_kmv(df.repartition(13), ["grp"], "val", k=16).first()
     assert a.est_distinct == b.est_distinct and a.n_kept == b.n_kept
+
+
+# ---------------------------------------------------------------------------
+# coreness (h-index fixpoint)
+# ---------------------------------------------------------------------------
+def _coreness_oracle_simple(pairs):
+    """Exact coreness via repeated k-core peeling (unambiguous)."""
+    base = {v: set(nb) for v, nb in _sym(pairs).items()}
+    core = {v: 0 for v in base}
+    k = 1
+    while True:
+        # k-core: peel vertices with degree < k until fixpoint
+        adj = {v: set(nb) for v, nb in base.items()}
+        changed = True
+        while changed:
+            dead = [v for v, nb in adj.items() if len(nb) < k]
+            changed = bool(dead)
+            for v in dead:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+        if not adj:
+            break
+        for v in adj:
+            core[v] = k
+        k += 1
+    return core
+
+
+def test_coreness_converges_to_exact(spark):
+    from graph_python_spark.algorithms.kcore import coreness_rounds
+
+    pairs = rand_graph(n=30, m=200, seed=67)
+    want = _coreness_oracle_simple(pairs)
+    got = {r.id: r.coreness for r in coreness_rounds(
+        edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j"),
+        rounds=20).collect()}
+    assert got == want
+
+
+def test_coreness_monotone_rounds(spark):
+    """Estimates only decrease round over round and never drop below the
+    true coreness."""
+    from graph_python_spark.algorithms.kcore import coreness_rounds
+
+    pairs = rand_graph(n=25, m=140, seed=71)
+    e = edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j")
+    exact = _coreness_oracle_simple(pairs)
+    c2 = {r.id: r.coreness for r in coreness_rounds(e, rounds=2).collect()}
+    c5 = {r.id: r.coreness for r in coreness_rounds(e, rounds=5).collect()}
+    for v in exact:
+        assert c2[v] >= c5[v] >= exact[v]
