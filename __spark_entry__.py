@@ -980,6 +980,17 @@ def q_vertex_features(spark, sf_dir):
                       F.round("coeff", 6).alias("coeff"))
 
 
+VOCAB_K = 100
+
+
+def q_vocab_topk(spark, sf_dir):
+    return text.vocab_topk(_docs(spark, sf_dir), k=VOCAB_K)
+
+
+def q_bigram_logprob(spark, sf_dir):
+    return text.bigram_logprob_scores(_docs(spark, sf_dir))
+
+
 CORENESS_ROUNDS = 8
 
 
@@ -1193,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_features": q_vertex_features,
         "distinct_users_kmv": q_distinct_users_kmv,
         "coreness": q_coreness,
+        "bigram_logprob": q_bigram_logprob,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -3303,6 +3316,48 @@ SELECT deg.id,
              ELSE 0.0 END, 6) AS coeff
 FROM deg LEFT JOIN tv ON deg.id = tv.id
 LEFT JOIN dout ON deg.id = dout.id LEFT JOIN din ON deg.id = din.id"""
+
+    sqls["vocab_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+         AS tok
+  FROM documents
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks GROUP BY tok
+ORDER BY n_occurrences DESC, tok ASC LIMIT {int(VOCAB_K)}"""
+
+    sqls["bigram_logprob"] = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+db AS (
+  SELECT doc_id, UNNEST(bg) AS bg FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1]) END AS bg
+    FROM base)
+),
+counts AS (SELECT bg, COUNT(*) AS cbg FROM db GROUP BY bg),
+prefix AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cw1
+           FROM db GROUP BY 1),
+scored AS (
+  SELECT doc_id, SUM(ln(CAST(cbg AS DOUBLE) / cw1)) AS s, COUNT(*) AS n
+  FROM db JOIN counts USING (bg)
+  JOIN prefix ON split_part(db.bg, ' ', 1) = prefix.w1
+  GROUP BY doc_id
+),
+nb AS (SELECT doc_id,
+              CAST(CASE WHEN len(toks) < 2 THEN 0 ELSE len(toks) - 1 END
+                   AS BIGINT) AS n_bigrams
+       FROM base)
+SELECT nb.doc_id, nb.n_bigrams,
+       ROUND(CASE WHEN nb.n_bigrams > 0 THEN s / n ELSE 0.0 END, 6)
+         AS mean_logprob
+FROM nb LEFT JOIN scored USING (doc_id)"""
 
     cr_steps = "".join(f""",
 c{r + 1} AS MATERIALIZED (

@@ -109,6 +109,8 @@ def run_headlines(spark, results: dict) -> None:
         # SpMV loop, and the substring-dedup / quality-gate pipeline ops
         "contract_nations", "wl_fingerprints", "pagerank_weighted",
         "duplicate_spans", "quality_filter",
+        # added late session 8: h-index core decomposition + corpus-LM scoring
+        "coreness", "bigram_logprob",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

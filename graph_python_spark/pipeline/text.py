@@ -230,6 +230,77 @@ def quality_filter(
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the k most frequent tokens with
+    total occurrences and document frequency — the table that drives
+    stop-token lists, ``df_cap`` choices for the dedup family, and
+    tokenizer-vocabulary sanity checks.
+
+    Plan: one explode → ONE groupBy(token) computing count and distinct-doc
+    count (map-side partials; uniform string keys), then a distributed
+    TakeOrdered cut (orderBy + limit k — no global window, merged on the
+    driver only at k rows).  Ties broken by token for engine-identical
+    output.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("tok")).limit(k)
+
+
+def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Corpus-statistics language-model scoring — the CCNet/perplexity
+    quality gate shape, self-trained on the corpus itself: per document,
+    the mean bigram log-probability
+
+        score = mean over bigrams (w1 w2) of ln( count(w1 w2) / count(w1·) )
+
+    where the counts are corpus-wide MLE estimates (every doc bigram exists
+    in the corpus by construction, so no smoothing is needed for the score
+    to be defined; boilerplate-heavy repeated text scores high, rare noisy
+    juxtapositions score low — threshold either tail).
+
+    Plan: the bigram relation is built array-locally (same expression as
+    ``repetition_stats``), counted with ONE uniform-key groupBy each for
+    bigrams and prefix unigrams (map-side partials), then joined back to
+    the per-doc bigram relation on the bigram key and averaged per doc —
+    three O(total tokens) shuffles, all on hash-uniform string keys, no
+    windows, no collect.  ln is IEEE double in both Spark and DuckDB, and
+    the mean is SUM/COUNT rounded 1e-6 (the BM25 precedent).
+    """
+    base = docs.select("doc_id", tokens_col().alias("toks"))
+    bigrams = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END")
+    db = base.select("doc_id", F.explode(bigrams).alias("bg")).cache()
+    counts = db.groupBy("bg").agg(F.count("*").alias("_cbg"))
+    prefix = (
+        db.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1").agg(F.count("*").alias("_cw1"))
+    )
+    scored = (
+        db.join(counts, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(prefix, "w1")
+        .select("doc_id",
+                F.log(F.col("_cbg").cast("double") / F.col("_cw1")).alias("_lp"))
+    )
+    out = (
+        base.select("doc_id", F.size(bigrams).cast("long").alias("n_bigrams"))
+        .join(scored.groupBy("doc_id").agg(
+            F.sum("_lp").alias("_s"), F.count("*").alias("_n")), "doc_id", "left")
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(F.when(F.col("n_bigrams") > 0, F.col("_s") / F.col("_n"))
+                    .otherwise(F.lit(0.0)), 6).alias("mean_logprob"),
+        )
+    )
+    return out
+
+
 # PII patterns — deliberately conservative regex syntax that means the same
 # thing in Java regex (Spark), RE2 (DuckDB), and Python re, so the scrub is
 # engine-replayable.  Redaction order: email, then IPv4, then phone.

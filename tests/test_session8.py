@@ -560,3 +560,33 @@ def test_coreness_monotone_rounds(spark):
     c5 = {r.id: r.coreness for r in coreness_rounds(e, rounds=5).collect()}
     for v in exact:
         assert c2[v] >= c5[v] >= exact[v]
+
+
+def test_bigram_logprob_differential(spark):
+    import math
+    from collections import Counter
+
+    from graph_python_spark.pipeline.text import bigram_logprob_scores
+
+    texts = ["a b a b c", "a b", "c c c c", "x", ""]
+    docs = [[t for t in s.split(" ") if t] for s in texts]
+    bgs = [list(zip(d, d[1:])) for d in docs]
+    cbg = Counter(b for doc in bgs for b in doc)
+    cw1 = Counter(b[0] for doc in bgs for b in doc)
+    rows = {r.doc_id: r for r in bigram_logprob_scores(
+        _doc_df(spark, texts)).collect()}
+    for i, doc_bg in enumerate(bgs):
+        assert rows[i].n_bigrams == len(doc_bg)
+        if doc_bg:
+            want = sum(math.log(cbg[b] / cw1[b[0]]) for b in doc_bg) / len(doc_bg)
+            assert abs(rows[i].mean_logprob - round(want, 6)) < 1e-9, i
+        else:
+            assert rows[i].mean_logprob == 0.0
+
+
+def test_vocab_topk(spark):
+    from graph_python_spark.pipeline.text import vocab_topk
+
+    rows = vocab_topk(_doc_df(spark, ["a a a b", "a b c", "b"]), k=2).collect()
+    assert [(r.tok, r.n_occurrences, r.n_docs) for r in rows] == \
+        [("a", 4, 2), ("b", 3, 3)]
