@@ -980,6 +980,22 @@ def q_vertex_features(spark, sf_dir):
                       F.round("coeff", 6).alias("coeff"))
 
 
+SLP_ROUNDS = 4
+SLP_MOD = 97
+
+
+def q_seeded_labelprop(spark, sf_dir):
+    from graph_python_spark.algorithms.labelprop import seeded_label_propagation
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id")))).distinct()
+    seeds = verts.filter(F.col("id") % SLP_MOD == 0).select(
+        "id", F.col("id").alias("label"))
+    return seeded_label_propagation(e, seeds, rounds=SLP_ROUNDS)
+
+
 VOCAB_K = 100
 
 
@@ -1206,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "bigram_logprob": q_bigram_logprob,
         "vocab_topk": q_vocab_topk,
+        "seeded_labelprop": q_seeded_labelprop,
     }
 
 
@@ -3316,6 +3333,28 @@ SELECT deg.id,
              ELSE 0.0 END, 6) AS coeff
 FROM deg LEFT JOIN tv ON deg.id = tv.id
 LEFT JOIN dout ON deg.id = dout.id LEFT JOIN din ON deg.id = din.id"""
+
+    slp_steps = "".join(f""",
+cand{r + 1} AS (
+  SELECT i, lbl FROM (
+    SELECT sym.d AS i, x.lbl, COUNT(*) AS n
+    FROM sym JOIN l{r} x ON sym.s = x.i
+    GROUP BY sym.d, x.lbl)
+  QUALIFY row_number() OVER (PARTITION BY i ORDER BY n DESC, lbl ASC) = 1
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT i, lbl FROM seeds
+  UNION ALL
+  SELECT c.i, c.lbl FROM cand{r + 1} c
+  WHERE c.i NOT IN (SELECT i FROM seeds)
+)""" for r in range(SLP_ROUNDS))
+    sqls["seeded_labelprop"] = f"""WITH {eg},
+sym AS (SELECT DISTINCT s, d FROM (
+  SELECT src AS s, dst AS d FROM eg
+  UNION ALL SELECT dst AS s, src AS d FROM eg) WHERE s <> d),
+seeds AS (SELECT DISTINCT s AS i, s AS lbl FROM sym WHERE s % {SLP_MOD} = 0),
+l0 AS (SELECT i, lbl FROM seeds){slp_steps}
+SELECT i AS id, CAST(lbl AS BIGINT) AS label FROM l{SLP_ROUNDS}"""
 
     sqls["vocab_topk"] = f"""
 WITH toks AS (

@@ -38,7 +38,9 @@ def label_propagation(
     from graph_python_spark.operators.blocks import adjacency_table
 
     fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
-    esym = fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    # self-loops dropped: a vertex's own label must not vote for itself
+    esym = (fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .filter(F.col("s") != F.col("d")).distinct())
     adj = adjacency_table(esym, "s", "d", partitions)
     if vertices is None:
         vertices = adj.select(F.col("s").alias("id")).distinct()  # s covers all; distinct: hub rows may be chunked
@@ -81,3 +83,57 @@ def label_propagation(
         else:
             labels = new_labels
     return labels.select(F.col("i").alias("id"), F.col("lbl").alias("label")), sweeps
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Semi-supervised label spreading: ``seeds`` (id, label) are CLAMPED
+    and every other vertex takes, each synchronous round, the argmax label
+    over its currently-labeled neighbors (smallest label on ties — the
+    same deterministic kernel as the unsupervised sweep above, so a
+    fixed-round SQL unroll oracles it).  Vertices unreached within
+    ``rounds`` are absent from the output (no NULL labels).
+
+    Plan per round: the labeled vector joins the cached adjacency
+    exchange-free on the adjacency side, the O(E) fan-out explodes inline
+    with the (vertex, label) partial agg, and the clamp is one
+    anti-join-free union (seeds override by construction: the candidate
+    relation is computed for non-seeds only after a left anti join).
+    State is O(labeled vertices) and only grows toward O(V).
+    """
+    from graph_python_spark.operators.blocks import adjacency_table
+
+    fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+    esym = (fwd.unionByName(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d")).distinct())
+    adj = adjacency_table(esym, "s", "d", partitions)
+    seed_rel = materialize(
+        seeds.select(F.col("id").alias("i"), F.col("label").alias("lbl")))
+    labels = seed_rel
+    for _ in range(rounds):
+        counts = (
+            adj.join(labels.withColumnRenamed("i", "s"), "s")
+            .select(F.explode("ds").alias("i"), "lbl")
+            .groupBy("i", "lbl")
+            .agg(F.count("*").alias("n"))
+        )
+        best = counts.groupBy("i").agg(
+            F.min_by(F.col("lbl"),
+                     F.struct((-F.col("n")).alias("negn"),
+                              F.col("lbl"))).alias("lbl"))
+        new_labels = seed_rel.unionByName(
+            best.join(seed_rel.select("i"), "i", "left_anti"))
+        prev, labels = labels, materialize(new_labels)
+        if prev is not seed_rel:
+            prev.unpersist()
+    out = labels.select(F.col("i").alias("id"), "lbl")
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    seed_rel.unpersist()
+    adj.unpersist()
+    return out.select("id", F.col("lbl").alias("label"))

@@ -590,3 +590,32 @@ def test_vocab_topk(spark):
     rows = vocab_topk(_doc_df(spark, ["a a a b", "a b c", "b"]), k=2).collect()
     assert [(r.tok, r.n_occurrences, r.n_docs) for r in rows] == \
         [("a", 4, 2), ("b", 3, 3)]
+
+
+def test_seeded_label_propagation(spark):
+    from graph_python_spark.algorithms.labelprop import seeded_label_propagation
+
+    pairs = rand_graph(n=30, m=120, seed=73)
+    adj = _sym(pairs)
+    e = edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j")
+    seed_ids = sorted(adj)[:4]
+    seeds = spark.createDataFrame([(v, v * 10) for v in seed_ids],
+                                  "id long, label long")
+    got = {r.id: r.label for r in seeded_label_propagation(
+        e, seeds, rounds=3).collect()}
+    # pure-Python replay of the synchronous clamped sweep
+    lab = {v: v * 10 for v in seed_ids}
+    for _ in range(3):
+        from collections import Counter
+        new = dict(lab)
+        for v in adj:
+            if v in seed_ids:
+                continue
+            cnt = Counter(lab[u] for u in adj[v] if u in lab)
+            if cnt:
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                new[v] = best
+        lab = new
+    assert got == lab
+    for v in seed_ids:
+        assert got[v] == v * 10  # clamped
