@@ -980,6 +980,20 @@ def q_vertex_features(spark, sf_dir):
                       F.round("coeff", 6).alias("coeff"))
 
 
+SALSA_ITERS = 6
+
+
+def q_salsa(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import salsa_fixed
+
+    e = customer_graph(spark, sf_dir)
+    scores = salsa_fixed(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        iterations=SALSA_ITERS)
+    return scores.select("id", F.round("hub", 6).alias("hub"),
+                         F.round("auth", 6).alias("auth"))
+
+
 SLP_ROUNDS = 4
 SLP_MOD = 97
 
@@ -1223,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "vocab_topk": q_vocab_topk,
         "seeded_labelprop": q_seeded_labelprop,
+        "salsa": q_salsa,
     }
 
 
@@ -3333,6 +3348,30 @@ SELECT deg.id,
              ELSE 0.0 END, 6) AS coeff
 FROM deg LEFT JOIN tv ON deg.id = tv.id
 LEFT JOIN dout ON deg.id = dout.id LEFT JOIN din ON deg.id = din.id"""
+
+    salsa_steps = "".join(f""",
+sh{r + 1} AS MATERIALIZED (
+  SELECT e.src AS i, SUM(a.v * (1.0 / din.di)) AS v
+  FROM eb e JOIN sa{r} a ON e.dst = a.j JOIN din ON din.j = e.dst
+  GROUP BY e.src
+),
+sa{r + 1} AS MATERIALIZED (
+  SELECT e.dst AS j, SUM(h.v * (1.0 / dout.do)) AS v
+  FROM eb e JOIN sh{r + 1} h ON e.src = h.i JOIN dout ON dout.i = e.src
+  GROUP BY e.dst
+)""" for r in range(SALSA_ITERS))
+    sqls["salsa"] = f"""WITH {eg},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+dout AS (SELECT src AS i, CAST(COUNT(*) AS DOUBLE) AS do FROM eb GROUP BY src),
+din AS (SELECT dst AS j, CAST(COUNT(*) AS DOUBLE) AS di FROM eb GROUP BY dst),
+sa0 AS (SELECT id AS j, 1.0 AS v FROM verts){salsa_steps}
+SELECT vt.id,
+       ROUND(COALESCE(h.v, 0) / (SELECT SUM(v) FROM sh{SALSA_ITERS}), 6) AS hub,
+       ROUND(COALESCE(a.v, 0) / (SELECT SUM(v) FROM sa{SALSA_ITERS}), 6) AS auth
+FROM verts vt
+LEFT JOIN sh{SALSA_ITERS} h ON vt.id = h.i
+LEFT JOIN sa{SALSA_ITERS} a ON vt.id = a.j"""
 
     slp_steps = "".join(f""",
 cand{r + 1} AS (

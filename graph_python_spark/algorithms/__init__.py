@@ -21,6 +21,7 @@ from graph_python_spark.algorithms.centrality import (
     hits_fixed,
     katz_fixed,
     ppr_fixed,
+    salsa_fixed,
 )
 from graph_python_spark.algorithms.scc import strongly_connected_components
 from graph_python_spark.algorithms.vertexsim import (
@@ -66,6 +67,7 @@ __all__ = [
     "katz_fixed",
     "betweenness_sources",
     "ppr_fixed",
+    "salsa_fixed",
     "strongly_connected_components",
     "jaccard_neighbors",
     "link_prediction_scores",

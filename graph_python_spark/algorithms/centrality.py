@@ -495,3 +495,83 @@ def closeness_centrality(
     out = out.localCheckpoint(eager=True)
     dist.unpersist()
     return out
+
+
+def salsa_fixed(
+    edges: DataFrame,
+    iterations: int = 6,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """SALSA (Lempel & Moran) — HITS's random-walk cousin: hubs and
+    authorities from the alternating backward/forward DEGREE-NORMALIZED
+    walk instead of raw mutual reinforcement, which makes it robust to the
+    tightly-knit-community effect that inflates HITS scores.
+
+        h_i ← Σ_{i→j} a_j / din(j)        (backward: pick a random in-link)
+        a_j ← Σ_{i→j} h_i / dout(i)       (forward: pick a random out-link)
+
+    Exactly ``iterations`` rounds from a uniform authority vector,
+    L1-normalized at the end — deterministic, so a fixed SQL unroll
+    oracles it.  (Known limit: within a connected bipartite support
+    component, authority converges to din/Σdin — the sanity property the
+    tests check.)
+
+    Plan: the two per-round normalization factors are per-EDGE constants,
+    so they are baked into the same dual-partitioned pinned edge copies
+    the HITS loop uses (i-keyed copy carries 1/dout(i), j-keyed copy
+    1/din(j)); neither join side exchanges, and the only per-round
+    shuffles are the two O(E) contribution re-keyings — the SpMV itself.
+    """
+    spark = edges.sparkSession
+    raw = edges.select("i", "j")
+    vertices = materialize(
+        raw.select(F.col("i").alias("id"))
+        .unionByName(raw.select(F.col("j").alias("id")))
+        .distinct()
+    )
+    n = vertices.count()
+    pin = _Pin()
+    with loop_shuffle_width(spark, n) as width:
+        w = partitions if partitions is not None else width
+        if partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        eb = raw.dropDuplicates(["i", "j"])
+        dout = eb.groupBy("i").agg(F.count("*").alias("_do"))
+        din = eb.groupBy("j").agg(F.count("*").alias("_di"))
+        ebi = materialize(
+            eb.join(dout, "i")
+            .select("i", "j", (F.lit(1.0) / F.col("_do")).alias("inv_dout"))
+            .repartition(w, "i"))
+        ebj = materialize(
+            eb.join(din, "j")
+            .select("i", "j", (F.lit(1.0) / F.col("_di")).alias("inv_din"))
+            .repartition(w, "j"))
+        a = vertices.select(F.col("id").alias("j"), F.lit(1.0).alias("v"))
+        h = None
+        for _ in range(iterations):
+            h = (
+                ebj.join(a, "j")
+                .groupBy(F.col("i"))
+                .agg(F.sum(F.col("v") * F.col("inv_din")).alias("v"))
+            )
+            a = (
+                ebi.join(h, "i")
+                .groupBy(F.col("j"))
+                .agg(F.sum(F.col("v") * F.col("inv_dout")).alias("v"))
+            )
+            h, a = pin.pin(h, a)
+    ebi.unpersist()
+    ebj.unpersist()
+    sums = h.agg(F.sum("v")).crossJoin(a.agg(F.sum("v"))).first()
+    hsum, asum = float(sums[0]), float(sums[1])
+    return (
+        vertices.join(h.select(F.col("i").alias("id"), F.col("v").alias("_h")),
+                      "id", "left_outer")
+        .join(a.select(F.col("j").alias("id"), F.col("v").alias("_a")),
+              "id", "left_outer")
+        .select(
+            "id",
+            (F.coalesce(F.col("_h"), F.lit(0.0)) / F.lit(hsum)).alias("hub"),
+            (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(asum)).alias("auth"),
+        )
+    )

@@ -619,3 +619,47 @@ def test_seeded_label_propagation(spark):
     assert got == lab
     for v in seed_ids:
         assert got[v] == v * 10  # clamped
+
+
+def test_salsa_authority_limit(spark):
+    """On a connected bipartite support, SALSA authority converges to
+    din/Σdin — check on a small hub-spoke fixture plus a NumPy replay."""
+    import numpy as np
+
+    from graph_python_spark.algorithms.centrality import salsa_fixed
+
+    pairs = [(1, 10), (2, 10), (3, 10), (1, 11), (2, 12), (3, 12), (1, 12)]
+    e = edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j")
+    rows = {r.id: r for r in salsa_fixed(e, iterations=40).collect()}
+    din = Counter(b for _, b in pairs)
+    total = sum(din.values())
+    for j, d in din.items():
+        assert abs(rows[j].auth - d / total) < 1e-6, j
+
+
+def test_salsa_differential(spark):
+    import numpy as np
+
+    from graph_python_spark.algorithms.centrality import salsa_fixed
+
+    pairs = [p for p in rand_graph(n=20, m=80, seed=79)]
+    e = edge_df(spark, [(a, b, 1) for a, b in pairs]).select("i", "j")
+    eb = sorted(set(pairs))
+    ids = sorted({v for p in eb for v in p})
+    idx = {v: k for k, v in enumerate(ids)}
+    din = Counter(b for _, b in eb)
+    dout = Counter(a for a, _ in eb)
+    a = {v: 1.0 for v in ids}
+    h = {}
+    for _ in range(5):
+        h = {v: 0.0 for v in ids}
+        for i, j in eb:
+            h[i] += a[j] * (1.0 / din[j])
+        a = {v: 0.0 for v in ids}
+        for i, j in eb:
+            a[j] += h[i] * (1.0 / dout[i])
+    hs, as_ = sum(h.values()), sum(a.values())
+    rows = {r.id: r for r in salsa_fixed(e, iterations=5).collect()}
+    for v in ids:
+        assert abs(rows[v].hub - h[v] / hs) < 1e-9, v
+        assert abs(rows[v].auth - a[v] / as_) < 1e-9, v
