@@ -318,7 +318,7 @@ def run_scaling() -> dict:
     prim_degree = int(os.environ.get("SPARK_GRAFT_SCALE_DEGREE_PRIMARY", "3"))
     prim_iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS_PRIMARY", "6"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "3")))
+    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "4")))
     # stop early once the gate holds with margin; keep sampling windows
     # (up to max_reps pairs) while it doesn't
     stop_at = float(os.environ.get("SPARK_GRAFT_SCALE_STOP_AT", "0.82"))
