@@ -563,6 +563,10 @@ BM25_K1, BM25_B = 1.2, 0.75
 CONTAM_N = 3          # word n-gram size for the decontamination check
 CONTAM_MOD = 20       # doc_id % 20 == 0 -> benchmark (eval) split
 SEMDEDUP_THRESHOLD = 0.45  # same cosine bar as near_dup_cosine
+COPURCHASE_MIN_W = 2       # co-order pairs below 2 shared orders carry no signal
+CONTAM_BUCKETS = 1 << 22   # hash-bucket prefilter width (exact after verify)
+N2V_STEPS = 6
+N2V_WEIGHTS = (2, 4, 1)    # integer (return, stay, explore) = α(1/p, 1, 1/q)·LCM
 
 
 def q_kcore(spark, sf_dir):
@@ -757,6 +761,19 @@ def q_random_walks(spark, sf_dir):
     return deterministic_walks(e, seeds, steps=WALK_STEPS)
 
 
+def q_node2vec_walks(spark, sf_dir):
+    from graph_python_spark.algorithms.walks import node2vec_walks
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(WALK_SEEDS)
+    wr, ws, wq = N2V_WEIGHTS
+    return node2vec_walks(e, seeds, steps=N2V_STEPS,
+                          return_w=wr, stay_w=ws, inout_w=wq)
+
+
 def q_pseudo_diameter(spark, sf_dir):
     from graph_python_spark.algorithms.traversal import pseudo_diameter
 
@@ -874,6 +891,35 @@ def q_contamination(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
     train = docs.filter(F.col("doc_id") % CONTAM_MOD != 0)
     return contamination_check(train, bench, n=CONTAM_N)
+
+
+def q_contamination_pruned(spark, sf_dir):
+    """Same output as q_contamination, Bloom-bucket-prefiltered plan (the
+    100 TB path: only occupied hash-bucket ids broadcast, never raw grams;
+    exact gram semi-join runs shuffled on the pruned survivor relation)."""
+    from graph_python_spark.pipeline.retrieval import contamination_check_pruned
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
+    train = docs.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    return contamination_check_pruned(train, bench, n=CONTAM_N,
+                                      buckets=CONTAM_BUCKETS)
+
+
+def q_copurchase(spark, sf_dir):
+    """Weighted one-mode projection of the order→part bipartite incidence
+    (B·B^T plus_pair, strict upper triangle): the co-purchase link graph."""
+    from graph_python_spark.algorithms.vertexsim import bipartite_project
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return bipartite_project(
+        li.select(F.col("l_partkey").alias("l"), F.col("l_orderkey").alias("r")),
+        min_weight=COPURCHASE_MIN_W,
+    )
+
+
+def q_centroid_classify(spark, sf_dir):
+    return similarity.centroid_classify(_emb(spark, sf_dir))
 
 
 def q_semdedup(spark, sf_dir):
@@ -1202,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "assortativity": q_assortativity,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
         "pseudo_diameter": q_pseudo_diameter,
         "ngram_jaccard": q_ngram_jaccard,
         "harmonic": q_harmonic,
@@ -1213,7 +1260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "bm25": q_bm25,
         "contamination": q_contamination,
+        "contamination_pruned": q_contamination_pruned,
+        "copurchase": q_copurchase,
         "semdedup": q_semdedup,
+        "centroid_classify": q_centroid_classify,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "funnel": q_funnel,
@@ -1570,6 +1620,42 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d2, 6) AS dist2 FROM (
          row_number() OVER (PARTITION BY p.vec_id
                             ORDER BY {d2} ASC, c.cid ASC) AS rn
   FROM v p CROSS JOIN cent{iters} c
+) WHERE rn = 1"""
+
+
+def _centroid_classify_sql(dim: int) -> str:
+    """Nearest-centroid classification — mirrors pipeline/similarity.
+    centroid_classify: per-label integer-quantized mean centroids, argmin
+    of pp - 2*pc + cc with (d2, label) tie-break."""
+    from graph_python_spark.pipeline.similarity import KMEANS_SCALE
+
+    d2 = ("(list_dot_product(p.emb, p.emb)"
+          " - 2.0 * list_dot_product(p.emb, c.c)"
+          " + list_dot_product(c.c, c.c))")
+    return f"""WITH v AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clabel, list(val ORDER BY pos) AS c FROM (
+    SELECT v.label, i.pos,
+           CAST(SUM(CAST(ROUND(v.emb[i.pos] * {float(KMEANS_SCALE)}) AS BIGINT))
+                AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * {float(KMEANS_SCALE)}) AS val
+    FROM v
+    CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS pos) i
+    GROUP BY v.label, i.pos
+  ) GROUP BY label
+)
+SELECT vec_id, label, predicted,
+       CAST(label = predicted AS BIGINT) AS correct,
+       ROUND(d2, 6) AS dist2
+FROM (
+  SELECT p.vec_id, p.label, c.clabel AS predicted, {d2} AS d2,
+         row_number() OVER (PARTITION BY p.vec_id
+                            ORDER BY {d2} ASC, c.clabel ASC) AS rn
+  FROM v p CROSS JOIN cent c
 ) WHERE rn = 1"""
 
 
@@ -2281,6 +2367,50 @@ s{t} AS (SELECT s.walk, CAST({t} AS BIGINT) AS step, a.dst AS v
     return head + "".join(steps_sql) + "\n" + union
 
 
+def _node2vec_sql(steps: int, n_seeds: int, wr: int, ws: int, wq: int) -> str:
+    """Fixed-K unroll of algorithms/walks.node2vec_walks — step 1 is the
+    uniform first-order pick; steps >= 2 score every out-neighbor x of the
+    frontier vertex with integer weight (return/stay/explore vs prev) times
+    the 64-bit hash and keep the per-walk argmax (ties to larger x),
+    matching Spark's max(struct(key, x)) ordering bit-for-bit."""
+    head = f"""WITH {customer_graph_sql().strip()},
+e AS (SELECT DISTINCT src, dst FROM eg),
+adj AS (SELECT src, dst,
+               CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                    AS BIGINT) AS rnk,
+               CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        FROM e),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+s0 AS (SELECT id AS walk, CAST(0 AS BIGINT) AS step, id AS v,
+              CAST(NULL AS BIGINT) AS prev FROM seeds),
+s1 AS (SELECT s.walk, CAST(1 AS BIGINT) AS step, a.dst AS v, s.v AS prev
+  FROM s0 s JOIN adj a ON a.src = s.v
+   AND a.rnk = ((s.walk * 1000003 + 1 * 10007 + s.v * 31) % 1000000007)
+               % a.deg)"""
+    steps_sql = []
+    for t in range(2, steps + 1):
+        steps_sql.append(f""",
+s{t} AS (
+  SELECT walk, CAST({t} AS BIGINT) AS step, x AS v, v AS prev FROM (
+    SELECT c.walk, c.v, c.x,
+           ROW_NUMBER() OVER (PARTITION BY c.walk
+                              ORDER BY c.key DESC, c.x DESC) AS rn
+    FROM (
+      SELECT s.walk, s.v, a.dst AS x,
+             (CASE WHEN a.dst = s.prev THEN {wr}
+                   WHEN EXISTS (SELECT 1 FROM e n
+                                WHERE n.src = s.prev AND n.dst = a.dst)
+                        THEN {ws}
+                   ELSE {wq} END)
+             * ((s.walk * 1000003 + {t} * 10007 + s.v * 31
+                 + a.dst * 1000003) % 1000000007) AS key
+      FROM s{t - 1} s JOIN adj a ON a.src = s.v) c) z WHERE rn = 1)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT walk, step, v FROM s{t}" for t in range(0, steps + 1))
+    return head + "".join(steps_sql) + "\n" + union
+
+
 def _pseudo_diameter_sql(rounds: int) -> str:
     """Double-sweep BFS unroll (mirrors algorithms/traversal.pseudo_diameter:
     symmetrized simple graph, two fixed-round min-plus sweeps, farthest
@@ -2718,6 +2848,7 @@ FROM sp"""
     sqls["modularity"] = _modularity_sql(sweeps=4)
     sqls["assortativity"] = _assortativity_sql()
     sqls["random_walks"] = _random_walks_sql(WALK_STEPS, WALK_SEEDS)
+    sqls["node2vec_walks"] = _node2vec_sql(N2V_STEPS, WALK_SEEDS, *N2V_WEIGHTS)
     sqls["pseudo_diameter"] = _pseudo_diameter_sql(PSEUDO_DIAM_ROUNDS)
     sqls["ngram_jaccard"] = _ngram_jaccard_sql(NGRAM_N, NGRAM_NUM, NGRAM_DEN,
                                                NGRAM_DF_CAP)
@@ -3084,6 +3215,18 @@ FROM r"""
 
     sqls["bm25"] = _bm25_sql(BM25_TERMS, BM25_K, BM25_K1, BM25_B)
     sqls["contamination"] = _contamination_sql(CONTAM_N, CONTAM_MOD)
+    # the Bloom-bucket prefilter is plan-only: false positives are removed
+    # by the exact gram semi-join, so the oracle IS the exact computation
+    sqls["contamination_pruned"] = _contamination_sql(CONTAM_N, CONTAM_MOD)
+    sqls["copurchase"] = f"""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS r, l_partkey AS l FROM lineitem
+)
+SELECT a.l AS u, b.l AS v, CAST(COUNT(*) AS BIGINT) AS weight
+FROM inc a JOIN inc b ON a.r = b.r AND a.l < b.l
+GROUP BY a.l, b.l
+HAVING COUNT(*) >= {COPURCHASE_MIN_W}"""
+    sqls["centroid_classify"] = _centroid_classify_sql(dim=64)
     sqls["semdedup"] = _semdedup_sql(KMEANS_K, KMEANS_ITERS, dim=64,
                                      threshold=SEMDEDUP_THRESHOLD)
 

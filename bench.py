@@ -111,6 +111,9 @@ def run_headlines(spark, results: dict) -> None:
         "duplicate_spans", "quality_filter",
         # added late session 8: h-index core decomposition + corpus-LM scoring
         "coreness", "bigram_logprob",
+        # added session 9: bipartite projection, second-order biased walks,
+        # nearest-centroid classification
+        "copurchase", "node2vec_walks", "centroid_classify",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

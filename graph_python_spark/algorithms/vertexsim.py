@@ -143,6 +143,53 @@ def cocitation_scores(
     )
 
 
+def bipartite_project(
+    edges: DataFrame,
+    left: str = "l",
+    right: str = "r",
+    min_weight: int = 1,
+    max_right_degree: Optional[int] = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite graph onto its ``left``
+    vertex set: an edge (u, v, weight) for every unordered left pair u < v,
+    weight = number of shared right neighbors (B·B^T over the plus_pair
+    semiring, restricted to the strict upper triangle — the bipartite twin
+    of the reference's masked plus_pair pattern, ``notebooks/
+    HPEC2022.ipynb``).  This is how co-occurrence link graphs are BUILT
+    (co-purchase, co-authorship, doc–term co-citation) before any of the
+    one-mode algorithms here run on them.
+
+    Spark shape: dedup to the distinct (right, left) incidence relation,
+    self-join on the shared right vertex with ``left_a < left_b``, one
+    groupBy((u, v)).count — the identical wedge plan as `jaccard_neighbors`,
+    shuffling only on the right key and then once on the pair key.
+
+    Scale note (100 TB): fan-out is quadratic in RIGHT degree — one
+    10^6-member right hub yields ~5·10^11 pairs.  ``max_right_degree``
+    drops such hubs before the self-join (a right vertex shared by a huge
+    crowd carries ~zero pairwise signal — the same stop-hub/df_cap argument
+    as `jaccard_neighbors` and token_jaccard_pairs).  Default None = exact
+    (what the DuckDB-oracled query runs at test scale).
+    """
+    inc = (
+        edges.select(F.col(right).alias("_r"), F.col(left).alias("_l"))
+        .distinct()
+    )
+    if max_right_degree is not None:
+        rdeg = inc.groupBy("_r").agg(F.count("*").alias("_d"))
+        inc = inc.join(
+            rdeg.filter(F.col("_d") > max_right_degree).select("_r"),
+            "_r", "left_anti")
+    return (
+        inc.alias("a")
+        .join(inc.alias("b"),
+              (F.col("a._r") == F.col("b._r")) & (F.col("a._l") < F.col("b._l")))
+        .groupBy(F.col("a._l").alias("u"), F.col("b._l").alias("v"))
+        .agg(F.count("*").cast("long").alias("weight"))
+        .filter(F.col("weight") >= F.lit(min_weight))
+    )
+
+
 def jaccard_neighbors(
     edges: DataFrame,
     min_sim: float = 0.0,

@@ -42,6 +42,104 @@ def ranked_adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+def neighbor_arrays(edges: DataFrame) -> DataFrame:
+    """(src, neigh) with neigh = sorted array of out-neighbors — the
+    membership side for second-order walks.  Hub rows are bounded in the
+    same way as operators/blocks.adjacency_table's chunked form would
+    bound them; at walk scale only frontier prevs are ever probed."""
+    return (
+        edges.select(F.col("i").alias("src"), F.col("j").alias("dst")).distinct()
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("neigh"))
+    )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 6,
+    return_w: int = 2,
+    inout_w: int = 1,
+    stay_w: int = 4,
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks, fully deterministic.
+
+    node2vec (Grover & Leskovec 2016) biases step t by where candidate x
+    stands relative to the PREVIOUS vertex: α = 1/p if x == prev (return),
+    1 if x ∈ Γ(prev) (stay in the neighborhood), 1/q otherwise (explore).
+    Here the α-weighted categorical draw is replaced by a deterministic,
+    engine-replayable pick: each candidate scores
+    ``weight · hash64(walk, t, v, x)`` with INTEGER weights
+    (``return_w``/``stay_w``/``inout_w`` — the α ratios ×LCM, so p=2, q=4
+    defaults map to 2/4/1) and the candidate with the LARGEST score wins
+    (ties by larger x).  Higher-weight candidates win proportionally more
+    hash draws, preserving node2vec's return/explore structure, and the
+    pure int64 arithmetic replays bit-identically in any SQL engine —
+    the same determinism contract as `deterministic_walks`.
+    Step 1 has no prev and is the uniform first-order pick.
+    Returns (walk, step, v) including step 0; walks stop early at sinks.
+
+    Spark shape: per step, the O(#walks)-row frontier broadcasts into the
+    cached ranked adjacency (candidate generation, no shuffle), candidates
+    broadcast into the cached neighbor-array table (membership of x in
+    Γ(prev), no shuffle), and one groupBy(walk) argmax — O(Σ deg(frontier))
+    shuffled rows per step, never O(E).
+    """
+    adj = ranked_adjacency(edges).cache()
+    narr = neighbor_arrays(edges).cache()
+    state = seeds.select(
+        F.col("id").cast("long").alias("walk"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("id").cast("long").alias("v"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    out = [state.select("walk", "step", "v")]
+    # step 1: uniform first-order pick (no prev yet)
+    pick1 = ((F.col("walk") * _P1 + F.lit(1) * _P2 + F.col("v") * _P3) % _MOD) % F.col("deg")
+    state = (
+        F.broadcast(state.select("walk", "v"))
+        .join(adj, F.col("v") == F.col("src"))
+        .filter(F.col("rank") == pick1)
+        .select("walk", F.lit(1).cast("long").alias("step"),
+                F.col("dst").alias("v"), F.col("v").alias("prev"))
+    )
+    out.append(state.select("walk", "step", "v"))
+    for t in range(2, steps + 1):
+        cand = (
+            F.broadcast(state.select("walk", "v", "prev"))
+            .join(adj, F.col("v") == F.col("src"))
+            .select("walk", "v", "prev", F.col("dst").alias("x"))
+        )
+        # prev always has out-edges (the walk just left it), so inner join
+        cand = (
+            F.broadcast(cand)
+            .join(narr, cand["prev"] == narr["src"])
+            .select(
+                "walk", "v", "prev", "x",
+                F.when(F.col("x") == F.col("prev"), F.lit(return_w))
+                .when(F.array_contains(F.col("neigh"), F.col("x")), F.lit(stay_w))
+                .otherwise(F.lit(inout_w)).alias("w"),
+            )
+        )
+        key = (
+            F.col("w")
+            * ((F.col("walk") * _P1 + F.lit(t) * _P2 + F.col("v") * _P3
+                + F.col("x") * _P1) % _MOD)
+        )
+        state = (
+            cand.withColumn("key", key)
+            .groupBy("walk")
+            .agg(F.max(F.struct(F.col("key"), F.col("x"))).alias("m"),
+                 F.first("v").alias("prev_v"))
+            .select("walk", F.lit(t).cast("long").alias("step"),
+                    F.col("m.x").alias("v"), F.col("prev_v").alias("prev"))
+        )
+        if t % 4 == 0:
+            state = state.localCheckpoint(eager=True)
+        out.append(state.select("walk", "step", "v"))
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
 def deterministic_walks(
     edges: DataFrame,
     seeds: DataFrame,

@@ -138,3 +138,64 @@ def contamination_check(
                     .otherwise(F.lit(0.0)), 6).alias("contamination"),
         )
     )
+
+
+def contamination_check_pruned(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    buckets: int = 1 << 22,
+) -> DataFrame:
+    """`contamination_check` with a Bloom-style hash-bucket prefilter —
+    SAME output, different physical plan, for the regime where the eval
+    set itself is too large to broadcast raw (10^8 distinct 13-grams ≈
+    several GB of strings): the only broadcast relation is the set of
+    occupied xxhash64(gram) % ``buckets`` ids (≤ ``buckets`` longs, ~32 MB
+    at the default 2^22 — a 1-hash Bloom filter with the bitmap kept as a
+    distinct-id relation so the membership probe is a broadcast hash
+    semi-join).  Corpus grams that miss a bucket (the overwhelming
+    majority under any real contamination rate) are dropped inside the
+    scan's stage; only survivors reach the exact gram semi-join, which now
+    runs as an ordinary SHUFFLED semi-join on an already-tiny relation
+    instead of requiring the full gram broadcast.  False bucket positives
+    are removed by that exact join, so results are bit-identical to
+    `contamination_check` (the DuckDB oracle is the same SQL).
+
+    Per-document totals (``n_ngrams``) are counted BEFORE the prefilter —
+    pruning affects only which grams are carried to the membership test.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(_ngrams_col(n)).alias("gram")).distinct()
+    )
+    bench_buckets = bench_grams.select(
+        F.pmod(F.xxhash64("gram"), F.lit(buckets)).alias("_b")).distinct()
+    doc_grams = (
+        docs.select("doc_id", F.explode(F.array_distinct(_ngrams_col(n))).alias("gram"))
+    )
+    totals = doc_grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_ngrams"))
+    survivors = (
+        doc_grams.withColumn("_b", F.pmod(F.xxhash64("gram"), F.lit(buckets)))
+        .join(F.broadcast(bench_buckets), "_b", "left_semi")
+    )
+    hits = (
+        survivors.join(bench_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            # unlike the exact path, `hits` here only holds docs with >= 1
+            # verified hit, so n_contaminated must coalesce in the ratio too
+            F.round(F.when(F.coalesce(F.col("n_ngrams"), F.lit(0)) > 0,
+                           F.coalesce(F.col("n_contaminated"), F.lit(0))
+                           .cast("double") / F.col("n_ngrams"))
+                    .otherwise(F.lit(0.0)), 6).alias("contamination"),
+        )
+    )

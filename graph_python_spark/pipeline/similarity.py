@@ -370,6 +370,70 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
                         F.round("_d2", 6).alias("dist2"))
 
 
+def centroid_classify(emb: DataFrame,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      label_col: str = "label") -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the embedding column:
+    per-label mean centroids, then every vector is assigned the label of
+    its nearest centroid by squared L2 — the standard cheap classifier /
+    label-noise probe over an embedded corpus (a vector far from its own
+    class centroid is a mislabel candidate).
+
+    Returns every vector: (vec_id, label, predicted, correct, dist2) with
+    ``correct`` as 0/1 and dist2 rounded 1e-6.
+
+    Determinism across engines (same contract as `kmeans_fixed`): centroid
+    components are means of ROUND(x·2^20) int64 sums (order-independent),
+    the argmin is pp − 2·pc + cc with ties to the smaller label, and every
+    dot product is the same sequential fold both engines run.
+
+    Plan shape at scale: centroid build is ONE partial-aggregating
+    groupBy(label, pos) over the dim-exploded quantized components
+    (k·dim rows per partition pre-shuffle); the centroids then travel as a
+    single broadcast row of (label, vector, cc) structs and assignment is
+    a map-side fold — the corpus is never shuffled at all.
+    """
+    pts = emb.select(F.col(id_col).alias("vec_id"),
+                     F.col(label_col).cast("long").alias("label"),
+                     F.col(vec_col).alias("_v"))
+    pts = pts.withColumn("_pp", _dot(F.col("_v"), F.col("_v")))
+    comp = (
+        pts.select("label", F.posexplode("_v").alias("pos", "_x"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.round(F.col("_x").cast("double")
+                           * F.lit(float(KMEANS_SCALE))).cast("long")).alias("_s"),
+             F.count("*").alias("_n"))
+        .select("label", "pos",
+                (F.col("_s").cast("double")
+                 / (F.col("_n").cast("double") * F.lit(float(KMEANS_SCALE))))
+                .alias("_val"))
+    )
+    cents = (
+        comp.groupBy(F.col("label").alias("_cl"))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_val"))),
+            lambda s: s["_val"]).alias("_c"))
+        .withColumn("_cc", _dot(F.col("_c"), F.col("_c")))
+    )
+    carr = cents.agg(F.collect_list(F.struct("_cl", "_c", "_cc")).alias("_cs"))
+    init = F.struct(F.lit(float("inf")).alias("_d2"),
+                    F.lit(-1).cast("long").alias("_cl"))
+
+    def step(acc, c):
+        d2 = (F.col("_pp") - F.lit(2.0) * _dot(F.col("_v"), c["_c"]) + c["_cc"])
+        better = (d2 < acc["_d2"]) | ((d2 == acc["_d2"]) & (c["_cl"] < acc["_cl"]))
+        return F.when(better, F.struct(d2.alias("_d2"), c["_cl"].alias("_cl"))) \
+                .otherwise(acc)
+
+    best = F.aggregate(F.col("_cs"), init, step)
+    return pts.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label",
+        best["_cl"].alias("predicted"),
+        (F.col("label") == best["_cl"]).cast("long").alias("correct"),
+        F.round(best["_d2"], 6).alias("dist2"),
+    )
+
+
 def semantic_dedup(emb: DataFrame, k: int = 8, iterations: int = 2,
                    threshold: float = 0.92,
                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
