@@ -567,6 +567,7 @@ COPURCHASE_MIN_W = 2       # co-order pairs below 2 shared orders carry no signa
 CONTAM_BUCKETS = 1 << 22   # hash-bucket prefilter width (exact after verify)
 N2V_STEPS = 6
 N2V_WEIGHTS = (2, 4, 1)    # integer (return, stay, explore) = α(1/p, 1, 1/q)·LCM
+KNN_K = 5
 
 
 def q_kcore(spark, sf_dir):
@@ -922,6 +923,21 @@ def q_centroid_classify(spark, sf_dir):
     return similarity.centroid_classify(_emb(spark, sf_dir))
 
 
+def q_knn_graph(spark, sf_dir):
+    """Mutual-kNN graph, exact method (the oracle path; the LSH-bucketed
+    scale path is recall-tested in tests/test_session9.py)."""
+    return similarity.knn_graph(_emb(spark, sf_dir), k=KNN_K, mutual=True,
+                                method="exact")
+
+
+def q_butterflies(spark, sf_dir):
+    from graph_python_spark.algorithms.vertexsim import butterfly_counts
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return butterfly_counts(
+        li.select(F.col("l_partkey").alias("l"), F.col("l_orderkey").alias("r")))
+
+
 def q_semdedup(spark, sf_dir):
     return similarity.semantic_dedup(_emb(spark, sf_dir), k=KMEANS_K,
                                      iterations=KMEANS_ITERS,
@@ -1264,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase": q_copurchase,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
+        "knn_graph": q_knn_graph,
+        "butterflies": q_butterflies,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "funnel": q_funnel,
@@ -3227,6 +3245,37 @@ FROM inc a JOIN inc b ON a.r = b.r AND a.l < b.l
 GROUP BY a.l, b.l
 HAVING COUNT(*) >= {COPURCHASE_MIN_W}"""
     sqls["centroid_classify"] = _centroid_classify_sql(dim=64)
+    sqls["knn_graph"] = f"""WITH {_emb_head_sql()},
+sims AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src, dst, cos_sim,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos_sim DESC, dst ASC) AS BIGINT)
+         AS rank
+  FROM sims
+  QUALIFY rank <= {KNN_K}
+)
+SELECT k1.src, k1.dst, k1.cos_sim, k1.rank
+FROM knn k1
+WHERE EXISTS (SELECT 1 FROM knn k2 WHERE k2.src = k1.dst AND k2.dst = k1.src)"""
+    sqls["butterflies"] = f"""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS r, l_partkey AS l FROM lineitem
+),
+proj AS (
+  SELECT a.l AS u, b.l AS v, COUNT(*) AS w
+  FROM inc a JOIN inc b ON a.r = b.r AND a.l < b.l
+  GROUP BY a.l, b.l
+  HAVING COUNT(*) >= 2
+),
+pp AS (SELECT u, v, (w * (w - 1)) // 2 AS bfly FROM proj)
+SELECT id, CAST(SUM(bfly) AS BIGINT) AS butterflies FROM (
+  SELECT u AS id, bfly FROM pp UNION ALL SELECT v, bfly FROM pp
+) GROUP BY id"""
     sqls["semdedup"] = _semdedup_sql(KMEANS_K, KMEANS_ITERS, dim=64,
                                      threshold=SEMDEDUP_THRESHOLD)
 

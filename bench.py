@@ -112,8 +112,9 @@ def run_headlines(spark, results: dict) -> None:
         # added late session 8: h-index core decomposition + corpus-LM scoring
         "coreness", "bigram_logprob",
         # added session 9: bipartite projection, second-order biased walks,
-        # nearest-centroid classification
+        # nearest-centroid classification, butterflies, mutual-kNN graph
         "copurchase", "node2vec_walks", "centroid_classify",
+        "butterflies", "knn_graph",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

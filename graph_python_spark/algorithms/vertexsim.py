@@ -190,6 +190,37 @@ def bipartite_project(
     )
 
 
+def butterfly_counts(
+    edges: DataFrame,
+    left: str = "l",
+    right: str = "r",
+    max_right_degree: Optional[int] = None,
+) -> DataFrame:
+    """Per-left-vertex butterfly (bipartite 4-cycle) counts — the bipartite
+    twin of per-vertex triangle counts, the density/cohesion signal for
+    two-mode graphs (user×item, doc×term).  A butterfly on left pair
+    (u, v) exists for every unordered pair of their shared right
+    neighbors, so with w = |Γ(u) ∩ Γ(v)| (the `bipartite_project` weight)
+    the pair contributes C(w, 2) butterflies to BOTH u and v.
+
+    Spark shape: the projection's wedge plan (pairs with w >= 2 only —
+    w = 1 contributes zero) + one explode-to-both-endpoints union + one
+    vertex groupBy.  ``max_right_degree`` is the same stop-hub cap as the
+    projection (fan-out quadratic in right degree).
+    Returns (id, butterflies) for every left vertex in >= 1 butterfly.
+    """
+    proj = bipartite_project(edges, left=left, right=right, min_weight=2,
+                             max_right_degree=max_right_degree)
+    per_pair = proj.select(
+        "u", "v",
+        ((F.col("weight") * (F.col("weight") - 1)) / F.lit(2))
+        .cast("long").alias("bfly"))
+    sides = per_pair.select(F.col("u").alias("id"), "bfly").unionByName(
+        per_pair.select(F.col("v").alias("id"), "bfly"))
+    return sides.groupBy("id").agg(
+        F.sum("bfly").cast("long").alias("butterflies"))
+
+
 def jaccard_neighbors(
     edges: DataFrame,
     min_sim: float = 0.0,

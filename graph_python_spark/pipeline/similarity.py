@@ -226,6 +226,61 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
     )
 
 
+def knn_graph(emb: DataFrame, k: int = 5, mutual: bool = False,
+              method: str = "lsh", dim: int = 64, bands: int = 8,
+              band_bits: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """k-nearest-neighbor graph over the embedding column by cosine:
+    directed edges (src, dst, cos_sim, rank) with rank 1..k per src
+    (ties broken by ROUNDED cos_sim desc then dst asc — rounding before
+    ordering is what makes the cut deterministic across engines, where the
+    last ulp of a double could differ).  ``mutual=True`` keeps only edges
+    whose reverse is also a kNN edge — the mutual-kNN graph that feeds
+    graph-based clustering / dedup (connected components over it) and
+    label spreading.  Zero-norm vectors are excluded.
+
+    method="lsh" (the 100 TB path): candidates from the multi-band
+    sign-sketch bucket equi-join (`lsh_band_buckets`) — never an all-pairs
+    product; per-src top-k then runs on bucket collisions only, so a
+    vector's neighbors beyond its buckets are missed (recall tested vs the
+    exact path in tests).  method="exact": the brute-force O(n²) baseline
+    — the small-scale oracle; must never run at scale.
+
+    The per-src top-k is a partition-parallel window (src-hash
+    partitioned), never a global sort.
+    """
+    n = with_norm(emb, vec_col).filter(F.col("_norm") > 0)
+    a = n.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_a"),
+                 F.col("_norm").alias("_na"))
+    b = n.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_b"),
+                 F.col("_norm").alias("_nb"))
+    if method == "exact":
+        pairs = a.join(b, F.col("src") != F.col("dst"))
+    else:
+        bb = lsh_band_buckets(emb, dim, bands, band_bits, vec_col, id_col).cache()
+        cand = (
+            bb.select(F.col("id").alias("src"), "band", "bucket")
+            .join(bb.select(F.col("id").alias("dst"), "band", "bucket"),
+                  ["band", "bucket"])
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        pairs = cand.join(a, "src").join(b, "dst")
+    sims = pairs.select(
+        "src", "dst",
+        F.round(_dot(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb")), 6)
+        .alias("cos_sim"))
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(),
+                                          F.col("dst").asc())
+    knn = (sims.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= k))
+    if mutual:
+        rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        knn = knn.join(rev, ["src", "dst"], "left_semi")
+    return knn.select("src", "dst", "cos_sim", "rank")
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 16,
              n_probe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF-style ANN: centroids = the ``n_cells`` vectors with the smallest

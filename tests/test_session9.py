@@ -132,6 +132,103 @@ def test_node2vec_sink_stops_and_return_bias(spark):
 
 
 # ---------------------------------------------------------------------------
+# butterfly_counts
+# ---------------------------------------------------------------------------
+def test_butterfly_counts(spark):
+    from graph_python_spark.algorithms.vertexsim import butterfly_counts
+
+    # K2,2 on left {1,2} right {10,11} = exactly one butterfly for each of
+    # 1 and 2; left 3 shares only one right vertex with 1 -> no butterfly
+    inc = bip_df(spark, [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)])
+    got = {r.id: r.butterflies for r in butterfly_counts(inc).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_butterfly_counts_random_differential(spark):
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(20), rng.randrange(10)) for _ in range(90)})
+    inc = bip_df(spark, pairs)
+
+    by_r = {}
+    for l, r in set(pairs):
+        by_r.setdefault(r, set()).add(l)
+    w = Counter()
+    for ls in by_r.values():
+        ls = sorted(ls)
+        for i in range(len(ls)):
+            for j in range(i + 1, len(ls)):
+                w[(ls[i], ls[j])] += 1
+    expect = Counter()
+    for (u, v), cnt in w.items():
+        if cnt >= 2:
+            b = cnt * (cnt - 1) // 2
+            expect[u] += b
+            expect[v] += b
+    from graph_python_spark.algorithms.vertexsim import butterfly_counts
+    got = {r.id: r.butterflies for r in butterfly_counts(inc).collect()}
+    assert got == dict(expect)
+
+
+# ---------------------------------------------------------------------------
+# knn_graph
+# ---------------------------------------------------------------------------
+def _rand_emb_rows(n=30, dim=8, seed=23):
+    rng = random.Random(seed)
+    return [(i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)])
+            for i in range(n)]
+
+
+def _knn_replay(rows, k, mutual):
+    import numpy as np
+
+    vecs = {i: np.array([np.float64(np.float32(x)) for x in v])
+            for i, v in rows}
+    nrm = {i: float(np.sqrt(np.dot(v, v))) for i, v in vecs.items()}
+    knn = {}
+    for i in vecs:
+        sims = sorted(
+            ((-round(float(np.dot(vecs[i], vecs[j])) / (nrm[i] * nrm[j]), 6), j)
+             for j in vecs if j != i))
+        knn[i] = {(j, -s, r + 1) for r, (s, j) in enumerate(sims[:k])}
+    out = set()
+    for i, es in knn.items():
+        fwd = {j for j, _, _ in es}
+        for j, s, r in es:
+            if not mutual or i in {x for x, _, _ in knn[j]}:
+                out.add((i, j, s, r))
+    return out
+
+
+def test_knn_graph_exact_differential(spark):
+    from graph_python_spark.pipeline.similarity import knn_graph
+
+    rows = _rand_emb_rows()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for mutual in (False, True):
+        got = {(r.src, r.dst, r.cos_sim, r.rank)
+               for r in knn_graph(emb, k=4, mutual=mutual,
+                                  method="exact").collect()}
+        assert got == _knn_replay(rows, 4, mutual), f"mutual={mutual}"
+
+
+def test_knn_graph_lsh_recall(spark):
+    from graph_python_spark.pipeline.similarity import knn_graph
+
+    rows = _rand_emb_rows(n=60, dim=8, seed=31)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.src, r.dst)
+             for r in knn_graph(emb, k=3, method="exact").collect()}
+    lsh = {(r.src, r.dst)
+           for r in knn_graph(emb, k=3, method="lsh", dim=8,
+                              bands=12, band_bits=2).collect()}
+    # LSH edges are a subset of candidates ranked the same way; recall of
+    # the true kNN edge set must be high at this banding
+    assert lsh, "lsh produced no edges"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.6, recall
+
+
+# ---------------------------------------------------------------------------
 # centroid_classify
 # ---------------------------------------------------------------------------
 def test_centroid_classify_differential(spark):
