@@ -924,10 +924,12 @@ def q_centroid_classify(spark, sf_dir):
 
 
 def q_knn_graph(spark, sf_dir):
-    """Mutual-kNN graph, exact method (the oracle path; the LSH-bucketed
-    scale path is recall-tested in tests/test_session9.py)."""
+    """Mutual-kNN graph over the LSH-bucketed candidate path (the 100 TB
+    plan — never the O(n²) exact join, which is kept for pytest recall
+    tests only); the oracle replicates the banding in SQL with the same
+    inlined hyperplanes, the near_dup_cosine pattern."""
     return similarity.knn_graph(_emb(spark, sf_dir), k=KNN_K, mutual=True,
-                                method="exact")
+                                method="lsh", dim=64, bands=8, band_bits=4)
 
 
 def q_butterflies(spark, sf_dir):
@@ -1675,6 +1677,48 @@ FROM (
                             ORDER BY {d2} ASC, c.clabel ASC) AS rn
   FROM v p CROSS JOIN cent c
 ) WHERE rn = 1"""
+
+
+def _knn_graph_sql(k: int, dim: int, bands: int, band_bits: int) -> str:
+    """Mutual-kNN over banded sign-LSH candidates — replicates
+    pipeline/similarity.knn_graph(method='lsh') exactly: same hyperplanes
+    and band/bucket packing as _near_dup_sql, per-src top-k on the rounded
+    cosine with (cos_sim DESC, dst ASC) cut, mutual EXISTS filter."""
+    band_selects = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {_hyperplane_lit(dim, b * band_bits + r)}) >= 0"
+            f" THEN {1 << r} ELSE 0 END)"
+            for r in range(band_bits)
+        )
+        band_selects.append(
+            f"SELECT vec_id AS id, {b} AS band, {bits} AS bucket FROM v"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_emb_head_sql()},
+bb AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id <> b.id
+),
+sims AS (
+  SELECT c.src, c.dst,
+         ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM cand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst
+),
+knn AS (
+  SELECT src, dst, cos_sim,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos_sim DESC, dst ASC) AS BIGINT)
+         AS rank
+  FROM sims
+  QUALIFY rank <= {k}
+)
+SELECT k1.src, k1.dst, k1.cos_sim, k1.rank
+FROM knn k1
+WHERE EXISTS (SELECT 1 FROM knn k2 WHERE k2.src = k1.dst AND k2.dst = k1.src)"""
 
 
 def _near_dup_sql(threshold: float, dim: int, bands: int, band_bits: int) -> str:
@@ -3245,23 +3289,7 @@ FROM inc a JOIN inc b ON a.r = b.r AND a.l < b.l
 GROUP BY a.l, b.l
 HAVING COUNT(*) >= {COPURCHASE_MIN_W}"""
     sqls["centroid_classify"] = _centroid_classify_sql(dim=64)
-    sqls["knn_graph"] = f"""WITH {_emb_head_sql()},
-sims AS (
-  SELECT a.vec_id AS src, b.vec_id AS dst,
-         ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
-  FROM n a JOIN n b ON a.vec_id <> b.vec_id
-),
-knn AS (
-  SELECT src, dst, cos_sim,
-         CAST(row_number() OVER (PARTITION BY src
-                                 ORDER BY cos_sim DESC, dst ASC) AS BIGINT)
-         AS rank
-  FROM sims
-  QUALIFY rank <= {KNN_K}
-)
-SELECT k1.src, k1.dst, k1.cos_sim, k1.rank
-FROM knn k1
-WHERE EXISTS (SELECT 1 FROM knn k2 WHERE k2.src = k1.dst AND k2.dst = k1.src)"""
+    sqls["knn_graph"] = _knn_graph_sql(KNN_K, dim=64, bands=8, band_bits=4)
     sqls["butterflies"] = f"""
 WITH inc AS (
   SELECT DISTINCT l_orderkey AS r, l_partkey AS l FROM lineitem
