@@ -932,6 +932,14 @@ def q_knn_graph(spark, sf_dir):
                                 method="lsh", dim=64, bands=8, band_bits=4)
 
 
+def q_triad_census(spark, sf_dir):
+    from graph_python_spark.algorithms.triangles import directed_triangle_census
+
+    e = customer_graph(spark, sf_dir)
+    return directed_triangle_census(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")))
+
+
 def q_butterflies(spark, sf_dir):
     from graph_python_spark.algorithms.vertexsim import butterfly_counts
 
@@ -1284,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": q_centroid_classify,
         "knn_graph": q_knn_graph,
         "butterflies": q_butterflies,
+        "triad_census": q_triad_census,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "funnel": q_funnel,
@@ -3290,6 +3299,16 @@ GROUP BY a.l, b.l
 HAVING COUNT(*) >= {COPURCHASE_MIN_W}"""
     sqls["centroid_classify"] = _centroid_classify_sql(dim=64)
     sqls["knn_graph"] = _knn_graph_sql(KNN_K, dim=64, bands=8, band_bits=4)
+    sqls["triad_census"] = f"""
+WITH {customer_graph_sql().strip()},
+e AS (SELECT DISTINCT src AS i, dst AS j FROM eg WHERE src <> dst),
+w AS (SELECT a.i, a.j, b.j AS k FROM e a JOIN e b ON a.j = b.i),
+cyc AS (SELECT CAST(COUNT(*) AS BIGINT) AS cyclic
+        FROM w JOIN e c ON c.i = w.k AND c.j = w.i
+        WHERE w.i < w.j AND w.i < w.k),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS transitive
+       FROM w JOIN e c ON c.i = w.i AND c.j = w.k)
+SELECT cyclic, transitive FROM cyc CROSS JOIN tr"""
     sqls["butterflies"] = f"""
 WITH inc AS (
   SELECT DISTINCT l_orderkey AS r, l_partkey AS l FROM lineitem

@@ -114,7 +114,7 @@ def run_headlines(spark, results: dict) -> None:
         # added session 9: bipartite projection, second-order biased walks,
         # nearest-centroid classification, butterflies, mutual-kNN graph
         "copurchase", "node2vec_walks", "centroid_classify",
-        "butterflies", "knn_graph",
+        "butterflies", "knn_graph", "triad_census",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

@@ -55,6 +55,46 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     return stacked.groupBy("id").agg(F.count("*").alias("triangles"))
 
 
+def directed_triangle_census(edges: DataFrame) -> DataFrame:
+    """Directed-triangle census over the deduped directed simple graph:
+    one row (cyclic, transitive).
+
+    * ``cyclic``      # of directed 3-cycles i→j→k→i, each cycle counted
+                      once (rotation representative: i = min of the three,
+                      i.e. i < j AND i < k; the two orientations of a
+                      vertex set are distinct cycles and both count when
+                      reciprocal edges provide both).
+    * ``transitive``  # of transitive triples i→j→k with the shortcut
+                      i→k — no rotation symmetry, every ordered triple is
+                      a distinct instance (the triad-census 030T unit).
+
+    GraphBLAS formulation: cyclic = reduce(plus) of (A·A ⊙ Aᵀ) over
+    plus_pair / 3, transitive = reduce(plus) of (A·A ⊙ A) — the same
+    masked-SpGEMM shape as `triangles_df` with orientation-aware masks
+    (reference plus_pair semiring `core/operator/semiring.py:181`).
+
+    Spark plan: ONE cached wedge relation (i→j→k) closed twice — by the
+    k→i edge for cycles and the i→k edge for transitive triples.  The
+    mask is pushed into equi-joins exactly as in `triangles_df`; two
+    shuffles for the wedge, one per closure.  Skew note: the wedge
+    fan-out is quadratic in hub mid-degree — at web scale feed this the
+    `sparsify`/`max_degree`-capped edge table like every other wedge plan
+    here.
+    """
+    e = (edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
+         .cache())
+    wedges = e.join(
+        e.select(F.col("i").alias("j"), F.col("j").alias("k")), "j")
+    # the closing edge runs k→i: its source binds to the wedge's k, its
+    # destination to the wedge's i
+    cyc = wedges.join(
+        e.select(F.col("i").alias("k"), F.col("j").alias("i")), ["k", "i"]) \
+        .filter((F.col("i") < F.col("j")) & (F.col("i") < F.col("k")))
+    trans = wedges.join(e.select("i", F.col("j").alias("k")), ["i", "k"])
+    return cyc.agg(F.count("*").cast("long").alias("cyclic")).crossJoin(
+        trans.agg(F.count("*").cast("long").alias("transitive")))
+
+
 def clustering_coefficients(edges: DataFrame) -> DataFrame:
     """Local clustering coefficient per vertex: 2·t(v) / (d(v)·(d(v)-1)),
     over the undirected simple graph (self-loops and duplicates dropped);

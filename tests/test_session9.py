@@ -229,6 +229,46 @@ def test_knn_graph_lsh_recall(spark):
 
 
 # ---------------------------------------------------------------------------
+# directed_triangle_census
+# ---------------------------------------------------------------------------
+def test_triad_census_hand_fixtures(spark):
+    from graph_python_spark.algorithms.triangles import directed_triangle_census
+
+    # pure 3-cycle: 1 cyclic, 0 transitive
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "i long, j long")
+    r = directed_triangle_census(cyc).first()
+    assert (r.cyclic, r.transitive) == (1, 0)
+    # transitive triple: 0 cyclic, 1 transitive
+    tr = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "i long, j long")
+    r = directed_triangle_census(tr).first()
+    assert (r.cyclic, r.transitive) == (0, 1)
+    # full K3 with reciprocal edges everywhere: both cycle orientations
+    # (2 cyclic) and every ordered transitive triple (6)
+    k3 = spark.createDataFrame(
+        [(a, b) for a in range(3) for b in range(3) if a != b],
+        "i long, j long")
+    r = directed_triangle_census(k3).first()
+    assert (r.cyclic, r.transitive) == (2, 6)
+
+
+def test_triad_census_random_differential(spark):
+    from graph_python_spark.algorithms.triangles import directed_triangle_census
+
+    rng = random.Random(41)
+    pairs = [(a, b) for a, b in
+             {(rng.randrange(15), rng.randrange(15)) for _ in range(80)}
+             if a != b]
+    es = set(pairs)
+    cyclic = sum(1 for i, j in es for k in range(15)
+                 if (j, k) in es and (k, i) in es and i < j and i < k)
+    transitive = sum(1 for i, j in es for k in range(15)
+                     if (j, k) in es and (i, k) in es)
+    edges = spark.createDataFrame(pairs, "i long, j long")
+    r = directed_triangle_census(edges).first()
+    assert (r.cyclic, r.transitive) == (cyclic, transitive)
+
+
+# ---------------------------------------------------------------------------
 # centroid_classify
 # ---------------------------------------------------------------------------
 def test_centroid_classify_differential(spark):
