@@ -1601,17 +1601,40 @@ n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v
       WHERE sqrt(list_dot_product(emb, emb)) > 0)"""
 
 
+# the determinism contract shared by every centroid-based oracle (kmeans,
+# centroid_classify): squared L2 as pp - 2*pc + cc with every dot the same
+# sequential fold, and centroid means over ROUND(x * 2^20)::BIGINT sums —
+# integer addition is order-independent, so partial-aggregation order can't
+# skew the mean.  Defined ONCE so the oracles can't silently diverge.
+_D2_SQL = ("(list_dot_product(p.emb, p.emb)"
+           " - 2.0 * list_dot_product(p.emb, c.c)"
+           " + list_dot_product(c.c, c.c))")
+
+
+def _quantized_mean_sql(rel: str, key: str, dim: int,
+                        key_out: str | None = None) -> str:
+    """SELECT body building per-``key`` quantized-mean centroid vectors
+    from relation ``rel`` (columns: ``key``, emb)."""
+    from graph_python_spark.pipeline.similarity import KMEANS_SCALE
+
+    out = key_out or key
+    return f"""SELECT {key} AS {out}, list(val ORDER BY pos) AS c FROM (
+    SELECT r.{key}, i.pos,
+           CAST(SUM(CAST(ROUND(r.emb[i.pos] * {float(KMEANS_SCALE)}) AS BIGINT))
+                AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * {float(KMEANS_SCALE)}) AS val
+    FROM {rel} r
+    CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS pos) i
+    GROUP BY r.{key}, i.pos
+  ) GROUP BY {key}"""
+
+
 def _kmeans_sql(k: int, iters: int, dim: int) -> str:
     """Unrolled fixed-iteration Lloyd k-means — mirrors
     pipeline/similarity.kmeans_fixed: md5-ordered init, argmin of
-    pp - 2*pc + cc with (d2, cid) tie-break, integer-quantized centroid
-    update CAST(SUM(ROUND(x * 2^20) :: BIGINT) AS DOUBLE)/(n * 2^20)
-    (order-independent, so partial-aggregation order can't skew the mean)."""
-    from graph_python_spark.pipeline.similarity import KMEANS_SCALE
-
-    d2 = ("(list_dot_product(p.emb, p.emb)"
-          " - 2.0 * list_dot_product(p.emb, c.c)"
-          " + list_dot_product(c.c, c.c))")
+    pp - 2*pc + cc with (d2, cid) tie-break, quantized centroid update
+    (shared `_D2_SQL` / `_quantized_mean_sql` contract)."""
+    d2 = _D2_SQL
     head = f"""WITH {_emb_head_sql()},
 cent0 AS (
   SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
@@ -1633,15 +1656,7 @@ asg{t} AS MATERIALIZED (
   ) WHERE rn = 1
 ),
 cent{t} AS MATERIALIZED (
-  SELECT cid, list(val ORDER BY pos) AS c FROM (
-    SELECT a.cid, i.pos,
-           CAST(SUM(CAST(ROUND(a.emb[i.pos] * {float(KMEANS_SCALE)}) AS BIGINT))
-                AS DOUBLE)
-           / (CAST(COUNT(*) AS DOUBLE) * {float(KMEANS_SCALE)}) AS val
-    FROM asg{t} a
-    CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS pos) i
-    GROUP BY a.cid, i.pos
-  ) GROUP BY cid
+  {_quantized_mean_sql(f"asg{t}", "cid", dim)}
 )""")
     return head + "".join(steps) + f"""
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d2, 6) AS dist2 FROM (
@@ -1654,28 +1669,17 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(d2, 6) AS dist2 FROM (
 
 def _centroid_classify_sql(dim: int) -> str:
     """Nearest-centroid classification — mirrors pipeline/similarity.
-    centroid_classify: per-label integer-quantized mean centroids, argmin
-    of pp - 2*pc + cc with (d2, label) tie-break."""
-    from graph_python_spark.pipeline.similarity import KMEANS_SCALE
-
-    d2 = ("(list_dot_product(p.emb, p.emb)"
-          " - 2.0 * list_dot_product(p.emb, c.c)"
-          " + list_dot_product(c.c, c.c))")
+    centroid_classify: per-label quantized-mean centroids, argmin with
+    (d2, label) tie-break (shared `_D2_SQL` / `_quantized_mean_sql`
+    contract)."""
+    d2 = _D2_SQL
     return f"""WITH v AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          CAST(embedding AS DOUBLE[]) AS emb
   FROM embeddings
 ),
 cent AS (
-  SELECT label AS clabel, list(val ORDER BY pos) AS c FROM (
-    SELECT v.label, i.pos,
-           CAST(SUM(CAST(ROUND(v.emb[i.pos] * {float(KMEANS_SCALE)}) AS BIGINT))
-                AS DOUBLE)
-           / (CAST(COUNT(*) AS DOUBLE) * {float(KMEANS_SCALE)}) AS val
-    FROM v
-    CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS pos) i
-    GROUP BY v.label, i.pos
-  ) GROUP BY label
+  {_quantized_mean_sql("v", "label", dim, key_out="clabel")}
 )
 SELECT vec_id, label, predicted,
        CAST(label = predicted AS BIGINT) AS correct,

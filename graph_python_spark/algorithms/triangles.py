@@ -83,8 +83,10 @@ def directed_triangle_census(edges: DataFrame) -> DataFrame:
     """
     e = (edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
          .cache())
+    # cache: both closures consume the (quadratic-in-hub-degree) wedge
+    # relation — without it the dominant join would execute twice
     wedges = e.join(
-        e.select(F.col("i").alias("j"), F.col("j").alias("k")), "j")
+        e.select(F.col("i").alias("j"), F.col("j").alias("k")), "j").cache()
     # the closing edge runs k→i: its source binds to the wedge's k, its
     # destination to the wedge's i
     cyc = wedges.join(

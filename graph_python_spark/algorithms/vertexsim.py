@@ -211,10 +211,11 @@ def butterfly_counts(
     """
     proj = bipartite_project(edges, left=left, right=right, min_weight=2,
                              max_right_degree=max_right_degree)
+    # w(w-1) is even, so >>1 is the exact integer C(w,2) — a double
+    # division would round past 2^53 and diverge from the integer oracle
     per_pair = proj.select(
         "u", "v",
-        ((F.col("weight") * (F.col("weight") - 1)) / F.lit(2))
-        .cast("long").alias("bfly"))
+        F.shiftright(F.col("weight") * (F.col("weight") - 1), 1).alias("bfly"))
     sides = per_pair.select(F.col("u").alias("id"), "bfly").unionByName(
         per_pair.select(F.col("v").alias("id"), "bfly"))
     return sides.groupBy("id").agg(

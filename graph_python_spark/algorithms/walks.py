@@ -42,18 +42,6 @@ def ranked_adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
-def neighbor_arrays(edges: DataFrame) -> DataFrame:
-    """(src, neigh) with neigh = sorted array of out-neighbors — the
-    membership side for second-order walks.  Hub rows are bounded in the
-    same way as operators/blocks.adjacency_table's chunked form would
-    bound them; at walk scale only frontier prevs are ever probed."""
-    return (
-        edges.select(F.col("i").alias("src"), F.col("j").alias("dst")).distinct()
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("neigh"))
-    )
-
-
 def node2vec_walks(
     edges: DataFrame,
     seeds: DataFrame,
@@ -80,13 +68,14 @@ def node2vec_walks(
     Returns (walk, step, v) including step 0; walks stop early at sinks.
 
     Spark shape: per step, the O(#walks)-row frontier broadcasts into the
-    cached ranked adjacency (candidate generation, no shuffle), candidates
-    broadcast into the cached neighbor-array table (membership of x in
-    Γ(prev), no shuffle), and one groupBy(walk) argmax — O(Σ deg(frontier))
-    shuffled rows per step, never O(E).
+    cached ranked adjacency (candidate generation, no shuffle); the
+    membership of x in Γ(prev) is resolved by broadcasting the candidate
+    (prev, x) pairs back into the SAME cached adjacency (a second scan, no
+    shuffle, no per-vertex arrays — hub-safe: nothing ever materializes a
+    whole neighbor list in one cell); then one groupBy(walk) argmax —
+    O(Σ deg(frontier)) shuffled rows per step, never O(E).
     """
     adj = ranked_adjacency(edges).cache()
-    narr = neighbor_arrays(edges).cache()
     state = seeds.select(
         F.col("id").cast("long").alias("walk"),
         F.lit(0).cast("long").alias("step"),
@@ -104,20 +93,28 @@ def node2vec_walks(
                 F.col("dst").alias("v"), F.col("v").alias("prev"))
     )
     out.append(state.select("walk", "step", "v"))
+    adj_pairs = adj.select(F.col("src").alias("prev"), F.col("dst").alias("x"))
     for t in range(2, steps + 1):
         cand = (
             F.broadcast(state.select("walk", "v", "prev"))
             .join(adj, F.col("v") == F.col("src"))
             .select("walk", "v", "prev", F.col("dst").alias("x"))
         )
-        # prev always has out-edges (the walk just left it), so inner join
+        # membership x ∈ Γ(prev): the candidate pairs broadcast back into
+        # the cached adjacency (build side = candidates, stream side = the
+        # in-memory edge pairs) — (walk, x) is unique within a step, so the
+        # inner-join hits ARE the stay set
+        stay = (
+            F.broadcast(cand.select("walk", "prev", "x"))
+            .join(adj_pairs, ["prev", "x"])
+            .select("walk", "x", F.lit(1).alias("_stay"))
+        )
         cand = (
-            F.broadcast(cand)
-            .join(narr, cand["prev"] == narr["src"])
+            cand.join(F.broadcast(stay), ["walk", "x"], "left")
             .select(
                 "walk", "v", "prev", "x",
                 F.when(F.col("x") == F.col("prev"), F.lit(return_w))
-                .when(F.array_contains(F.col("neigh"), F.col("x")), F.lit(stay_w))
+                .when(F.col("_stay") == 1, F.lit(stay_w))
                 .otherwise(F.lit(inout_w)).alias("w"),
             )
         )

@@ -276,6 +276,9 @@ def knn_graph(emb: DataFrame, k: int = 5, mutual: bool = False,
     knn = (sims.withColumn("rank", F.row_number().over(w).cast("long"))
            .filter(F.col("rank") <= k))
     if mutual:
+        # cache: the semi-join consumes knn on BOTH sides — without it the
+        # candidate dot products and the top-k window would execute twice
+        knn = knn.cache()
         rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         knn = knn.join(rev, ["src", "dst"], "left_semi")
     return knn.select("src", "dst", "cos_sim", "rank")
