@@ -1198,6 +1198,101 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(_events(spark, sf_dir), bucket_seconds=604800)
 
 
+PACK_BUDGET = 2048
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+SPLIT_TRAIN, SPLIT_VALID, SPLIT_SALT = 0.8, 0.1, 47
+# the synthetic corpus draws from a ~31-token vocabulary where almost
+# every token appears in >half the documents — a 0.5 df-cap would leave a
+# 1-token test surface, so the ceiling sits at 0.95 here (real crawls set
+# it low; the operator default stays 0.5)
+TFIDF_K, TFIDF_MAX_DF = 5, 0.95
+SNAPSHOT_CUT = "1998-01-01"
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing of the document token stream
+    into fixed token-budget bins (two-phase distributed prefix sum — no
+    global window; see pipeline/packing.py)."""
+    from graph_python_spark.pipeline.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
+def q_chunk_docs(spark, sf_dir):
+    from graph_python_spark.pipeline.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=CHUNK_SIZE,
+                           overlap=CHUNK_OVERLAP)
+
+
+def q_dataset_split(spark, sf_dir):
+    from graph_python_spark.pipeline.packing import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir), train_frac=SPLIT_TRAIN,
+                         valid_frac=SPLIT_VALID, salt=SPLIT_SALT)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    from graph_python_spark.pipeline.packing import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=TFIDF_K,
+                      max_df_frac=TFIDF_MAX_DF)
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    from graph_python_spark.pipeline.packing import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir))
+
+
+def q_conductance(spark, sf_dir):
+    """Per-nation-community conductance of the customer graph (the
+    partition-quality twin of q_modularity)."""
+    from graph_python_spark.algorithms.metrics import conductance
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    mapping = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("group"))
+    return conductance(e, mapping)
+
+
+def q_attr_assortativity(spark, sf_dir):
+    """Categorical assortativity of the customer graph under the
+    customer→nation attribute (Newman's discrete mixing coefficient)."""
+    from graph_python_spark.algorithms.metrics import attribute_assortativity
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    attrs = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("attr"))
+    return attribute_assortativity(e, attrs)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Link churn between the customer graphs built from orders before
+    vs from SNAPSHOT_CUT — the temporal-graph diff primitive."""
+    from graph_python_spark.algorithms.metrics import snapshot_diff
+    from graph_python_spark.sources.tpch_graph import customer_count
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = customer_count(spark, sf_dir)
+
+    def graph_of(part):
+        return (
+            part.select(F.col("o_custkey").alias("i"),
+                        (F.col("o_orderkey") % F.lit(n)).alias("j"))
+            .filter(F.col("i") != F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.count("*").cast("long").alias("v"))
+        )
+
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    return snapshot_diff(graph_of(orders.filter(F.col("o_orderdate") < cut)),
+                         graph_of(orders.filter(F.col("o_orderdate") >= cut)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_out": q_degree_out,
@@ -1317,6 +1412,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "seeded_labelprop": q_seeded_labelprop,
         "salsa": q_salsa,
+        "pack_sequences": q_pack_sequences,
+        "chunk_docs": q_chunk_docs,
+        "dataset_split": q_dataset_split,
+        "tfidf_topk": q_tfidf_topk,
+        "quantize_embeddings": q_quantize_embeddings,
+        "conductance": q_conductance,
+        "attr_assortativity": q_attr_assortativity,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -3710,6 +3813,146 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
                        (CAST(('0x' || substr(MAX(dig), 1, 12)) AS BIGINT)
                         / 281474976710656.0) END, 6) AS est_distinct
 FROM topk GROUP BY event_type"""
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    sqls["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+p AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS s
+      FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, CAST(s AS BIGINT) AS start_offset,
+       CAST(s // {PACK_BUDGET} AS BIGINT) AS bin_start,
+       CAST((s + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS bin_end,
+       CAST(CASE WHEN (s + n_tokens - 1) // {PACK_BUDGET} > s // {PACK_BUDGET}
+                 THEN 1 ELSE 0 END AS BIGINT) AS crosses
+FROM p"""
+
+    sqls["chunk_docs"] = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             1 + (GREATEST(CAST(len(toks) AS BIGINT) - {CHUNK_SIZE}, 0)
+                  + {stride} - 1) // {stride} AS k
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(g.ci AS BIGINT) AS chunk_id,
+       CAST(g.ci * {stride} AS BIGINT) AS start_tok,
+       CAST(LEAST(g.ci * {stride} + {CHUNK_SIZE}, n) - g.ci * {stride}
+            AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+             list_slice(toks, g.ci * {stride} + 1,
+                        LEAST(g.ci * {stride} + {CHUNK_SIZE}, n)), ' '))
+         AS chunk_md5
+FROM b, UNNEST(generate_series(0, k - 1)) AS g(ci)"""
+
+    sqls["dataset_split"] = f"""
+SELECT doc_id,
+       CASE WHEN u <= {SPLIT_TRAIN!r} THEN 'train'
+            WHEN u <= {SPLIT_TRAIN + SPLIT_VALID!r} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST((((doc_id * 1000003 + {SPLIT_SALT}) % 1000000007)
+                   * 1000003 + 99991) % 1000000007 + 1 AS DOUBLE)
+               / 1000000007.0 AS u
+      FROM documents)"""
+
+    sqls["tfidf_topk"] = f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2),
+dfv AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+              tf.tf * ln((SELECT n_docs FROM nd) / dfv.df) AS s
+       FROM tf JOIN dfv USING (tok)
+       WHERE dfv.df <= {TFIDF_MAX_DF!r} * (SELECT n_docs FROM nd)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, tok) AS rank FROM sc)
+SELECT doc_id, tok, tf, ROUND(s, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TFIDF_K}"""
+
+    sqls["quantize_embeddings"] = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+mx AS (SELECT vec_id, MAX(ABS(x)) AS m, CAST(COUNT(*) AS BIGINT) AS n
+       FROM ex GROUP BY 1),
+c AS (SELECT ex.vec_id, ex.x, mx.m, mx.n,
+             CASE WHEN mx.m > 0
+                  THEN CAST(FLOOR(ex.x / mx.m * 127.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS code
+      FROM ex JOIN mx USING (vec_id))
+SELECT vec_id, CAST(MAX(n) AS BIGINT) AS n_dims,
+       CAST(SUM(code) AS BIGINT) AS sum_codes,
+       ROUND(MAX(m), 6) AS max_abs,
+       ROUND(SUM((x - CAST(code AS DOUBLE) * m / 127.0)
+                 * (x - CAST(code AS DOUBLE) * m / 127.0)) / MAX(n), 6) AS mse
+FROM c GROUP BY 1"""
+
+    _sym = """sym AS (SELECT DISTINCT s, d FROM (
+  SELECT src AS s, dst AS d FROM eg
+  UNION ALL SELECT dst AS s, src AS d FROM eg) WHERE s <> d)"""
+    sqls["conductance"] = f"""WITH {eg},
+{_sym},
+m AS (SELECT c_custkey AS id, c_nationkey AS grp FROM customer),
+tag AS (SELECT ms.grp AS gs, md.grp AS gd FROM sym
+        JOIN m ms ON sym.s = ms.id JOIN m md ON sym.d = md.id),
+per AS (SELECT gs AS grp, CAST(COUNT(*) AS BIGINT) AS volume,
+               CAST(SUM(CASE WHEN gs <> gd THEN 1 ELSE 0 END) AS BIGINT) AS cut
+        FROM tag GROUP BY 1),
+tot AS (SELECT SUM(volume) AS vt FROM per)
+SELECT grp AS "group", volume, cut,
+       CASE WHEN LEAST(volume, vt - volume) > 0
+            THEN ROUND(CAST(cut AS DOUBLE)
+                       / CAST(LEAST(volume, vt - volume) AS DOUBLE), 6)
+            ELSE 0.0 END AS conductance
+FROM per CROSS JOIN tot"""
+
+    sqls["attr_assortativity"] = f"""WITH {eg},
+{_sym},
+a AS (SELECT c_custkey AS id, c_nationkey AS attr FROM customer),
+mix AS (SELECT xa.attr AS x, ya.attr AS y, COUNT(*) AS cnt
+        FROM sym JOIN a xa ON sym.s = xa.id JOIN a ya ON sym.d = ya.id
+        GROUP BY 1, 2),
+rsum AS (SELECT x, SUM(cnt) AS rs FROM mix GROUP BY 1),
+csum AS (SELECT y, SUM(cnt) AS cs FROM mix GROUP BY 1),
+ab AS (SELECT SUM(rs * cs) AS sab FROM rsum JOIN csum ON rsum.x = csum.y),
+tr AS (SELECT SUM(cnt) AS m,
+              SUM(CASE WHEN x = y THEN cnt ELSE 0 END) AS t FROM mix)
+SELECT CAST(m AS BIGINT) AS n_endpoints, CAST(t AS BIGINT) AS n_intra,
+       ROUND(CAST(t * m - sab AS DOUBLE)
+             / CAST(m * m - sab AS DOUBLE), 6) AS assortativity
+FROM tr CROSS JOIN ab"""
+
+    sqls["snapshot_diff"] = f"""
+WITH nv AS (SELECT count(*) AS n FROM customer),
+o AS (SELECT o_custkey AS i, o_orderkey % (SELECT n FROM nv) AS j,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_CUT}'
+        AND o_custkey <> o_orderkey % (SELECT n FROM nv)
+      GROUP BY 1, 2),
+nn AS (SELECT o_custkey AS i, o_orderkey % (SELECT n FROM nv) AS j,
+              CAST(COUNT(*) AS BIGINT) AS w
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '{SNAPSHOT_CUT}'
+         AND o_custkey <> o_orderkey % (SELECT n FROM nv)
+       GROUP BY 1, 2)
+SELECT COALESCE(o.i, nn.i) AS i, COALESCE(o.j, nn.j) AS j,
+       CASE WHEN o.i IS NULL THEN 'added'
+            WHEN nn.i IS NULL THEN 'removed'
+            ELSE 'retained' END AS status,
+       CAST(COALESCE(o.w, 0) AS BIGINT) AS w_old,
+       CAST(COALESCE(nn.w, 0) AS BIGINT) AS w_new
+FROM o FULL OUTER JOIN nn ON o.i = nn.i AND o.j = nn.j"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

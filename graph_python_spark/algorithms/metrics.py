@@ -303,3 +303,112 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def conductance(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Per-community conductance over the symmetrized simple graph:
+    φ(S) = cut(S) / min(vol(S), vol(V∖S)) with vol(S) the number of
+    directed-symmetric edge endpoints rooted in S and cut(S) the number
+    of those endpoints whose other end leaves S — the standard partition
+    quality score next to ``modularity`` (a low-φ community is
+    well-separated).  Vertices absent from ``mapping`` (id, group) are
+    dropped (inner-join semantics, matching ``contract_graph``).
+
+    Returns (group, volume, cut, conductance) per community; communities
+    whose complement volume is 0 (the whole graph in one group) get
+    conductance 0.0 by convention.
+
+    Plan: two vertex-key hash joins of the O(E) symmetric relation
+    against the O(V) mapping, one groupBy(group), one tiny global-total
+    broadcast.  No windows, no collect.
+    """
+    sym = _symmetric_simple(edges)
+    m = mapping.select("id", "group")
+    tagged = (
+        sym.join(m.select(F.col("id").alias("s"), F.col("group").alias("gs")), "s")
+        .join(m.select(F.col("id").alias("d"), F.col("group").alias("gd")), "d")
+    )
+    per = tagged.groupBy(F.col("gs").alias("group")).agg(
+        F.count("*").cast("long").alias("volume"),
+        F.sum((F.col("gs") != F.col("gd")).cast("long")).cast("long").alias("cut"),
+    )
+    total = per.agg(F.sum("volume").alias("_vtot"))
+    mn = F.least(F.col("volume"), F.col("_vtot") - F.col("volume"))
+    return per.join(F.broadcast(total)).select(
+        "group",
+        "volume",
+        "cut",
+        F.when(mn > 0, F.round(F.col("cut").cast("double") / mn.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("conductance"),
+    )
+
+
+def attribute_assortativity(edges: DataFrame, attrs: DataFrame) -> DataFrame:
+    """Categorical (attribute) assortativity of the symmetrized simple
+    graph under the vertex attribute ``attrs`` (id, attr) — Newman's
+    discrete assortativity r = (Σ_x e_xx − Σ_x a_x·b_x) / (1 − Σ_x a_x·b_x)
+    over the normalized attribute mixing matrix e.  r = 1 ⇔ edges only
+    inside attribute classes; r ≈ 0 ⇔ attribute-blind wiring.
+
+    Computed from EXACT integer counts (trace·M and Σ rowsum·colsum as
+    64-bit integers; the symmetric relation makes rowsums = colsums) with
+    one final floating division — bit-reproducible in any engine while
+    the products stay below 2^63.  Returns ONE row
+    (n_endpoints, n_intra, assortativity).
+
+    Plan: two vertex-key joins + one groupBy on the attribute pair (the
+    mixing matrix is |attr|² rows — tiny), then a scalar aggregate.
+    """
+    sym = _symmetric_simple(edges)
+    a = attrs.select("id", "attr")
+    mix = (
+        sym.join(a.select(F.col("id").alias("s"), F.col("attr").alias("xa")), "s")
+        .join(a.select(F.col("id").alias("d"), F.col("attr").alias("ya")), "d")
+        .groupBy("xa", "ya")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rows = mix.groupBy("xa").agg(F.sum("cnt").alias("rs"))
+    cols = mix.groupBy("ya").agg(F.sum("cnt").alias("cs"))
+    ab = (
+        rows.join(cols, rows["xa"] == cols["ya"])
+        .agg(F.sum(F.col("rs") * F.col("cs")).alias("sab"))
+    )
+    tr = mix.agg(
+        F.sum("cnt").alias("m"),
+        F.sum(F.when(F.col("xa") == F.col("ya"), F.col("cnt")).otherwise(F.lit(0)))
+        .alias("t"),
+    )
+    return tr.crossJoin(F.broadcast(ab)).select(
+        F.col("m").cast("long").alias("n_endpoints"),
+        F.col("t").cast("long").alias("n_intra"),
+        F.round(
+            (F.col("t") * F.col("m") - F.col("sab")).cast("double")
+            / (F.col("m") * F.col("m") - F.col("sab")).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def snapshot_diff(e_old: DataFrame, e_new: DataFrame) -> DataFrame:
+    """Edge-level diff of two graph snapshots (i, j, v): per edge key the
+    status 'added' / 'removed' / 'retained' plus both weights (absent →
+    0) — the temporal-graph primitive behind incremental recompute
+    (feed 'added'/'removed' into a delta PageRank) and crawl-to-crawl
+    link-churn reports.
+
+    ONE full-outer hash join on the (i, j) pair key; both sides shuffle
+    once, output is O(|old ∪ new|).  No windows, no collect.
+    """
+    o = e_old.select("i", "j", F.col("v").alias("w_old"))
+    n = e_new.select("i", "j", F.col("v").alias("w_new"))
+    return o.join(n, ["i", "j"], "full_outer").select(
+        "i",
+        "j",
+        F.when(F.col("w_old").isNull(), F.lit("added"))
+        .when(F.col("w_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("retained"))
+        .alias("status"),
+        F.coalesce(F.col("w_old"), F.lit(0)).cast("long").alias("w_old"),
+        F.coalesce(F.col("w_new"), F.lit(0)).cast("long").alias("w_new"),
+    )

@@ -1,6 +1,7 @@
 from graph_python_spark.pipeline import (dedup, features, multimodal,
-                                         retrieval, sampling, similarity,
-                                         sketches, temporal, text)
+                                         packing, retrieval, sampling,
+                                         similarity, sketches, temporal,
+                                         text)
 
 __all__ = ["dedup", "similarity", "text", "multimodal", "sampling",
-           "features", "retrieval", "temporal", "sketches"]
+           "features", "retrieval", "temporal", "sketches", "packing"]

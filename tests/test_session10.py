@@ -1,0 +1,222 @@
+"""Session-10 additions: training-batch assembly operators
+(pipeline/packing.py) and partition/attribute/temporal graph metrics
+(algorithms/metrics.py) — each vs a pure-Python replay."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from graph_python_spark.algorithms.metrics import (
+    attribute_assortativity,
+    conductance,
+    snapshot_diff,
+)
+from graph_python_spark.pipeline.packing import (
+    chunk_documents,
+    dataset_split,
+    pack_sequences,
+    quantize_embeddings,
+    tfidf_topk,
+)
+
+DOCS = [
+    (1, "a b c d e"),
+    (2, "a a b"),
+    (3, ""),
+    (4, "x y z w q r s t u v"),
+    (5, "b"),
+    (6, "c c c c c c c"),
+]
+
+
+def docs_df(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def toks(text):
+    return [t for t in text.split(" ") if t != ""]
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+def test_pack_sequences_matches_serial_replay(spark):
+    budget = 4
+    out = {r.doc_id: r for r in pack_sequences(docs_df(spark), budget).collect()}
+    order = sorted(
+        [(hashlib.md5(str(d).encode()).hexdigest(), d, len(toks(t)))
+         for d, t in DOCS if toks(t)])
+    offset = 0
+    for _h, d, n in order:
+        r = out[d]
+        assert r.n_tokens == n
+        assert r.start_offset == offset
+        assert r.bin_start == offset // budget
+        assert r.bin_end == (offset + n - 1) // budget
+        assert r.crosses == (1 if r.bin_end > r.bin_start else 0)
+        offset += n
+    assert set(out) == {d for d, t in DOCS if toks(t)}  # empty doc dropped
+
+
+def test_pack_sequences_offsets_are_gapless(spark):
+    rows = [(i, "tok " * (i % 7 + 1)) for i in range(200)]
+    res = pack_sequences(docs_df(spark, rows), 64).collect()
+    spans = sorted((r.start_offset, r.n_tokens) for r in res)
+    pos = 0
+    for s, n in spans:
+        assert s == pos
+        pos += n
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+def test_chunk_documents_replay(spark):
+    cs, ov = 3, 1
+    stride = cs - ov
+    out = chunk_documents(docs_df(spark), cs, ov).collect()
+    got = {(r.doc_id, r.chunk_id): r for r in out}
+    expect_n = 0
+    for d, t in DOCS:
+        tk = toks(t)
+        if not tk:
+            continue
+        k = 1 + max(0, math.ceil((len(tk) - cs) / stride))
+        expect_n += k
+        for ci in range(k):
+            start = ci * stride
+            sl = tk[start:start + cs]
+            r = got[(d, ci)]
+            assert r.start_tok == start
+            assert r.n_chunk_tokens == len(sl)
+            assert r.chunk_md5 == hashlib.md5(" ".join(sl).encode()).hexdigest()
+    assert len(out) == expect_n
+
+
+def test_chunk_documents_single_chunk_when_short(spark):
+    out = chunk_documents(docs_df(spark, [(9, "a b")]), 64, 16).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 2
+
+
+# ---------------------------------------------------------------------------
+# dataset_split
+# ---------------------------------------------------------------------------
+def test_dataset_split_deterministic_and_stable(spark):
+    rows = [(i, "x") for i in range(500)]
+    full = dict(dataset_split(docs_df(spark, rows)).collect())
+    again = dict(dataset_split(docs_df(spark, rows)).collect())
+    assert full == again
+    # a row's split never changes when OTHER rows are added/removed
+    sub = dict(dataset_split(docs_df(spark, rows[:100])).collect())
+    assert all(full[k] == v for k, v in sub.items())
+    frac_train = sum(1 for v in full.values() if v == "train") / 500
+    assert 0.7 < frac_train < 0.9
+    assert set(full.values()) == {"train", "valid", "test"}
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk
+# ---------------------------------------------------------------------------
+def test_tfidf_topk_replay(spark):
+    out = tfidf_topk(docs_df(spark), k=2, max_df_frac=0.9).collect()
+    n_docs = len(DOCS)
+    tf = {}
+    df = {}
+    for d, t in DOCS:
+        seen = set()
+        for tok in toks(t):
+            tf[(d, tok)] = tf.get((d, tok), 0) + 1
+            if tok not in seen:
+                seen.add(tok)
+                df[tok] = df.get(tok, 0) + 1
+    scores = {}
+    for (d, tok), f_ in tf.items():
+        if df[tok] <= 0.9 * n_docs:
+            scores.setdefault(d, []).append(
+                (-f_ * math.log(n_docs / df[tok]), tok, f_))
+    for d, lst in scores.items():
+        lst.sort()
+        want = lst[:2]
+        got = sorted([r for r in out if r.doc_id == d], key=lambda r: r.rank)
+        assert [g.tok for g in got] == [w[1] for w in want]
+        for g, w in zip(got, want):
+            assert g.tf == w[2]
+            assert abs(g.score - (-w[0])) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# quantize_embeddings
+# ---------------------------------------------------------------------------
+def test_quantize_embeddings_replay(spark):
+    vecs = [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, [2.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    for vid, xs in vecs:
+        mx = max(abs(x) for x in xs)
+        codes = [math.floor(x / mx * 127.0 + 0.5) if mx > 0 else 0 for x in xs]
+        mse = sum((x - c * mx / 127.0) ** 2 for x, c in zip(xs, codes)) / len(xs)
+        r = out[vid]
+        assert r.n_dims == len(xs)
+        assert r.sum_codes == sum(codes)
+        assert abs(r.max_abs - round(mx, 6)) < 1e-9
+        assert abs(r.mse - mse) < 1e-6
+        assert all(-127 <= c <= 127 for c in codes)
+
+
+# ---------------------------------------------------------------------------
+# graph metrics
+# ---------------------------------------------------------------------------
+def edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(i), int(j)) for i, j in pairs], "i long, j long")
+
+
+def test_conductance_two_cliques_with_bridge(spark):
+    # cliques {0,1,2} and {3,4,5} joined by one bridge 2-3
+    pairs = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    mapping = spark.createDataFrame(
+        [(v, v // 3) for v in range(6)], "id long, group long")
+    out = {r.group: r for r in conductance(edges_df(spark, pairs), mapping).collect()}
+    # each side: volume = 2*3 intra-endpoints + 1 bridge endpoint = 7, cut = 1
+    for g in (0, 1):
+        assert out[g].volume == 7
+        assert out[g].cut == 1
+        assert abs(out[g].conductance - round(1 / 7, 6)) < 1e-9
+
+
+def test_conductance_single_group_is_zero(spark):
+    pairs = [(0, 1), (1, 2)]
+    mapping = spark.createDataFrame([(v, 0) for v in range(3)], "id long, group long")
+    out = conductance(edges_df(spark, pairs), mapping).collect()
+    assert len(out) == 1 and out[0].cut == 0 and out[0].conductance == 0.0
+
+
+def test_attribute_assortativity_extremes(spark):
+    # perfectly assortative: two mono-attribute components
+    pairs = [(0, 1), (1, 2), (3, 4), (4, 5)]
+    attrs = spark.createDataFrame(
+        [(v, v // 3) for v in range(6)], "id long, attr long")
+    r = attribute_assortativity(edges_df(spark, pairs), attrs).collect()[0]
+    assert r.assortativity == 1.0
+    assert r.n_intra == r.n_endpoints
+    # perfectly DISassortative: complete bipartite K2,2 across attributes
+    pairs2 = [(0, 2), (0, 3), (1, 2), (1, 3)]
+    attrs2 = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, attr long")
+    r2 = attribute_assortativity(edges_df(spark, pairs2), attrs2).collect()[0]
+    assert r2.assortativity == -1.0
+    assert r2.n_intra == 0
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (4, 5, 2)], "i long, j long, v long")
+    new = spark.createDataFrame(
+        [(1, 2, 5), (6, 7, 1)], "i long, j long, v long")
+    out = {(r.i, r.j): r for r in snapshot_diff(old, new).collect()}
+    assert out[(1, 2)].status == "retained"
+    assert (out[(1, 2)].w_old, out[(1, 2)].w_new) == (3, 5)
+    assert out[(2, 3)].status == "removed" and out[(2, 3)].w_new == 0
+    assert out[(6, 7)].status == "added" and out[(6, 7)].w_old == 0
+    assert len(out) == 4
