@@ -1208,6 +1208,9 @@ SPLIT_TRAIN, SPLIT_VALID, SPLIT_SALT = 0.8, 0.1, 47
 # it low; the operator default stays 0.5)
 TFIDF_K, TFIDF_MAX_DF = 5, 0.95
 SNAPSHOT_CUT = "1998-01-01"
+SKIPGRAM_WINDOW = 2
+BPE_K = 20
+ITEM_RECS_K = 5
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1291,6 +1294,45 @@ def q_snapshot_diff(spark, sf_dir):
     cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
     return snapshot_diff(graph_of(orders.filter(F.col("o_orderdate") < cut)),
                          graph_of(orders.filter(F.col("o_orderdate") >= cut)))
+
+
+def q_walk_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context) co-occurrence counts over the
+    deterministic walk corpus — the DeepWalk sampling step."""
+    from graph_python_spark.algorithms.walks import (
+        deterministic_walks,
+        walk_skipgrams,
+    )
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(WALK_SEEDS)
+    walks = deterministic_walks(e, seeds, steps=WALK_STEPS)
+    return walk_skipgrams(walks, window=SKIPGRAM_WINDOW)
+
+
+def q_bpe_merges(spark, sf_dir):
+    from graph_python_spark.pipeline.text import bpe_merge_candidates
+
+    return bpe_merge_candidates(_docs(spark, sf_dir), k=BPE_K)
+
+
+def q_item_recs(spark, sf_dir):
+    """Per-item top-k co-purchase recommendations (the item-item table
+    derived from the B·B^T projection)."""
+    from graph_python_spark.algorithms.vertexsim import (
+        bipartite_project,
+        topk_neighbors,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    proj = bipartite_project(
+        li.select(F.col("l_partkey").alias("l"), F.col("l_orderkey").alias("r")),
+        min_weight=COPURCHASE_MIN_W,
+    )
+    return topk_neighbors(proj, k=ITEM_RECS_K)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1420,6 +1462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance": q_conductance,
         "attr_assortativity": q_attr_assortativity,
         "snapshot_diff": q_snapshot_diff,
+        "walk_skipgrams": q_walk_skipgrams,
+        "bpe_merges": q_bpe_merges,
+        "item_recs": q_item_recs,
     }
 
 
@@ -3953,6 +3998,47 @@ SELECT COALESCE(o.i, nn.i) AS i, COALESCE(o.j, nn.j) AS j,
        CAST(COALESCE(o.w, 0) AS BIGINT) AS w_old,
        CAST(COALESCE(nn.w, 0) AS BIGINT) AS w_new
 FROM o FULL OUTER JOIN nn ON o.i = nn.i AND o.j = nn.j"""
+
+    sqls["walk_skipgrams"] = f"""
+WITH walks AS (
+{_random_walks_sql(WALK_STEPS, WALK_SEEDS)}
+)
+SELECT a.v AS center, b.v AS context, CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM walks a JOIN walks b
+  ON a.walk = b.walk AND a.step <> b.step
+ AND ABS(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2"""
+
+    sqls["bpe_merges"] = f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+b AS (SELECT toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 1),
+pairs AS (SELECT toks[g.i] AS tok_a, toks[g.i + 1] AS tok_b
+          FROM b, UNNEST(generate_series(1, n - 1)) AS g(i))
+SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, tok_a, tok_b LIMIT {BPE_K}"""
+
+    sqls["item_recs"] = f"""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS r, l_partkey AS l FROM lineitem
+),
+proj AS (
+  SELECT a.l AS u, b.l AS v, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM inc a JOIN inc b ON a.r = b.r AND a.l < b.l
+  GROUP BY a.l, b.l
+  HAVING COUNT(*) >= {COPURCHASE_MIN_W}
+),
+sym AS (
+  SELECT u AS id, v AS rec, weight FROM proj
+  UNION ALL SELECT v, u, weight FROM proj
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY weight DESC, rec) AS rank
+      FROM sym)
+SELECT id, rec, weight, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {ITEM_RECS_K}"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

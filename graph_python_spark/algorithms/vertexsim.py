@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -258,4 +258,25 @@ def jaccard_neighbors(
              / (F.col("_du") + F.col("_dv") - F.col("common"))).alias("sim"),
         )
         .filter(F.col("sim") >= F.lit(min_sim))
+    )
+
+
+def topk_neighbors(proj: DataFrame, k: int = 10) -> DataFrame:
+    """Per-vertex top-``k`` weighted neighbors of an undirected similarity
+    /co-occurrence graph (u, v, weight) — the item-item recommendation
+    table derived from a ``bipartite_project`` co-purchase projection.
+
+    Returns (id, rec, weight, rank) with rank 1..k by (weight desc, rec
+    asc) — the tie-break makes the cut a pure function of the data.
+
+    Plan: symmetrize (a projection stores each undirected pair once),
+    then ONE window PARTITIONED by the vertex key — parallel across
+    vertices, never global; the output is O(V·k).
+    """
+    sym = proj.select(F.col("u").alias("id"), F.col("v").alias("rec"), "weight").unionByName(
+        proj.select(F.col("v").alias("id"), F.col("u").alias("rec"), "weight"))
+    w = Window.partitionBy("id").orderBy(F.col("weight").desc(), F.col("rec"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )

@@ -173,3 +173,34 @@ def deterministic_walks(
             state = state.localCheckpoint(eager=True)
         out.append(state)
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus (DeepWalk/node2vec's
+    sampling step): for every walk, emit (center, context) for each pair
+    of positions at distance 1..``window``, aggregated to co-occurrence
+    counts — the input an embedding trainer consumes.
+
+    ``walks``: (walk, step, v) as produced by ``deterministic_walks`` /
+    ``node2vec_walks``.  Returns (center, context, pair_count), directed
+    (both orders emitted, like word2vec's symmetric context).
+
+    Plan: ONE self-join on the walk id with the |step gap| ≤ window
+    band predicate — per-walk fan-out is bounded by steps×2·window (tiny
+    and constant), so the joined relation is O(|walks| · steps · window),
+    never quadratic in the corpus; then one groupBy on the pair key with
+    map-side combine.  No windows, no collect.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(F.col("walk"), F.col("step").alias("sa"),
+                     F.col("v").alias("center"))
+    b = walks.select(F.col("walk"), F.col("step").alias("sb"),
+                     F.col("v").alias("context"))
+    gap = F.col("sb") - F.col("sa")
+    return (
+        a.join(b, "walk")
+        .filter((gap != 0) & (F.abs(gap) <= window))
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )

@@ -348,3 +348,35 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.coalesce(F.min("h"), F.min("h1")).alias("fingerprint"))
     )
+
+
+def bpe_merge_candidates(docs: DataFrame, k: int = 20,
+                         text_col: str = "text") -> DataFrame:
+    """One BPE training step: count every ADJACENT token pair in the
+    corpus and return the top-``k`` merge candidates — the pair a
+    byte-pair-encoding vocab builder would fuse next (run iteratively
+    with re-tokenization to train a full merge table).
+
+    Returns (tok_a, tok_b, pair_count), the k most frequent ordered
+    adjacent pairs; ties broken by (tok_a, tok_b) ascending so the cut is
+    a pure function of the corpus.
+
+    Plan: per-row zip of the token array with its own shift — a pure
+    map-side explode bounded by the token stream — then one groupBy on
+    the pair key (map-side combine collapses each task to its distinct
+    local pairs ≤ vocab², tiny) and a distributed TakeOrdered for the
+    top-k.  No global sort, no windows.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    counts = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("long").alias("pair_count"))
+    return counts.orderBy(F.col("pair_count").desc(), "tok_a", "tok_b").limit(k)

@@ -220,3 +220,47 @@ def test_snapshot_diff_statuses(spark):
     assert out[(2, 3)].status == "removed" and out[(2, 3)].w_new == 0
     assert out[(6, 7)].status == "added" and out[(6, 7)].w_old == 0
     assert len(out) == 4
+
+
+# ---------------------------------------------------------------------------
+# walk_skipgrams / bpe_merge_candidates / topk_neighbors
+# ---------------------------------------------------------------------------
+def test_walk_skipgrams_replay(spark):
+    from graph_python_spark.algorithms.walks import walk_skipgrams
+
+    walks = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 11), (1, 2, 12), (1, 3, 10),
+         (2, 0, 20), (2, 1, 21)],
+        "walk long, step long, v long")
+    out = {(r.center, r.context): r.pair_count
+           for r in walk_skipgrams(walks, window=2).collect()}
+    seq = {1: [10, 11, 12, 10], 2: [20, 21]}
+    want = {}
+    for vs in seq.values():
+        for i, c in enumerate(vs):
+            for j, x in enumerate(vs):
+                if i != j and abs(i - j) <= 2:
+                    want[(c, x)] = want.get((c, x), 0) + 1
+    assert out == want
+
+
+def test_bpe_merge_candidates_replay(spark):
+    from graph_python_spark.pipeline.text import bpe_merge_candidates
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "c"), (4, "")]
+    out = [(r.tok_a, r.tok_b, r.pair_count)
+           for r in bpe_merge_candidates(docs_df(spark, rows), k=3).collect()]
+    # pairs: (a,b)x3, (b,a)x1, (b,c)x1 -> top3 with tie-break (b,a)<(b,c)
+    assert out == [("a", "b", 3), ("b", "a", 1), ("b", "c", 1)]
+
+
+def test_topk_neighbors_replay(spark):
+    from graph_python_spark.algorithms.vertexsim import topk_neighbors
+
+    proj = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 5), (2, 3, 9)], "u long, v long, weight long")
+    out = {(r.id, r.rank): (r.rec, r.weight)
+           for r in topk_neighbors(proj, k=2).collect()}
+    assert out[(1, 1)] == (2, 5) and out[(1, 2)] == (3, 5)  # weight tie -> rec asc
+    assert out[(2, 1)] == (3, 9) and out[(2, 2)] == (1, 5)
+    assert out[(3, 1)] == (2, 9) and out[(3, 2)] == (1, 5)
