@@ -37,6 +37,7 @@ from graph_python_spark.operators.matrix import concat as matrix_concat
 from graph_python_spark.operators.merge import merge_into
 from graph_python_spark.pipeline import dedup, similarity, text
 from graph_python_spark.sources.tpch_graph import (
+    customer_count,
     customer_graph,
     customer_graph_sql,
     supplier_part_graph,
@@ -1211,6 +1212,9 @@ SNAPSHOT_CUT = "1998-01-01"
 SKIPGRAM_WINDOW = 2
 BPE_K = 20
 ITEM_RECS_K = 5
+PCA_ITERS = 4
+INCR_BASE_ITERS = 10
+INCR_ITERS = 5
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1333,6 +1337,41 @@ def q_item_recs(spark, sf_dir):
         min_weight=COPURCHASE_MIN_W,
     )
     return topk_neighbors(proj, k=ITEM_RECS_K)
+
+
+def q_pca_power(spark, sf_dir):
+    """Leading principal component of the embedding matrix by matvec-form
+    power iteration (never materializes the d x d covariance)."""
+    from graph_python_spark.pipeline.features import pca_top_component
+
+    return pca_top_component(_emb(spark, sf_dir), iterations=PCA_ITERS)
+
+
+def q_token_entropy(spark, sf_dir):
+    from graph_python_spark.pipeline.text import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
+def q_pagerank_incr(spark, sf_dir):
+    """Warm-started PageRank on the full customer graph from scores
+    converged on the pre-SNAPSHOT_CUT snapshot — the incremental
+    crawl-to-crawl recompute."""
+    from graph_python_spark.algorithms.pagerank import pagerank_incremental
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = customer_count(spark, sf_dir)
+    old = (
+        orders.filter(F.col("o_orderdate") < F.lit(SNAPSHOT_CUT).cast("timestamp"))
+        .select(F.col("o_custkey").alias("i"),
+                (F.col("o_orderkey") % F.lit(n)).alias("j"))
+        .filter(F.col("i") != F.col("j"))
+    )
+    init = pagerank_fixed(old, iterations=INCR_BASE_ITERS)
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    scores = pagerank_incremental(e, init, iterations=INCR_ITERS)
+    return scores.select("id", F.round(F.col("score"), 6).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1465,6 +1504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "bpe_merges": q_bpe_merges,
         "item_recs": q_item_recs,
+        "pca_power": q_pca_power,
+        "token_entropy": q_token_entropy,
+        "pagerank_incr": q_pagerank_incr,
     }
 
 
@@ -2964,6 +3006,82 @@ SELECT a.vec_id, a.cluster, (d.dup_of IS NOT NULL) AS pruned, d.dup_of
 FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id"""
 
 
+def _pca_sql(iters: int) -> str:
+    """Unrolled matvec power iteration — mirrors
+    pipeline/features.pca_top_component (mean-center, w = Xᶜᵀ(Xᶜ v),
+    renormalize by max|w| each step)."""
+    head = """WITH ex AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+mu AS (SELECT pos, SUM(x) / COUNT(*) AS mu FROM ex GROUP BY 1),
+xc AS (SELECT id, ex.pos, x - mu AS xc FROM ex JOIN mu USING (pos)),
+v0 AS (SELECT pos, 1.0 AS v FROM mu)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+y{t} AS (SELECT id, SUM(xc * v) AS y FROM xc JOIN v{t - 1} USING (pos)
+         GROUP BY id),
+w{t} AS MATERIALIZED (SELECT pos, SUM(xc * y) AS w
+                      FROM xc JOIN y{t} USING (id) GROUP BY pos),
+v{t} AS (SELECT pos, w / (SELECT MAX(ABS(w)) FROM w{t}) AS v FROM w{t})""")
+    return head + "".join(steps) + f"""
+SELECT CAST(pos AS BIGINT) AS pos, ROUND(v, 6) AS loading FROM v{iters}"""
+
+
+def _pagerank_incr_sql(base_iters: int, incr_iters: int, cut: str) -> str:
+    """Two-phase unroll mirroring q_pagerank_incr: ``base_iters`` steps on
+    the pre-``cut`` snapshot from the uniform prior, then ``incr_iters``
+    steps on the full graph warm-started from those scores (new vertices
+    enter at 1/n of the full graph)."""
+    head = f"""WITH nv AS (SELECT count(*) AS n FROM customer),
+ego AS (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nv) AS dst
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '{cut}'
+          AND o_custkey <> o_orderkey % (SELECT n FROM nv)),
+eb1 AS (SELECT DISTINCT src, dst FROM ego),
+verts1 AS (SELECT src AS id FROM eb1 UNION SELECT dst FROM eb1),
+n1 AS (SELECT count(*) AS n FROM verts1),
+deg1 AS (SELECT src, count(*) AS d FROM eb1 GROUP BY src),
+a0 AS (SELECT id AS i, 1.0 / (SELECT n FROM n1) AS v FROM verts1)"""
+    steps = []
+    for k in range(1, base_iters + 1):
+        steps.append(f""",
+a{k} AS MATERIALIZED (
+  SELECT vt.id AS i,
+         (0.15 / (SELECT n FROM n1)) + COALESCE(c.c, 0.0) AS v
+  FROM verts1 vt LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.v * (0.85 / deg1.d)) AS c
+    FROM eb1 e JOIN a{k - 1} r ON e.src = r.i JOIN deg1 ON deg1.src = e.src
+    GROUP BY e.dst
+  ) c ON vt.id = c.id
+)""")
+    steps.append(f""",
+eg2 AS (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nv) AS dst
+        FROM orders
+        WHERE o_custkey <> o_orderkey % (SELECT n FROM nv)),
+eb2 AS (SELECT DISTINCT src, dst FROM eg2),
+verts2 AS (SELECT src AS id FROM eb2 UNION SELECT dst FROM eb2),
+n2 AS (SELECT count(*) AS n FROM verts2),
+deg2 AS (SELECT src, count(*) AS d FROM eb2 GROUP BY src),
+b0 AS (SELECT vt.id AS i,
+              COALESCE(a{base_iters}.v, 1.0 / (SELECT n FROM n2)) AS v
+       FROM verts2 vt LEFT JOIN a{base_iters} ON vt.id = a{base_iters}.i)""")
+    for k in range(1, incr_iters + 1):
+        steps.append(f""",
+b{k} AS MATERIALIZED (
+  SELECT vt.id AS i,
+         (0.15 / (SELECT n FROM n2)) + COALESCE(c.c, 0.0) AS v
+  FROM verts2 vt LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.v * (0.85 / deg2.d)) AS c
+    FROM eb2 e JOIN b{k - 1} r ON e.src = r.i JOIN deg2 ON deg2.src = e.src
+    GROUP BY e.dst
+  ) c ON vt.id = c.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT i AS id, ROUND(CAST(v AS DOUBLE), 6) AS score FROM b{incr_iters}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sp = supplier_part_graph_sql().strip().rstrip(")") + "\n)"
     eg = customer_graph_sql().strip()
@@ -4039,6 +4157,20 @@ r AS (SELECT *, row_number() OVER (PARTITION BY id
       FROM sym)
 SELECT id, rec, weight, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {ITEM_RECS_K}"""
+
+    sqls["pca_power"] = _pca_sql(PCA_ITERS)
+    sqls["pagerank_incr"] = _pagerank_incr_sql(INCR_BASE_ITERS, INCR_ITERS,
+                                               SNAPSHOT_CUT)
+    sqls["token_entropy"] = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(ln(CAST(SUM(tf) AS DOUBLE))
+             + (-SUM(tf * ln(tf))) / SUM(tf), 6) AS entropy
+FROM tf GROUP BY 1"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

@@ -115,6 +115,9 @@ def run_headlines(spark, results: dict) -> None:
         # nearest-centroid classification, butterflies, mutual-kNN graph
         "copurchase", "node2vec_walks", "centroid_classify",
         "butterflies", "knn_graph", "triad_census",
+        # added session 10: distributed prefix-sum packing, skip-gram
+        # sampling, item-item recs, partition conductance
+        "pack_sequences", "walk_skipgrams", "item_recs", "conductance",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

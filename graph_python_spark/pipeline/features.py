@@ -60,3 +60,65 @@ def l2_normalize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),
     ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     return emb.withColumn(vec_col, normed)
+
+
+def pca_top_component(
+    emb: DataFrame,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leading principal component of the embedding matrix by power
+    iteration on the covariance — WITHOUT ever materializing the d×d
+    covariance: each iteration computes w = Xᶜᵀ(Xᶜ v) as two O(n·d)
+    relational passes (the same SpMV plan class as ``pagerank``), where
+    Xᶜ is the mean-centered matrix.  v renormalizes by max|w| each step —
+    an order-independent exact statistic (unlike an L2 norm's
+    float-sum), and sign-stable because the covariance is PSD.
+
+    Returns (pos, loading) for pos 0..d−1 with loading = v_pos after the
+    final normalization (∈ [−1, 1], the max-|·| component at ±1).
+
+    Scale shape: the exploded (id, pos, x) relation shuffles once per
+    pass keyed by id (y = Xᶜv dot products) then once keyed by pos
+    (w = Xᶜᵀy) — both with map-side combine; v and the d per-dimension
+    means live in d-row broadcast relations.  No d² blowup, no collect.
+    """
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_xf"),
+    ).select("id", "pos", F.col("_xf").cast("double").alias("x"))
+    ex = ex.localCheckpoint(eager=True)  # pin: reused 2x per iteration
+    means = ex.groupBy("pos").agg(
+        (F.sum("x") / F.count("*")).alias("mu"))
+    xc = (
+        ex.join(F.broadcast(means), "pos")
+        .select("id", "pos", (F.col("x") - F.col("mu")).alias("xc"))
+        .localCheckpoint(eager=True)
+    )
+    v = means.select("pos", F.lit(1.0).alias("v"))
+    for _ in range(iterations):
+        y = (
+            xc.join(F.broadcast(v), "pos")
+            .groupBy("id")
+            .agg(F.sum(F.col("xc") * F.col("v")).alias("y"))
+        )
+        w = (
+            xc.join(y, "id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("xc") * F.col("y")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.join(F.broadcast(mx))
+            .select("pos", (F.col("w") / F.col("mx")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    # pin hygiene: v is eagerly checkpointed, so the big intermediates'
+    # blocks can be released before returning
+    ex.unpersist()
+    xc.unpersist()
+    return v.select(
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v"), 6).alias("loading"),
+    )

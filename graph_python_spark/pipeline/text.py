@@ -380,3 +380,39 @@ def bpe_merge_candidates(docs: DataFrame, k: int = 20,
     counts = pairs.groupBy("tok_a", "tok_b").agg(
         F.count("*").cast("long").alias("pair_count"))
     return counts.orderBy(F.col("pair_count").desc(), "tok_a", "tok_b").limit(k)
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram entropy H = −Σ_t p_t·ln p_t over the token
+    distribution — the repetitiveness/diversity quality signal (a
+    boilerplate page or degenerate generation scores near 0; rich text
+    scores near ln(vocab)).  Empty documents are dropped.
+
+    Returns (doc_id, n_tokens, entropy).
+
+    Plan: one groupBy (doc_id, tok) with map-side combine, then one
+    groupBy doc_id — both partitioned by the document key; no windows,
+    no Python.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (-F.sum(F.col("tf") * F.log(F.col("tf")))).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            # H = ln n − (Σ tf·ln tf)/n, algebraically equal to
+            # −Σ p ln p but with ONE divide (better float parity)
+            F.round(
+                F.log(F.col("n_tokens"))
+                + F.col("_s") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+        )
+    )

@@ -264,3 +264,94 @@ def test_topk_neighbors_replay(spark):
     assert out[(1, 1)] == (2, 5) and out[(1, 2)] == (3, 5)  # weight tie -> rec asc
     assert out[(2, 1)] == (3, 9) and out[(2, 2)] == (1, 5)
     assert out[(3, 1)] == (2, 9) and out[(3, 2)] == (1, 5)
+
+
+# ---------------------------------------------------------------------------
+# pca_top_component / token_entropy / pagerank_incremental
+# ---------------------------------------------------------------------------
+def test_pca_top_component_matches_numpy(spark):
+    import numpy as np
+
+    from graph_python_spark.pipeline.features import pca_top_component
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant direction along a fixed unit vector
+    d, n = 8, 200
+    u = rng.randn(d); u /= np.linalg.norm(u)
+    X = rng.randn(n, d) * 0.1 + np.outer(rng.randn(n) * 3.0, u)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    out = pca_top_component(emb, iterations=8).collect()
+    v = np.zeros(d)
+    for r in out:
+        v[r.pos] = r.loading
+    # replay the same iteration in NumPy (float32 input like the engine)
+    Xf = X.astype(np.float32).astype(np.float64)
+    xc = Xf - Xf.mean(axis=0)
+    w = np.ones(d)
+    for _ in range(8):
+        w = xc.T @ (xc @ w)
+        w = w / np.max(np.abs(w))
+    assert np.allclose(v, np.round(w, 6), atol=2e-6)
+    # and it found the true dominant direction
+    cos = abs(np.dot(v, u)) / (np.linalg.norm(v) * np.linalg.norm(u))
+    assert cos > 0.99
+
+
+def test_token_entropy_replay(spark):
+    import math as m
+
+    from graph_python_spark.pipeline.text import token_entropy
+
+    out = {r.doc_id: r for r in token_entropy(docs_df(spark)).collect()}
+    for d, t in DOCS:
+        tk = toks(t)
+        if not tk:
+            assert d not in out
+            continue
+        n = len(tk)
+        cnt = {}
+        for x in tk:
+            cnt[x] = cnt.get(x, 0) + 1
+        h = -sum((c / n) * m.log(c / n) for c in cnt.values())
+        assert out[d].n_tokens == n
+        assert abs(out[d].entropy - h) < 1e-6
+    # uniform doc maxes entropy, constant doc zeroes it
+    assert out[6].entropy == 0.0
+    assert abs(out[1].entropy - m.log(5)) < 1e-6
+
+
+def test_pagerank_incremental_fixpoint_and_warmstart(spark):
+    from graph_python_spark.algorithms.pagerank import (
+        pagerank,
+        pagerank_fixed,
+        pagerank_incremental,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 0)],
+        "i long, j long")
+    converged, iters, _ = pagerank(e, tol=1e-10)
+    converged = converged.localCheckpoint(eager=True)
+    # warm-starting from the fixpoint stays at the fixpoint
+    again = pagerank_incremental(e, converged, iterations=3)
+    diff = (converged.withColumnRenamed("score", "s0")
+            .join(again, "id")
+            .agg(F.sum(F.abs(F.col("score") - F.col("s0"))).alias("d"))
+            .first()["d"])
+    assert diff < 1e-9
+    # 3 warm iterations land closer to the fixpoint than 3 cold ones
+    cold = pagerank_fixed(e, iterations=3)
+    cold_diff = (converged.withColumnRenamed("score", "s0")
+                 .join(cold, "id")
+                 .agg(F.sum(F.abs(F.col("score") - F.col("s0"))).alias("d"))
+                 .first()["d"])
+    # (trivially true here since warm starts AT the fixpoint; the point is
+    # the wiring: new-graph vertices absent from init get the 1/n prior)
+    assert diff < cold_diff
+    # a graph gaining a vertex: init lacks id=5, run must still cover it
+    e2 = e.unionByName(spark.createDataFrame([(4, 5)], "i long, j long"))
+    out2 = pagerank_incremental(e2, converged, iterations=2)
+    assert out2.filter(F.col("id") == 5).count() == 1
+    assert abs(out2.agg(F.sum("score")).first()[0] - 1.0) < 0.3
