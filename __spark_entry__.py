@@ -1215,6 +1215,8 @@ ITEM_RECS_K = 5
 PCA_ITERS = 4
 INCR_BASE_ITERS = 10
 INCR_ITERS = 5
+BURST_BUCKET, BURST_Z = 3600, 2.0
+MATCHING_ROUNDS = 4
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1374,6 +1376,29 @@ def q_pagerank_incr(spark, sf_dir):
     return scores.select("id", F.round(F.col("score"), 6).alias("score"))
 
 
+def q_bursts(spark, sf_dir):
+    from graph_python_spark.pipeline.temporal import event_bursts
+
+    return event_bursts(_events(spark, sf_dir), bucket_seconds=BURST_BUCKET,
+                        z=BURST_Z)
+
+
+def q_event_transitions(spark, sf_dir):
+    from graph_python_spark.pipeline.temporal import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+def q_matching(spark, sf_dir):
+    """Deterministic greedy maximal matching (Luby on the line graph)
+    over the customer graph, fixed-round unroll."""
+    from graph_python_spark.algorithms.matching import maximal_matching
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    return maximal_matching(e, rounds=MATCHING_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_out": q_degree_out,
@@ -1507,6 +1532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power": q_pca_power,
         "token_entropy": q_token_entropy,
         "pagerank_incr": q_pagerank_incr,
+        "bursts": q_bursts,
+        "event_transitions": q_event_transitions,
+        "matching": q_matching,
     }
 
 
@@ -3082,6 +3110,36 @@ b{k} AS MATERIALIZED (
 SELECT i AS id, ROUND(CAST(v AS DOUBLE), 6) AS score FROM b{incr_iters}"""
 
 
+def _matching_sql(rounds: int) -> str:
+    """Fixed-round unroll of algorithms/matching.maximal_matching — md5
+    string priorities are identical in both engines, so the greedy
+    choice replays exactly."""
+    head = f"""WITH {customer_graph_sql().strip()},
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM eg WHERE src <> dst)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+p{r} AS (SELECT a, b,
+               md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)
+                   || ':' || '{r}') AS p
+        FROM e{r - 1}),
+m{r} AS (SELECT v, MIN(p) AS mn FROM (
+           SELECT a AS v, p FROM p{r} UNION ALL SELECT b, p FROM p{r})
+         GROUP BY v),
+w{r} AS MATERIALIZED (
+  SELECT p{r}.a, p{r}.b FROM p{r}
+  JOIN m{r} ma ON p{r}.a = ma.v AND p{r}.p = ma.mn
+  JOIN m{r} mb ON p{r}.b = mb.v AND p{r}.p = mb.mn),
+e{r} AS (SELECT a, b FROM e{r - 1}
+         WHERE a NOT IN (SELECT a FROM w{r} UNION ALL SELECT b FROM w{r})
+           AND b NOT IN (SELECT a FROM w{r} UNION ALL SELECT b FROM w{r}))""")
+    union = "\nUNION ALL ".join(
+        f"SELECT a, b, CAST({r} AS BIGINT) AS round FROM w{r}"
+        for r in range(1, rounds + 1))
+    return head + "".join(steps) + "\n" + union
+
+
 def oracle_sql() -> dict[str, str]:
     sp = supplier_part_graph_sql().strip().rstrip(")") + "\n)"
     eg = customer_graph_sql().strip()
@@ -4171,6 +4229,41 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
        ROUND(ln(CAST(SUM(tf) AS DOUBLE))
              + (-SUM(tf * ln(tf))) / SUM(tf), 6) AS entropy
 FROM tf GROUP BY 1"""
+
+    sqls["matching"] = _matching_sql(MATCHING_ROUNDS)
+
+    sqls["bursts"] = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / {BURST_BUCKET}) * {BURST_BUCKET} AS BIGINT)
+           AS bucket_start_epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+mom AS (SELECT event_type, COUNT(*) AS nb, SUM(n_events) AS s1,
+               SUM(n_events * n_events) AS s2
+        FROM c GROUP BY 1)
+SELECT c.event_type, c.bucket_start_epoch, c.n_events,
+       ROUND((c.n_events - CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+             / SQRT(CAST(nb * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(nb * nb AS DOUBLE)), 6) AS zscore
+FROM c JOIN mom ON c.event_type = mom.event_type
+WHERE CAST(c.n_events AS DOUBLE)
+      > CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)
+        + {BURST_Z!r} * SQRT(CAST(nb * s2 - s1 * s1 AS DOUBLE)
+                             / CAST(nb * nb AS DOUBLE))"""
+
+    sqls["event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch(ts), event_id) AS to_type
+  FROM events),
+pairs AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(n_transitions) AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n_transitions,
+       ROUND(CAST(p.n_transitions AS DOUBLE) / CAST(t AS DOUBLE), 6) AS prob
+FROM pairs p JOIN tot ON p.from_type = tot.from_type"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

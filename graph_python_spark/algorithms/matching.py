@@ -1,0 +1,91 @@
+"""Maximal matching — deterministic greedy (Luby on the line graph).
+
+Each round, an alive edge joins the matching iff its priority is the
+strict minimum among all alive edges sharing either endpoint (a local
+minimum of the conflict graph); matched endpoints leave, killing their
+incident edges.  Priority(i, j, round) is md5 of the canonical pair key
+plus the round — unique strings, so no tie-break is needed and the result
+is a pure function of the graph (fixed-unroll SQL oracles replay it
+exactly; rounds past the fixpoint see an empty edge set and are
+identity).  A constant number of rounds removes a constant fraction of
+edges in expectation (Israeli–Itai), so a small fixed unroll matches
+almost everything; run with ``rounds`` high enough for your graph or
+check the returned live-edge count.
+
+Spark shape: the iterated state is the SHRINKING alive-edge relation.
+Per round: one aggregate per endpoint (min priority via groupBy over the
+endpoint-exploded relation), two broadcast-eligible joins back to the
+edges, then an anti-join of the edge state against the matched-vertex
+delta.  No windows, no collect; everything partitions on vertex/pair
+keys.
+
+Reference parity: matching is not in python-graphblas (its scope is
+kernels — SURVEY.md §2.8); this is the LAGraph-style composition of the
+same select/mask primitives, included for the link-graph workload
+(content pairing, dedup conflict resolution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edge list (a < b)."""
+    return (
+        edges.select(
+            F.least(F.col("i"), F.col("j")).alias("a"),
+            F.greatest(F.col("i"), F.col("j")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def maximal_matching(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Greedy maximal matching over the undirected simple graph under
+    ``edges`` (long columns i, j; direction/duplicates ignored).
+
+    Returns matched edges (a, b, round) with a < b and ``round`` the
+    1-based round that selected the edge.  No two returned edges share a
+    vertex (pytest-enforced), and after convergence no alive edge
+    remains (maximality on the fixpoint).
+    """
+    alive = _canon(edges).localCheckpoint(eager=True)
+    matched_parts = []
+    for r in range(1, rounds + 1):
+        pri = F.md5(F.concat_ws(":", F.col("a"), F.col("b"), F.lit(r)))
+        e = alive.withColumn("_p", pri)
+        # min priority per endpoint over the endpoint-exploded relation
+        byv = (
+            e.select(F.col("a").alias("v"), "_p")
+            .unionByName(e.select(F.col("b").alias("v"), "_p"))
+            .groupBy("v")
+            .agg(F.min("_p").alias("_mn"))
+        )
+        wins = (
+            e.join(byv.select(F.col("v").alias("a"), F.col("_mn").alias("_ma")), "a")
+            .join(byv.select(F.col("v").alias("b"), F.col("_mn").alias("_mb")), "b")
+            .filter((F.col("_p") == F.col("_ma")) & (F.col("_p") == F.col("_mb")))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        matched_parts.append(wins.select("a", "b", F.lit(r).cast("long").alias("round")))
+        dead = (
+            wins.select(F.col("a").alias("v"))
+            .unionByName(wins.select(F.col("b").alias("v")))
+        )
+        nxt = (
+            alive.join(dead.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(dead.select(F.col("v").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        alive.unpersist()
+        alive = nxt
+    alive.unpersist()
+    out = matched_parts[0]
+    for p in matched_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -301,3 +301,86 @@ def click_attribution(
     )
     return joined.select("user_id", "purchase_id", "click_id",
                          "click_ts", "buy_ts", "value")
+
+
+def event_bursts(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    z: float = 3.0,
+) -> DataFrame:
+    """Volume-burst detection: bucket events per (event_type, time window)
+    and flag buckets whose count exceeds mean + ``z``·stddev of that
+    type's bucket counts — the anomaly primitive for crawl/firehose
+    monitoring.
+
+    The moments are computed from EXACT integer sums (Σc, Σc², n are
+    64-bit exact; population variance = (n·Σc² − (Σc)²)/n² with one final
+    floating division), so the flag is engine-reproducible.  Returns
+    flagged buckets (event_type, bucket_start_epoch, n_events, zscore).
+
+    Plan: one groupBy (type, bucket) over the raw events with map-side
+    combine, one tiny groupBy(type) for the moments (|types| rows,
+    broadcast back).  No windows, no collect.
+    """
+    ep = F.col("ts").cast("timestamp").cast("double")
+    bucket = (F.floor(ep / bucket_seconds) * bucket_seconds).cast("long")
+    counts = (
+        events.select(F.col("event_type"), bucket.alias("bucket_start_epoch"))
+        .groupBy("event_type", "bucket_start_epoch")
+        .agg(F.count("*").alias("n_events"))
+    )
+    mom = counts.groupBy("event_type").agg(
+        F.count("*").alias("nb"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nb").cast("double")
+    var = (F.col("nb") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") \
+        / (F.col("nb") * F.col("nb")).cast("double")
+    return (
+        counts.join(F.broadcast(mom), "event_type")
+        .withColumn("_mean", mean)
+        .withColumn("_sd", F.sqrt(var))
+        .filter(F.col("n_events").cast("double")
+                > F.col("_mean") + F.lit(float(z)) * F.col("_sd"))
+        .select(
+            "event_type",
+            "bucket_start_epoch",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round((F.col("n_events") - F.col("_mean")) / F.col("_sd"), 6)
+            .alias("zscore"),
+        )
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences:
+    for each user's (ts, event_id)-ordered stream, count (event_type →
+    next event_type) transitions corpus-wide and attach the row-normalized
+    probability — the session-model / next-action primitive.
+
+    Returns (from_type, to_type, n_transitions, prob), prob = count /
+    Σ_to count (exact integers, one final division, 6dp).
+
+    Plan: ONE user-partitioned window (lead) — parallel across users,
+    never global — then a groupBy on the (from, to) pair key (≤ |types|²
+    rows after map-side combine).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp").cast("double"), F.col("event_id"))
+    pairs = (
+        events.select("user_id", "ts", "event_id",
+                      F.col("event_type").alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n_transitions").alias("_tot"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(F.col("n_transitions").cast("double")
+                / F.col("_tot").cast("double"), 6).alias("prob"),
+    )

@@ -355,3 +355,77 @@ def test_pagerank_incremental_fixpoint_and_warmstart(spark):
     out2 = pagerank_incremental(e2, converged, iterations=2)
     assert out2.filter(F.col("id") == 5).count() == 1
     assert abs(out2.agg(F.sum("score")).first()[0] - 1.0) < 0.3
+
+
+# ---------------------------------------------------------------------------
+# event_bursts / event_transitions / maximal_matching
+# ---------------------------------------------------------------------------
+def _events_df(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(i, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s), u, t, 1.0)
+         for i, (s, u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+
+def test_event_bursts_flags_outlier_bucket(spark):
+    from graph_python_spark.pipeline.temporal import event_bursts
+
+    # 10 quiet hourly buckets with 1 event, one bucket with 50
+    rows = [(h * 3600, 1, "view") for h in range(10)]
+    rows += [(10 * 3600 + s, 1, "view") for s in range(50)]
+    out = event_bursts(_events_df(spark, rows), 3600, z=3.0).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 50
+    # replay the z-score on exact moments
+    import math as m
+    counts = [1] * 10 + [50]
+    nb, s1, s2 = len(counts), sum(counts), sum(c * c for c in counts)
+    mean = s1 / nb
+    sd = m.sqrt((nb * s2 - s1 * s1) / (nb * nb))
+    assert abs(out[0].zscore - round((50 - mean) / sd, 6)) < 1e-9
+
+
+def test_event_transitions_replay(spark):
+    from graph_python_spark.pipeline.temporal import event_transitions
+
+    rows = [(0, 1, "view"), (10, 1, "click"), (20, 1, "view"),
+            (30, 1, "click"), (5, 2, "view"), (15, 2, "purchase")]
+    out = {(r.from_type, r.to_type): (r.n_transitions, r.prob)
+           for r in event_transitions(_events_df(spark, rows)).collect()}
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("view", "purchase")] == (1, round(1 / 3, 6))
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 3
+
+
+def test_maximal_matching_is_a_matching_and_maximal(spark):
+    import random
+
+    from graph_python_spark.algorithms.matching import maximal_matching
+
+    rng = random.Random(3)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    e = edges_df(spark, pairs)
+    out = maximal_matching(e, rounds=8).collect()
+    used = set()
+    matched_edges = set()
+    for r in out:
+        assert r.a < r.b
+        assert r.a not in used and r.b not in used  # vertex-disjoint
+        used.add(r.a); used.add(r.b)
+        matched_edges.add((r.a, r.b))
+    # maximality: every original edge touches a matched vertex
+    for i, j in pairs:
+        a, b = min(i, j), max(i, j)
+        if a == b:
+            continue
+        assert a in used or b in used, (a, b)
+
+
+def test_maximal_matching_single_edge(spark):
+    from graph_python_spark.algorithms.matching import maximal_matching
+
+    out = maximal_matching(edges_df(spark, [(1, 2)]), rounds=2).collect()
+    assert len(out) == 1 and (out[0].a, out[0].b, out[0].round) == (1, 2, 1)
