@@ -1399,6 +1399,24 @@ def q_matching(spark, sf_dir):
     return maximal_matching(e, rounds=MATCHING_ROUNDS)
 
 
+def q_pipeline_pack(spark, sf_dir):
+    """End-to-end batch assembly: quality gate -> exact dedup -> hash
+    split -> pack the train split (pipeline/packing.pipeline_pack_e2e)."""
+    from graph_python_spark.pipeline.packing import pipeline_pack_e2e
+
+    return pipeline_pack_e2e(_docs(spark, sf_dir), budget=PACK_BUDGET,
+                             train_frac=SPLIT_TRAIN, valid_frac=SPLIT_VALID,
+                             salt=SPLIT_SALT)
+
+
+def q_graph_summary(spark, sf_dir):
+    from graph_python_spark.algorithms.metrics import graph_summary
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    return graph_summary(e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_out": q_degree_out,
@@ -1535,6 +1553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bursts": q_bursts,
         "event_transitions": q_event_transitions,
         "matching": q_matching,
+        "pipeline_pack": q_pipeline_pack,
+        "graph_summary": q_graph_summary,
     }
 
 
@@ -4264,6 +4284,73 @@ tot AS (SELECT from_type, SUM(n_transitions) AS t FROM pairs GROUP BY 1)
 SELECT p.from_type, p.to_type, p.n_transitions,
        ROUND(CAST(p.n_transitions AS DOUBLE) / CAST(t AS DOUBLE), 6) AS prob
 FROM pairs p JOIN tot ON p.from_type = tot.from_type"""
+
+    sqls["pipeline_pack"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+top AS (
+  SELECT doc_id, MAX(c) AS top FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id),
+arr AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS wchars,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+  FROM base),
+keepd AS (
+  SELECT a.doc_id FROM arr a LEFT JOIN top t ON a.doc_id = t.doc_id
+  WHERE a.n_words >= 12 AND a.n_words <= 100000 AND a.n_words > 0
+    AND a.wchars >= 2.0 * a.n_words AND a.wchars <= 12.0 * a.n_words
+    AND a.nd >= 0.3 * a.n_words
+    AND COALESCE(t.top, 0) <= 0.3 * a.n_words),
+surv AS (SELECT d.doc_id, d.text FROM documents d
+         JOIN keepd ON d.doc_id = keepd.doc_id),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+canon AS (SELECT s.doc_id, s.text FROM surv s
+          JOIN winners ON s.doc_id = winners.doc_id),
+train AS (
+  SELECT doc_id, text FROM canon
+  WHERE CAST((((doc_id * 1000003 + {SPLIT_SALT}) % 1000000007)
+              * 1000003 + 99991) % 1000000007 + 1 AS DOUBLE)
+          / 1000000007.0 <= {SPLIT_TRAIN!r}),
+tt AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM train),
+pp AS (SELECT doc_id, n_tokens,
+              SUM(n_tokens) OVER (ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS s
+       FROM tt WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, CAST(s AS BIGINT) AS start_offset,
+       CAST(s // {PACK_BUDGET} AS BIGINT) AS bin_start,
+       CAST((s + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS bin_end,
+       CAST(CASE WHEN (s + n_tokens - 1) // {PACK_BUDGET} > s // {PACK_BUDGET}
+                 THEN 1 ELSE 0 END AS BIGINT) AS crosses
+FROM pp"""
+
+    sqls["graph_summary"] = f"""WITH {eg},
+e AS (SELECT DISTINCT src AS i, dst AS j FROM eg WHERE src <> dst),
+verts AS (SELECT i AS id FROM e UNION SELECT j FROM e),
+deg AS (SELECT i, COUNT(*) AS d FROM e GROUP BY i),
+gnv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM verts),
+gne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+gmd AS (SELECT CAST(MAX(d) AS BIGINT) AS max_out_degree FROM deg)
+SELECT n_vertices, n_edges, max_out_degree,
+       ROUND(CAST(n_edges AS DOUBLE) / CAST(n_vertices AS DOUBLE), 6)
+         AS mean_out_degree,
+       ROUND(CAST(n_edges AS DOUBLE)
+             / (CAST(n_vertices AS DOUBLE) * CAST(n_vertices - 1 AS DOUBLE)),
+             6) AS density
+FROM gnv CROSS JOIN gne CROSS JOIN gmd"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

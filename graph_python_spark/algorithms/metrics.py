@@ -412,3 +412,32 @@ def snapshot_diff(e_old: DataFrame, e_new: DataFrame) -> DataFrame:
         F.coalesce(F.col("w_old"), F.lit(0)).cast("long").alias("w_old"),
         F.coalesce(F.col("w_new"), F.lit(0)).cast("long").alias("w_new"),
     )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row dashboard of the directed simple graph under ``edges``
+    (i, j): vertex/edge counts, max and mean out-degree, and density —
+    the first query every link-graph study runs.
+
+    All counts exact integers; density = E / (V·(V−1)) with one final
+    floating division.  Plan: one distinct + two aggregates, O(E)
+    shuffle; the three scalar relations cross-join (1 row each).
+    """
+    e = edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct() \
+        .localCheckpoint(eager=True)
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id")))).distinct()
+    deg = e.groupBy("i").agg(F.count("*").alias("d"))
+    nv = verts.agg(F.count("*").cast("long").alias("n_vertices"))
+    ne = e.agg(F.count("*").cast("long").alias("n_edges"))
+    dd = deg.agg(F.max("d").cast("long").alias("max_out_degree"))
+    out = nv.crossJoin(ne).crossJoin(dd).select(
+        "n_vertices", "n_edges", "max_out_degree",
+        F.round(F.col("n_edges").cast("double")
+                / F.col("n_vertices").cast("double"), 6).alias("mean_out_degree"),
+        F.round(F.col("n_edges").cast("double")
+                / (F.col("n_vertices").cast("double")
+                   * (F.col("n_vertices") - 1).cast("double")), 6).alias("density"),
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -266,3 +266,42 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
         F.round(F.max("_mx"), 6).alias("max_abs"),
         F.round(F.sum(sqerr) / F.count("*"), 6).alias("mse"),
     )
+
+
+def pipeline_pack_e2e(
+    docs: DataFrame,
+    budget: int,
+    train_frac: float = 0.8,
+    valid_frac: float = 0.1,
+    salt: int = 47,
+) -> DataFrame:
+    """The end-to-end pre-training batch-assembly recipe, composed from
+    this package's stages: Gopher-style quality gate → exact dedup
+    (canonical min-doc_id representative per byte-identical text) →
+    deterministic hash split → sequence-pack the TRAIN split.
+
+    Returns the packed train-split documents with the
+    ``pack_sequences`` schema.  Every stage is a pure function of the
+    corpus, so the whole DAG replays exactly in SQL (the oracle composes
+    the same four stages).
+
+    Plan: each stage is the already-audited plan of its operator; the
+    composition adds two semi-joins on doc_id (quality survivors,
+    dedup winners) — both partitioned hash joins, no new shuffle class.
+    """
+    from graph_python_spark.pipeline.text import quality_filter
+
+    kept = quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    survivors = docs.join(kept, "doc_id", "left_semi")
+    winners = (
+        survivors.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    canon = survivors.join(winners, "doc_id", "left_semi")
+    train = canon.join(
+        dataset_split(canon, train_frac=train_frac, valid_frac=valid_frac,
+                      salt=salt).filter(F.col("split") == "train")
+        .select("doc_id"),
+        "doc_id", "left_semi")
+    return pack_sequences(train, budget)

@@ -536,3 +536,22 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iterations: int = 2,
         .select("vec_id", "cluster",
                 F.col("dup_of").isNotNull().alias("pruned"), "dup_of")
     )
+
+
+def save_lsh_index(emb: DataFrame, path: str, dim: int, planes: int = 8,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Persist the sign-sketch LSH index (id, bucket) as parquet,
+    PARTITIONED BY bucket — a probe of one query bucket then scans only
+    that bucket's files (partition pruning), which is the on-disk shape
+    an ANN serving layer wants.  Rebuildable deterministically (the
+    hyperplanes are seed-derived), so the index is a cache, not state.
+    """
+    sig = lsh_signatures(emb, dim=dim, planes=planes, vec_col=vec_col,
+                         id_col=id_col)
+    (sig.select(F.col(id_col), F.col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def load_lsh_index(spark, path: str) -> DataFrame:
+    """Load a persisted LSH index; filters on ``bucket`` prune at scan."""
+    return spark.read.parquet(path)

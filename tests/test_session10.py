@@ -429,3 +429,60 @@ def test_maximal_matching_single_edge(spark):
 
     out = maximal_matching(edges_df(spark, [(1, 2)]), rounds=2).collect()
     assert len(out) == 1 and (out[0].a, out[0].b, out[0].round) == (1, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_pack_e2e / graph_summary / LSH index persistence
+# ---------------------------------------------------------------------------
+def test_pipeline_pack_e2e_stages_compose(spark):
+    from graph_python_spark.pipeline.packing import pipeline_pack_e2e
+
+    good = "the quick brown fox jumps over a lazy dog near the old river bank"
+    rows = [(1, good), (2, good),              # exact dups: one survives
+            (3, "a a a a a a a a a a a a a"),  # repetition-killed
+            (4, "short text"),                 # too few words
+            (5, good + " again and again today")]
+    out = pipeline_pack_e2e(docs_df(spark, rows), budget=8,
+                            train_frac=1.0, valid_frac=0.0).collect()
+    ids = {r.doc_id for r in out}
+    assert 2 not in ids and 3 not in ids and 4 not in ids
+    assert ids <= {1, 5} and 1 in ids
+    # offsets are gapless over the surviving stream
+    spans = sorted((r.start_offset, r.n_tokens) for r in out)
+    pos = 0
+    for s, n in spans:
+        assert s == pos
+        pos += n
+
+
+def test_graph_summary_replay(spark):
+    from graph_python_spark.algorithms.metrics import graph_summary
+
+    out = graph_summary(edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 0),
+                                         (3, 3)])).collect()[0]
+    assert out.n_vertices == 3 and out.n_edges == 4  # self-loop dropped
+    assert out.max_out_degree == 2
+    assert abs(out.mean_out_degree - round(4 / 3, 6)) < 1e-9
+    assert abs(out.density - round(4 / 6, 6)) < 1e-9
+
+
+def test_lsh_index_roundtrip(tmp_path, spark):
+    from graph_python_spark.pipeline.similarity import (
+        load_lsh_index,
+        lsh_signatures,
+        save_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    save_lsh_index(emb, path, dim=64, planes=6)
+    loaded = load_lsh_index(spark, path)
+    fresh = lsh_signatures(emb, dim=64, planes=6).select("vec_id", "bucket")
+    assert loaded.count() == emb.count()
+    diff = (loaded.join(fresh, ["vec_id", "bucket"], "full_outer")
+            .filter(F.col("vec_id").isNull() | F.col("bucket").isNull()).count())
+    assert diff == 0
+    # partition pruning: a bucket filter reads a subset of files
+    one = loaded.filter(F.col("bucket") == loaded.select("bucket").first()[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() > 0
