@@ -1216,6 +1216,7 @@ PCA_ITERS = 4
 INCR_BASE_ITERS = 10
 INCR_ITERS = 5
 BURST_BUCKET, BURST_Z = 3600, 2.0
+POWERLAW_DMIN = 2
 MATCHING_ROUNDS = 4
 
 
@@ -1417,6 +1418,26 @@ def q_graph_summary(spark, sf_dir):
     return graph_summary(e)
 
 
+def q_powerlaw_alpha(spark, sf_dir):
+    from graph_python_spark.algorithms.metrics import powerlaw_alpha
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    return powerlaw_alpha(e, d_min=POWERLAW_DMIN)
+
+
+def q_corpus_stats(spark, sf_dir):
+    from graph_python_spark.pipeline.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def q_label_centroids(spark, sf_dir):
+    from graph_python_spark.pipeline.features import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_out": q_degree_out,
@@ -1555,6 +1576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching": q_matching,
         "pipeline_pack": q_pipeline_pack,
         "graph_summary": q_graph_summary,
+        "corpus_stats": q_corpus_stats,
+        "label_centroids": q_label_centroids,
+        "powerlaw_alpha": q_powerlaw_alpha,
     }
 
 
@@ -4351,6 +4375,43 @@ SELECT n_vertices, n_edges, max_out_degree,
              / (CAST(n_vertices AS DOUBLE) * CAST(n_vertices - 1 AS DOUBLE)),
              6) AS density
 FROM gnv CROSS JOIN gne CROSS JOIN gmd"""
+
+    sqls["corpus_stats"] = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT SUM(n_tokens) AS t FROM cells)
+SELECT lang, source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS token_share
+FROM cells CROSS JOIN tot"""
+
+    sqls["label_centroids"] = """
+WITH ex AS (
+  SELECT label, vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+comp AS (SELECT label, pos, SUM(x) AS sx, COUNT(*) AS nv
+         FROM ex GROUP BY 1, 2),
+cent AS (SELECT label, SUM((sx / nv) * (sx / nv)) AS c2,
+                CAST(MAX(nv) AS BIGINT) AS n_vecs
+         FROM comp GROUP BY 1),
+norms AS (SELECT label, SUM(n2) / COUNT(*) AS en2 FROM (
+            SELECT label, id, SUM(x * x) AS n2 FROM ex GROUP BY 1, 2)
+          GROUP BY 1)
+SELECT cent.label, n_vecs, ROUND(SQRT(c2), 6) AS centroid_norm,
+       ROUND(en2 - c2, 6) AS mean_sq_dist
+FROM cent JOIN norms ON cent.label = norms.label"""
+
+    sqls["powerlaw_alpha"] = f"""WITH {eg},
+e AS (SELECT DISTINCT src AS i, dst AS j FROM eg WHERE src <> dst),
+deg AS (SELECT i, COUNT(*) AS d FROM e GROUP BY i HAVING COUNT(*) >= {POWERLAW_DMIN})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       CAST({POWERLAW_DMIN} AS BIGINT) AS d_min,
+       ROUND(1.0 + COUNT(*) / SUM(ln(CAST(d AS DOUBLE) / {float(POWERLAW_DMIN)!r})), 6)
+         AS alpha
+FROM deg"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

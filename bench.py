@@ -116,8 +116,10 @@ def run_headlines(spark, results: dict) -> None:
         "copurchase", "node2vec_walks", "centroid_classify",
         "butterflies", "knn_graph", "triad_census",
         # added session 10: distributed prefix-sum packing, skip-gram
-        # sampling, item-item recs, partition conductance
+        # sampling, item-item recs, partition conductance, the e2e
+        # quality->dedup->split->pack composite, warm-start PageRank
         "pack_sequences", "walk_skipgrams", "item_recs", "conductance",
+        "pipeline_pack", "pagerank_incr",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

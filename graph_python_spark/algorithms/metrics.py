@@ -441,3 +441,28 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """Hill maximum-likelihood estimate of the degree-distribution tail
+    exponent: α = 1 + n / Σ_{d ≥ d_min} ln(d / d_min), over out-degrees of
+    the directed simple graph — the skew diagnostic that decides whether
+    a graph needs the salted/hub-capped plan variants.
+
+    Returns ONE row (n_tail, d_min, alpha).  One degree aggregate + one
+    scalar aggregate; the ln runs on exact integer degrees.
+    """
+    deg = (
+        edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
+        .groupBy("i").agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= d_min)
+    )
+    return deg.agg(
+        F.count("*").cast("long").alias("n_tail"),
+        F.lit(int(d_min)).cast("long").alias("d_min"),
+        F.round(
+            F.lit(1.0)
+            + F.count("*") / F.sum(F.log(F.col("d") / F.lit(float(d_min)))),
+            6,
+        ).alias("alpha"),
+    )

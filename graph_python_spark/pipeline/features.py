@@ -122,3 +122,40 @@ def pca_top_component(
         F.col("pos").cast("long").alias("pos"),
         F.round(F.col("v"), 6).alias("loading"),
     )
+
+
+def label_centroids(emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-class embedding diagnostics: class size, centroid L2 norm, and
+    the mean squared distance of members to their centroid — the
+    separability report a classifier/clustering pipeline prints.
+
+    Uses the exact one-pass identity  E‖x − c‖² = E‖x‖² − ‖c‖²  (c the
+    class mean), so everything reduces to per-(label, pos) component sums
+    plus a per-vector squared-norm sum: two partitioned aggregates, no
+    pairwise joins.  Returns (label, n_vecs, centroid_norm, mean_sq_dist).
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_xf"),
+    ).select("label", "id", "pos", F.col("_xf").cast("double").alias("x"))
+    comp = ex.groupBy("label", "pos").agg(
+        F.sum("x").alias("sx"),
+        F.count("*").alias("nv"),
+    )
+    cent = comp.groupBy("label").agg(
+        F.sum((F.col("sx") / F.col("nv")) * (F.col("sx") / F.col("nv")))
+        .alias("_c2"),
+        F.max("nv").cast("long").alias("n_vecs"),
+    )
+    norms = (
+        ex.groupBy("label", "id").agg(F.sum(F.col("x") * F.col("x")).alias("_n2"))
+        .groupBy("label").agg((F.sum("_n2") / F.count("*")).alias("_en2"))
+    )
+    return cent.join(norms, "label").select(
+        "label", "n_vecs",
+        F.round(F.sqrt(F.col("_c2")), 6).alias("centroid_norm"),
+        F.round(F.col("_en2") - F.col("_c2"), 6).alias("mean_sq_dist"),
+    )

@@ -416,3 +416,28 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Data-mix dashboard: per (lang, source) document/token totals and
+    each cell's share of the corpus token budget — what a pre-training
+    mixture designer looks at before setting ``rebalance_sources``
+    fractions.
+
+    Returns (lang, source, n_docs, n_tokens, token_share) with
+    token_share = n_tokens / Σ n_tokens (exact integers, one division,
+    6dp).
+
+    Plan: one groupBy on the (lang, source) pair with map-side combine
+    (the cell count is tiny), one 1-row total broadcast back.
+    """
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col())).cast("long").alias("n_tokens"),
+    )
+    tot = cells.agg(F.sum("n_tokens").alias("_t"))
+    return cells.join(F.broadcast(tot)).select(
+        "lang", "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("_t").cast("double"),
+                6).alias("token_share"),
+    )

@@ -325,3 +325,39 @@ def stream_sessionize(spark: SparkSession, path: str,
     return events.withWatermark("ts", watermark).groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def stream_bursts(spark: SparkSession, path: str,
+                  baseline: DataFrame,
+                  bucket_seconds: int = 3600,
+                  watermark: str = "2 hours",
+                  z: float = 3.0) -> DataFrame:
+    """Streaming twin of ``pipeline.temporal.event_bursts``: windowed
+    per-type counts on the live stream, flagged against a STATIC baseline
+    of per-type (mean, sd) bucket moments computed from history (the
+    stream-static enrichment pattern — the baseline broadcasts, the
+    stream never re-aggregates history).
+
+    ``baseline``: static DataFrame (event_type, mean_events, sd_events).
+    Emits flagged windows (event_type, w_start, n_events, zscore) in
+    append mode once the watermark closes each window — state is
+    O(types × open windows).
+    """
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    secs = f"{int(bucket_seconds)} seconds"
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", secs), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("w_start"), "event_type",
+                "n_events")
+    )
+    return (
+        counts.join(F.broadcast(baseline), "event_type")
+        .filter(F.col("n_events").cast("double")
+                > F.col("mean_events") + F.lit(float(z)) * F.col("sd_events"))
+        .select("event_type", "w_start",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.round((F.col("n_events") - F.col("mean_events"))
+                        / F.col("sd_events"), 6).alias("zscore"))
+    )

@@ -486,3 +486,82 @@ def test_lsh_index_roundtrip(tmp_path, spark):
     one = loaded.filter(F.col("bucket") == loaded.select("bucket").first()[0])
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# corpus_stats / label_centroids / stream_bursts
+# ---------------------------------------------------------------------------
+def test_corpus_stats_replay(spark):
+    from graph_python_spark.pipeline.text import corpus_stats
+
+    rows = [(1, "a b c", "en", "s0"), (2, "d e", "en", "s0"),
+            (3, "f", "de", "s1"), (4, "", "de", "s1")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {(r.lang, r.source): r for r in corpus_stats(df).collect()}
+    assert out[("en", "s0")].n_docs == 2 and out[("en", "s0")].n_tokens == 5
+    assert out[("de", "s1")].n_docs == 2 and out[("de", "s1")].n_tokens == 1
+    assert abs(out[("en", "s0")].token_share - round(5 / 6, 6)) < 1e-9
+
+
+def test_label_centroids_identity(spark):
+    import numpy as np
+
+    from graph_python_spark.pipeline.features import label_centroids
+
+    rng = np.random.RandomState(11)
+    vecs, rows = {}, []
+    for vid in range(60):
+        lab = vid % 3
+        x = rng.randn(6).astype(np.float32)
+        vecs.setdefault(lab, []).append(x.astype(np.float64))
+        rows.append((vid, [float(v) for v in x], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in label_centroids(emb).collect()}
+    for lab, xs in vecs.items():
+        X = np.vstack(xs)
+        c = X.mean(axis=0)
+        msd = ((X - c) ** 2).sum(axis=1).mean()
+        r = out[lab]
+        assert r.n_vecs == len(xs)
+        assert abs(r.centroid_norm - np.linalg.norm(c)) < 1e-6
+        assert abs(r.mean_sq_dist - msd) < 1e-6
+
+
+def test_stream_bursts_flags_against_static_baseline(tmp_path, spark):
+    import datetime as dt
+
+    from graph_python_spark.streaming.streams import run_to_memory, stream_bursts
+
+    path = str(tmp_path / "ev_stream")
+    rows = [(i, dt.datetime(2026, 1, 1, 0, 0) + dt.timedelta(seconds=i), 1,
+             "view", 1.0, None) for i in range(40)]           # burst hour 0
+    rows += [(100 + h, dt.datetime(2026, 1, 1, h) + dt.timedelta(minutes=5),
+              1, "view", 1.0, None) for h in range(1, 4)]      # quiet hours
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string").write.mode("overwrite").parquet(path)
+    baseline = spark.createDataFrame(
+        [("view", 2.0, 1.0)], "event_type string, mean_events double, sd_events double")
+    out = stream_bursts(spark, path, baseline, bucket_seconds=3600,
+                        watermark="0 seconds", z=3.0)
+    run_to_memory(out, "bursts_sink", "append")
+    got = spark.sql("select * from bursts_sink").collect()
+    assert len(got) == 1 and got[0].n_events == 40
+    assert abs(got[0].zscore - 38.0) < 1e-9
+
+
+def test_powerlaw_alpha_recovers_exponent(spark):
+    import math as m
+
+    from graph_python_spark.algorithms.metrics import powerlaw_alpha
+
+    # exact replay on a crafted degree sequence: vertex v has out-degree d_v
+    degs = {0: 1, 1: 2, 2: 2, 3: 4, 4: 8, 5: 16}
+    pairs = [(v, 1000 + t) for v, d in degs.items() for t in range(d)]
+    out = powerlaw_alpha(edges_df(spark, pairs), d_min=2).collect()[0]
+    tail = [d for d in degs.values() if d >= 2]
+    alpha = 1.0 + len(tail) / sum(m.log(d / 2.0) for d in tail)
+    assert out.n_tail == len(tail)
+    assert abs(out.alpha - round(alpha, 6)) < 1e-9
