@@ -4193,8 +4193,9 @@ ab AS (SELECT SUM(rs * cs) AS sab FROM rsum JOIN csum ON rsum.x = csum.y),
 tr AS (SELECT SUM(cnt) AS m,
               SUM(CASE WHEN x = y THEN cnt ELSE 0 END) AS t FROM mix)
 SELECT CAST(m AS BIGINT) AS n_endpoints, CAST(t AS BIGINT) AS n_intra,
-       ROUND(CAST(t * m - sab AS DOUBLE)
-             / CAST(m * m - sab AS DOUBLE), 6) AS assortativity
+       CASE WHEN m * m - sab = 0 THEN 1.0
+            ELSE ROUND(CAST(t * m - sab AS DOUBLE)
+                       / CAST(m * m - sab AS DOUBLE), 6) END AS assortativity
 FROM tr CROSS JOIN ab"""
 
     sqls["snapshot_diff"] = f"""
@@ -4288,13 +4289,15 @@ mom AS (SELECT event_type, COUNT(*) AS nb, SUM(n_events) AS s1,
         FROM c GROUP BY 1)
 SELECT c.event_type, c.bucket_start_epoch, c.n_events,
        ROUND((c.n_events - CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
-             / SQRT(CAST(nb * s2 - s1 * s1 AS DOUBLE)
-                    / CAST(nb * nb AS DOUBLE)), 6) AS zscore
+             / SQRT((CAST(nb AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS zscore
 FROM c JOIN mom ON c.event_type = mom.event_type
 WHERE CAST(c.n_events AS DOUBLE)
       > CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)
-        + {BURST_Z!r} * SQRT(CAST(nb * s2 - s1 * s1 AS DOUBLE)
-                             / CAST(nb * nb AS DOUBLE))"""
+        + {BURST_Z!r} * SQRT((CAST(nb AS DOUBLE) * CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                             / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))"""
 
     sqls["event_transitions"] = """
 WITH seq AS (
@@ -4409,8 +4412,10 @@ e AS (SELECT DISTINCT src AS i, dst AS j FROM eg WHERE src <> dst),
 deg AS (SELECT i, COUNT(*) AS d FROM e GROUP BY i HAVING COUNT(*) >= {POWERLAW_DMIN})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
        CAST({POWERLAW_DMIN} AS BIGINT) AS d_min,
-       ROUND(1.0 + COUNT(*) / SUM(ln(CAST(d AS DOUBLE) / {float(POWERLAW_DMIN)!r})), 6)
-         AS alpha
+       CASE WHEN SUM(ln(CAST(d AS DOUBLE) / {float(POWERLAW_DMIN)!r})) > 0
+            THEN ROUND(1.0 + COUNT(*)
+                       / SUM(ln(CAST(d AS DOUBLE) / {float(POWERLAW_DMIN)!r})), 6)
+            ELSE NULL END AS alpha
 FROM deg"""
 
     degq_union = "\nUNION ALL\n".join(

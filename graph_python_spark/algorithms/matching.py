@@ -52,6 +52,8 @@ def maximal_matching(edges: DataFrame, rounds: int = 4) -> DataFrame:
     vertex (pytest-enforced), and after convergence no alive edge
     remains (maximality on the fixpoint).
     """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
     alive = _canon(edges).localCheckpoint(eager=True)
     matched_parts = []
     for r in range(1, rounds + 1):

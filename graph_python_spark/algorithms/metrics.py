@@ -379,13 +379,15 @@ def attribute_assortativity(edges: DataFrame, attrs: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("xa") == F.col("ya"), F.col("cnt")).otherwise(F.lit(0)))
         .alias("t"),
     )
+    den = (F.col("m") * F.col("m") - F.col("sab")).cast("double")
     return tr.crossJoin(F.broadcast(ab)).select(
         F.col("m").cast("long").alias("n_endpoints"),
         F.col("t").cast("long").alias("n_intra"),
-        F.round(
-            (F.col("t") * F.col("m") - F.col("sab")).cast("double")
-            / (F.col("m") * F.col("m") - F.col("sab")).cast("double"),
-            6,
+        # a single attribute class makes the denominator 0 (every edge is
+        # intra by construction): perfectly assortative by convention
+        F.when(den == 0, F.lit(1.0)).otherwise(
+            F.round((F.col("t") * F.col("m") - F.col("sab")).cast("double")
+                    / den, 6)
         ).alias("assortativity"),
     )
 
@@ -449,20 +451,21 @@ def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
     the directed simple graph — the skew diagnostic that decides whether
     a graph needs the salted/hub-capped plan variants.
 
-    Returns ONE row (n_tail, d_min, alpha).  One degree aggregate + one
-    scalar aggregate; the ln runs on exact integer degrees.
+    Returns ONE row (n_tail, d_min, alpha); alpha is NULL when every
+    tail degree equals ``d_min`` (Σln = 0 — the sample carries no slope
+    information, e.g. a d_min-regular graph).  One degree aggregate +
+    one scalar aggregate; the ln runs on exact integer degrees.
     """
     deg = (
         edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
         .groupBy("i").agg(F.count("*").alias("d"))
         .filter(F.col("d") >= d_min)
     )
+    lnsum = F.sum(F.log(F.col("d") / F.lit(float(d_min))))
     return deg.agg(
         F.count("*").cast("long").alias("n_tail"),
         F.lit(int(d_min)).cast("long").alias("d_min"),
-        F.round(
-            F.lit(1.0)
-            + F.count("*") / F.sum(F.log(F.col("d") / F.lit(float(d_min)))),
-            6,
-        ).alias("alpha"),
+        F.when(lnsum > 0,
+               F.round(F.lit(1.0) + F.count("*") / lnsum, 6))
+        .otherwise(F.lit(None).cast("double")).alias("alpha"),
     )

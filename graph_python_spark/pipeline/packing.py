@@ -26,11 +26,12 @@ Scale shape (100 TB corpus):
   growth (a document's split never changes when other rows are added).
 * ``tfidf_topk`` shuffles the exploded-token relation once on the token
   key for document frequencies, pruning tokens above a document-frequency
-  ceiling (stop tokens carry no TF-IDF signal but dominate posting
-  lists — the same df-cap argument as dedup.token_jaccard_pairs); the
-  surviving df relation is orders of magnitude smaller than the corpus
-  and broadcasts.  Per-document top-k is a window PARTITIONED by doc_id —
-  parallel, never global.
+  ceiling BEFORE any join (stop tokens carry no TF-IDF signal but
+  dominate posting lists — the same df-cap argument as
+  dedup.token_jaccard_pairs); the pruned vocab relation is still
+  unbounded (the df=1 long tail survives), so it joins tf as a plain
+  hash join — broadcast is left to AQE.  Per-document top-k is a window
+  PARTITIONED by doc_id — parallel, never global.
 * ``quantize_embeddings`` is one partitioned aggregate over the exploded
   (vec_id, component) relation — map-side partial combine keeps the
   shuffle at O(vectors), not O(vectors × dims).
@@ -178,7 +179,18 @@ def dataset_split(
     A row's split is a pure function of its key — stable under corpus
     growth, re-partitioning, and engine (the oracle replays the same
     affine-mod-prime hash).  Zero shuffles: the expression is map-side.
+
+    ``key_col`` must be integral: the affine hash on a non-numeric key
+    would coerce to NULL and silently dump every row into 'test', so
+    that is rejected here (hash string keys to a long first, e.g.
+    ``F.xxhash64``, accepting that an external replayer must do the
+    same).
     """
+    dtypes = dict(docs.dtypes)
+    if dtypes.get(key_col) not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"dataset_split needs an integral key column; {key_col!r} is "
+            f"{dtypes.get(key_col)!r}")
     u = _unit_hash(key_col, salt)
     return docs.select(
         key_col,
@@ -209,13 +221,16 @@ def tfidf_topk(
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    df_t = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "tok")
+    # prune the O(vocab) df relation BEFORE it joins anything — only the
+    # 1-row n_docs scalar is force-broadcast; the (still unbounded) pruned
+    # vocab joins tf as a plain hash join, broadcast only if AQE sees fit
+    df_t = (
+        tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
         .join(F.broadcast(n_docs))
         .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
-        .withColumn("_score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
+    scored = tf.join(df_t, "tok").withColumn(
+        "_score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     w = Window.partitionBy("doc_id").orderBy(F.col("_score").desc(), F.col("tok"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -313,10 +313,12 @@ def event_bursts(
     type's bucket counts — the anomaly primitive for crawl/firehose
     monitoring.
 
-    The moments are computed from EXACT integer sums (Σc, Σc², n are
-    64-bit exact; population variance = (n·Σc² − (Σc)²)/n² with one final
-    floating division), so the flag is engine-reproducible.  Returns
-    flagged buckets (event_type, bucket_start_epoch, n_events, zscore).
+    The per-bucket counts and their sums Σc, Σc² are exact 64-bit
+    integers; the variance (n·Σc² − (Σc)²)/n² is then evaluated in DOUBLE
+    (each product singly-rounded IEEE, identical in any engine — and,
+    unlike 64-bit products, it cannot wrap when a type's total count
+    passes ~3e9 at firehose scale).  Returns flagged buckets
+    (event_type, bucket_start_epoch, n_events, zscore).
 
     Plan: one groupBy (type, bucket) over the raw events with map-side
     combine, one tiny groupBy(type) for the moments (|types| rows,
@@ -334,9 +336,11 @@ def event_bursts(
         F.sum("n_events").alias("s1"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
     )
-    mean = F.col("s1").cast("double") / F.col("nb").cast("double")
-    var = (F.col("nb") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") \
-        / (F.col("nb") * F.col("nb")).cast("double")
+    nb_d = F.col("nb").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    mean = s1_d / nb_d
+    var = (nb_d * s2_d - s1_d * s1_d) / (nb_d * nb_d)
     return (
         counts.join(F.broadcast(mom), "event_type")
         .withColumn("_mean", mean)

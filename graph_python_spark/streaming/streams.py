@@ -338,7 +338,9 @@ def stream_bursts(spark: SparkSession, path: str,
     stream-static enrichment pattern — the baseline broadcasts, the
     stream never re-aggregates history).
 
-    ``baseline``: static DataFrame (event_type, mean_events, sd_events).
+    ``baseline``: static DataFrame (event_type, mean_events, sd_events);
+    rows with sd_events ≤ 0 (a degenerate constant history) are dropped —
+    such a baseline can never flag, rather than emitting NULL z-scores.
     Emits flagged windows (event_type, w_start, n_events, zscore) in
     append mode once the watermark closes each window — state is
     O(types × open windows).
@@ -353,7 +355,8 @@ def stream_bursts(spark: SparkSession, path: str,
                 "n_events")
     )
     return (
-        counts.join(F.broadcast(baseline), "event_type")
+        counts.join(F.broadcast(baseline.filter(F.col("sd_events") > 0)),
+                    "event_type")
         .filter(F.col("n_events").cast("double")
                 > F.col("mean_events") + F.lit(float(z)) * F.col("sd_events"))
         .select("event_type", "w_start",

@@ -565,3 +565,30 @@ def test_powerlaw_alpha_recovers_exponent(spark):
     alpha = 1.0 + len(tail) / sum(m.log(d / 2.0) for d in tail)
     assert out.n_tail == len(tail)
     assert abs(out.alpha - round(alpha, 6)) < 1e-9
+
+
+def test_review_fix_edge_cases(spark):
+    import pytest
+
+    from graph_python_spark.algorithms.matching import maximal_matching
+    from graph_python_spark.algorithms.metrics import (
+        attribute_assortativity,
+        powerlaw_alpha,
+    )
+    from graph_python_spark.pipeline.packing import dataset_split
+
+    # matching rejects rounds < 1
+    with pytest.raises(ValueError):
+        maximal_matching(edges_df(spark, [(1, 2)]), rounds=0)
+    # dataset_split rejects non-integral keys
+    sdocs = spark.createDataFrame([("u1", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        dataset_split(sdocs)
+    # single attribute class -> perfectly assortative by convention
+    attrs = spark.createDataFrame([(0, 7), (1, 7), (2, 7)], "id long, attr long")
+    r = attribute_assortativity(edges_df(spark, [(0, 1), (1, 2)]), attrs).collect()[0]
+    assert r.assortativity == 1.0
+    # regular graph: alpha is NULL (no slope information), not a crash
+    reg = [(v, 100 + 2 * v + t) for v in range(5) for t in range(2)]
+    out = powerlaw_alpha(edges_df(spark, reg), d_min=2).collect()[0]
+    assert out.n_tail == 5 and out.alpha is None
