@@ -1426,6 +1426,36 @@ def q_powerlaw_alpha(spark, sf_dir):
     return powerlaw_alpha(e, d_min=POWERLAW_DMIN)
 
 
+CC_INCR_BASE, CC_INCR_ROUNDS = 12, 4
+
+
+def q_cc_incr(spark, sf_dir):
+    """Warm-started min-label CC on the full customer graph from labels
+    computed on the pre-SNAPSHOT_CUT subgraph (edges only added)."""
+    from graph_python_spark.algorithms.components import cc_incremental
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = customer_count(spark, sf_dir)
+    old = (
+        orders.filter(F.col("o_orderdate") < F.lit(SNAPSHOT_CUT).cast("timestamp"))
+        .select(F.col("o_custkey").alias("i"),
+                (F.col("o_orderkey") % F.lit(n)).alias("j"))
+        .filter(F.col("i") != F.col("j"))
+    )
+    init = cc_fixed_rounds(old, rounds=CC_INCR_BASE)
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    return cc_incremental(e, init, rounds=CC_INCR_ROUNDS)
+
+
+def q_four_cycles(spark, sf_dir):
+    from graph_python_spark.algorithms.triangles import four_cycle_count
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    return four_cycle_count(e)
+
+
 def q_corpus_stats(spark, sf_dir):
     from graph_python_spark.pipeline.text import corpus_stats
 
@@ -1579,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "label_centroids": q_label_centroids,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "cc_incr": q_cc_incr,
+        "four_cycles": q_four_cycles,
     }
 
 
@@ -3184,6 +3216,51 @@ e{r} AS (SELECT a, b FROM e{r - 1}
     return head + "".join(steps) + "\n" + union
 
 
+def _cc_incr_sql(base_rounds: int, incr_rounds: int, cut: str) -> str:
+    """Two-phase unroll mirroring q_cc_incr: min-label rounds on the
+    pre-``cut`` subgraph from identity labels, then warm rounds on the
+    full graph (absent vertices start at their own id)."""
+    head = f"""WITH nv AS (SELECT count(*) AS n FROM customer),
+ego AS (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nv) AS dst
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '{cut}'
+          AND o_custkey <> o_orderkey % (SELECT n FROM nv)),
+sym1 AS (SELECT src AS s, dst AS d FROM ego UNION SELECT dst, src FROM ego),
+v1 AS (SELECT s AS id FROM sym1 UNION SELECT d FROM sym1),
+a0 AS (SELECT id AS i, id AS v FROM v1)"""
+    steps = []
+    for k in range(1, base_rounds + 1):
+        steps.append(f""",
+a{k} AS MATERIALIZED (
+  SELECT l.i, LEAST(l.v, COALESCE(m.mn, l.v)) AS v
+  FROM a{k - 1} l LEFT JOIN (
+    SELECT e.d AS i, MIN(l2.v) AS mn
+    FROM sym1 e JOIN a{k - 1} l2 ON e.s = l2.i
+    GROUP BY e.d
+  ) m ON l.i = m.i
+)""")
+    steps.append(f""",
+eg2 AS (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nv) AS dst
+        FROM orders
+        WHERE o_custkey <> o_orderkey % (SELECT n FROM nv)),
+sym2 AS (SELECT src AS s, dst AS d FROM eg2 UNION SELECT dst, src FROM eg2),
+v2 AS (SELECT s AS id FROM sym2 UNION SELECT d FROM sym2),
+b0 AS (SELECT v2.id AS i, COALESCE(a{base_rounds}.v, v2.id) AS v
+       FROM v2 LEFT JOIN a{base_rounds} ON v2.id = a{base_rounds}.i)""")
+    for k in range(1, incr_rounds + 1):
+        steps.append(f""",
+b{k} AS MATERIALIZED (
+  SELECT l.i, LEAST(l.v, COALESCE(m.mn, l.v)) AS v
+  FROM b{k - 1} l LEFT JOIN (
+    SELECT e.d AS i, MIN(l2.v) AS mn
+    FROM sym2 e JOIN b{k - 1} l2 ON e.s = l2.i
+    GROUP BY e.d
+  ) m ON l.i = m.i
+)""")
+    return head + "".join(steps) + f"""
+SELECT i AS id, CAST(v AS BIGINT) AS component FROM b{incr_rounds}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sp = supplier_part_graph_sql().strip().rstrip(")") + "\n)"
     eg = customer_graph_sql().strip()
@@ -4417,6 +4494,17 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
                        / SUM(ln(CAST(d AS DOUBLE) / {float(POWERLAW_DMIN)!r})), 6)
             ELSE NULL END AS alpha
 FROM deg"""
+
+    sqls["cc_incr"] = _cc_incr_sql(CC_INCR_BASE, CC_INCR_ROUNDS, SNAPSHOT_CUT)
+
+    sqls["four_cycles"] = f"""WITH {eg},
+sym AS (SELECT DISTINCT s, d FROM (
+  SELECT src AS s, dst AS d FROM eg
+  UNION ALL SELECT dst AS s, src AS d FROM eg) WHERE s <> d),
+cn AS (SELECT a.d AS u, b.d AS v, COUNT(*) AS cn
+       FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d
+       GROUP BY 1, 2)
+SELECT CAST(SUM(cn * (cn - 1)) // 4 AS BIGINT) AS n_four_cycles FROM cn"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

@@ -132,3 +132,33 @@ def _cc_rounds(esym: DataFrame, f: DataFrame, rounds: int) -> DataFrame:
         )
         f = materialize(f)
     return f.select(F.col("i").alias("id"), F.col("v").alias("component"))
+
+
+def cc_incremental(edges: DataFrame, init_labels: DataFrame,
+                   rounds: int = 4) -> DataFrame:
+    """Warm-started min-label propagation: exactly ``rounds`` hook rounds
+    on ``edges`` starting from ``init_labels`` (id, component) computed on
+    a SUBGRAPH (the growing-crawl case: edges only ADDED between
+    snapshots — pair with ``metrics.snapshot_diff``).
+
+    Soundness: an old label is the min vertex id of the vertex's OLD
+    component, which is a subset of its NEW component — so the warm state
+    is a valid intermediate lattice point of the same min-propagation and
+    converges to the identical fixpoint, just from much closer (old
+    components are already collapsed; only merges along added edges
+    remain).  Vertices absent from ``init_labels`` (new pages) start at
+    their own id.  NOT valid after edge REMOVALS (a stale merged label
+    has no way back up) — recompute from scratch there.
+
+    Same plan as ``cc_fixed_rounds`` plus one O(V) init join.
+    """
+    esym = _symmetrize(edges).cache()
+    verts = esym.select(F.col("s").alias("id")).distinct()
+    f = (
+        verts.join(init_labels.select("id", F.col("component").alias("_c0")),
+                   "id", "left_outer")
+        .select(F.col("id").alias("i"),
+                F.coalesce(F.col("_c0"), F.col("id")).alias("v"))
+    )
+    with loop_shuffle_width(edges.sparkSession, f.count()):
+        return _cc_rounds(esym, f, rounds)

@@ -129,3 +129,47 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .alias("coeff"),
         )
     )
+
+
+def four_cycle_count(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Global 4-cycle count of the undirected simple graph: every 4-cycle
+    u–x–v–y–u is determined twice by a pair of OPPOSITE vertices and an
+    unordered pair of their common neighbors, so
+    C4 = ½ Σ_{u<v} C(cn(u, v), 2) — exact integer arithmetic throughout
+    (the double-count makes the sum even).  The quadrilateral census
+    complements the triangle count (together: the clustering signature).
+
+    ``max_degree``: optional stop-hub cap — wedge fan-out is
+    Σ_x C(deg(x), 2), so one 1e6-degree hub contributes 5e11 wedge rows;
+    capping skips wedges CENTERED at hubs (documented undercount, the
+    same guard as jaccard_neighbors).  None = exact.
+
+    Plan: one wedge self-join on the center key, one groupBy on the
+    opposite-pair key (map-side combine), one scalar aggregate.
+
+    Returns ONE row (n_four_cycles).
+    """
+    fwd = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    if max_degree is not None:
+        deg = sym.groupBy("s").agg(F.count("*").alias("_deg"))
+        sym = (sym.join(deg.filter(F.col("_deg") <= max_degree), "s",
+                        "left_semi"))
+    a = sym.select(F.col("s").alias("x"), F.col("d").alias("u"))
+    b = sym.select(F.col("s").alias("x"), F.col("d").alias("v"))
+    cn = (
+        a.join(b, "x")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    # C4 = ½ Σ C(cn,2) = Σ cn(cn−1) / 4 — keep the whole sum in exact
+    # 64-bit integers and divide once (the identity guarantees % 4 == 0)
+    return cn.agg(
+        (F.sum(F.col("cn") * (F.col("cn") - 1)) / 4)
+        .cast("long").alias("n_four_cycles")
+    )

@@ -592,3 +592,54 @@ def test_review_fix_edge_cases(spark):
     reg = [(v, 100 + 2 * v + t) for v in range(5) for t in range(2)]
     out = powerlaw_alpha(edges_df(spark, reg), d_min=2).collect()[0]
     assert out.n_tail == 5 and out.alpha is None
+
+
+def test_cc_incremental_matches_cold_and_converges_faster(spark):
+    from graph_python_spark.algorithms.components import (
+        cc_fixed_rounds,
+        cc_incremental,
+    )
+
+    # two chains merged by an added bridge
+    old_edges = edges_df(spark, [(0, 1), (1, 2), (10, 11), (11, 12)])
+    new_edges = edges_df(spark, [(0, 1), (1, 2), (10, 11), (11, 12), (2, 10)])
+    init = cc_fixed_rounds(old_edges, rounds=6)
+    warm = {r.id: r.component
+            for r in cc_incremental(new_edges, init, rounds=3).collect()}
+    # all six vertices collapse to component 0 in few warm rounds
+    assert set(warm.values()) == {0}
+    # new vertex absent from init starts at its own id and still joins
+    new2 = new_edges.unionByName(edges_df(spark, [(12, 99)]))
+    warm2 = {r.id: r.component
+             for r in cc_incremental(new2, init, rounds=4).collect()}
+    assert warm2[99] == 0 and set(warm2.values()) == {0}
+
+
+def test_four_cycle_count_replay(spark):
+    from itertools import combinations
+
+    from graph_python_spark.algorithms.triangles import four_cycle_count
+
+    # C4 on a square = 1; K4 has 3 four-cycles
+    sq = four_cycle_count(edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]))
+    assert sq.collect()[0].n_four_cycles == 1
+    k4 = four_cycle_count(
+        edges_df(spark, list(combinations(range(4), 2)))).collect()[0]
+    assert k4.n_four_cycles == 3
+    # random graph vs brute force
+    import random
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    adj = {}
+    for i, j in pairs:
+        if i != j:
+            adj.setdefault(i, set()).add(j)
+            adj.setdefault(j, set()).add(i)
+    brute = 0
+    vs = sorted(adj)
+    for u, v in combinations(vs, 2):
+        cn = len(adj[u] & adj[v])
+        brute += cn * (cn - 1) // 2
+    brute //= 2
+    got = four_cycle_count(edges_df(spark, pairs)).collect()[0].n_four_cycles
+    assert got == brute
