@@ -120,6 +120,8 @@ def run_headlines(spark, results: dict) -> None:
         # quality->dedup->split->pack composite, warm-start PageRank
         "pack_sequences", "walk_skipgrams", "item_recs", "conductance",
         "pipeline_pack", "pagerank_incr",
+        # late session 10: warm-start CC, quadrilateral census
+        "cc_incr", "four_cycles",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

@@ -97,6 +97,7 @@ def pca_top_component(
         .localCheckpoint(eager=True)
     )
     v = means.select("pos", F.lit(1.0).alias("v"))
+    prev_v = None
     for _ in range(iterations):
         y = (
             xc.join(F.broadcast(v), "pos")
@@ -114,6 +115,9 @@ def pca_top_component(
             .select("pos", (F.col("w") / F.col("mx")).alias("v"))
             .localCheckpoint(eager=True)
         )
+        if prev_v is not None:
+            prev_v.unpersist()
+        prev_v = v
     # pin hygiene: v is eagerly checkpointed, so the big intermediates'
     # blocks can be released before returning
     ex.unpersist()
