@@ -1448,6 +1448,24 @@ def q_cc_incr(spark, sf_dir):
     return cc_incremental(e, init, rounds=CC_INCR_ROUNDS)
 
 
+def q_degree_drift(spark, sf_dir):
+    """Degree-distribution drift (TV distance over log2 buckets) between
+    the pre-cut and full customer-graph snapshots."""
+    from graph_python_spark.algorithms.metrics import degree_drift
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = customer_count(spark, sf_dir)
+
+    def graph_of(part):
+        return (part.select(F.col("o_custkey").alias("i"),
+                            (F.col("o_orderkey") % F.lit(n)).alias("j"))
+                .filter(F.col("i") != F.col("j")))
+
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    return degree_drift(graph_of(orders.filter(F.col("o_orderdate") < cut)),
+                        graph_of(orders))
+
+
 def q_four_cycles(spark, sf_dir):
     from graph_python_spark.algorithms.triangles import four_cycle_count
 
@@ -1611,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q_powerlaw_alpha,
         "cc_incr": q_cc_incr,
         "four_cycles": q_four_cycles,
+        "degree_drift": q_degree_drift,
     }
 
 
@@ -4505,6 +4524,33 @@ cn AS (SELECT a.d AS u, b.d AS v, COUNT(*) AS cn
        FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d
        GROUP BY 1, 2)
 SELECT CAST(SUM(cn * (cn - 1)) // 4 AS BIGINT) AS n_four_cycles FROM cn"""
+
+    _drift_case = ("CASE WHEN d >= 64 THEN 64 WHEN d >= 32 THEN 32 "
+                   "WHEN d >= 16 THEN 16 WHEN d >= 8 THEN 8 WHEN d >= 4 THEN 4 "
+                   "WHEN d >= 2 THEN 2 ELSE 1 END")
+    sqls["degree_drift"] = f"""
+WITH nv2 AS (SELECT count(*) AS n FROM customer),
+go AS (SELECT DISTINCT o_custkey AS i, o_orderkey % (SELECT n FROM nv2) AS j
+       FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_CUT}'
+         AND o_custkey <> o_orderkey % (SELECT n FROM nv2)),
+gn AS (SELECT DISTINCT o_custkey AS i, o_orderkey % (SELECT n FROM nv2) AS j
+       FROM orders WHERE o_custkey <> o_orderkey % (SELECT n FROM nv2)),
+ho AS (SELECT {_drift_case} AS bucket_floor, CAST(COUNT(*) AS BIGINT) AS n_old
+       FROM (SELECT i, COUNT(*) AS d FROM go GROUP BY i) GROUP BY 1),
+hn AS (SELECT {_drift_case} AS bucket_floor, CAST(COUNT(*) AS BIGINT) AS n_new
+       FROM (SELECT i, COUNT(*) AS d FROM gn GROUP BY i) GROUP BY 1),
+h AS (SELECT COALESCE(ho.bucket_floor, hn.bucket_floor) AS bucket_floor,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM ho FULL OUTER JOIN hn ON ho.bucket_floor = hn.bucket_floor),
+tot AS (SELECT SUM(n_old) AS t_o, SUM(n_new) AS t_n FROM h),
+sh AS (SELECT bucket_floor, n_old, n_new,
+              CAST(n_old AS DOUBLE) / CAST(t_o AS DOUBLE) AS po,
+              CAST(n_new AS DOUBLE) / CAST(t_n AS DOUBLE) AS pn
+       FROM h CROSS JOIN tot),
+tv AS (SELECT ROUND(SUM(ABS(po - pn)) / 2, 6) AS tvd FROM sh)
+SELECT bucket_floor, n_old, n_new, ROUND(po, 6) AS p_old,
+       ROUND(pn, 6) AS p_new, tvd AS tv_distance
+FROM sh CROSS JOIN tv"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

@@ -469,3 +469,50 @@ def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
                F.round(F.lit(1.0) + F.count("*") / lnsum, 6))
         .otherwise(F.lit(None).cast("double")).alias("alpha"),
     )
+
+
+def degree_drift(e_old: DataFrame, e_new: DataFrame,
+                 buckets=(1, 2, 4, 8, 16, 32, 64)) -> DataFrame:
+    """Distribution drift between two graph snapshots: out-degree
+    histograms over log2-ish ``buckets`` plus the total-variation
+    distance ½ Σ|p_old − p_new| — the crawl-health check run next to
+    ``snapshot_diff`` (a TV jump means the link structure changed shape,
+    not just size).
+
+    Returns one row per bucket (bucket_floor, n_old, n_new, p_old,
+    p_new) with the TV distance repeated in ``tv_distance`` (exact
+    integer counts; the shares and TV are single divisions, 6dp).
+
+    Plan: two degree aggregates + a |buckets|-row outer join; nothing
+    O(E) after the groupBys.
+    """
+    def hist(e, n_col):
+        deg = (e.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
+               .groupBy("i").agg(F.count("*").alias("d")))
+        b = F.lit(int(buckets[0]))
+        for t in buckets[1:]:
+            b = F.when(F.col("d") >= t, F.lit(int(t))).otherwise(b)
+        return (deg.select(b.alias("bucket_floor"))
+                .groupBy("bucket_floor")
+                .agg(F.count("*").cast("long").alias(n_col)))
+    h = (
+        hist(e_old, "n_old").join(hist(e_new, "n_new"), "bucket_floor",
+                                  "full_outer")
+        .select("bucket_floor",
+                F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+                F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"))
+    )
+    tot = h.agg(F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn"))
+    shared = h.join(F.broadcast(tot)).select(
+        "bucket_floor", "n_old", "n_new",
+        (F.col("n_old").cast("double") / F.col("_to").cast("double")).alias("_po"),
+        (F.col("n_new").cast("double") / F.col("_tn").cast("double")).alias("_pn"),
+    )
+    tv = shared.agg(
+        F.round(F.sum(F.abs(F.col("_po") - F.col("_pn"))) / 2, 6).alias("_tv"))
+    return shared.join(F.broadcast(tv)).select(
+        "bucket_floor", "n_old", "n_new",
+        F.round("_po", 6).alias("p_old"),
+        F.round("_pn", 6).alias("p_new"),
+        F.col("_tv").alias("tv_distance"),
+    )

@@ -643,3 +643,23 @@ def test_four_cycle_count_replay(spark):
     brute //= 2
     got = four_cycle_count(edges_df(spark, pairs)).collect()[0].n_four_cycles
     assert got == brute
+
+
+def test_degree_drift_identical_snapshots_zero_tv(spark):
+    from graph_python_spark.algorithms.metrics import degree_drift
+
+    e = edges_df(spark, [(0, 1), (0, 2), (1, 2), (3, 0)])
+    out = degree_drift(e, e).collect()
+    assert all(r.tv_distance == 0.0 for r in out)
+    assert all(r.n_old == r.n_new for r in out)
+
+
+def test_degree_drift_detects_shape_change(spark):
+    from graph_python_spark.algorithms.metrics import degree_drift
+
+    # old: all degree-1; new: one vertex with degree 8
+    old = edges_df(spark, [(v, 100 + v) for v in range(8)])
+    new = edges_df(spark, [(0, 200 + t) for t in range(8)])
+    out = degree_drift(old, new).collect()
+    tv = out[0].tv_distance
+    assert tv == 1.0  # disjoint buckets: max drift
