@@ -1448,6 +1448,13 @@ def q_cc_incr(spark, sf_dir):
     return cc_incremental(e, init, rounds=CC_INCR_ROUNDS)
 
 
+def q_chunk_dedup(spark, sf_dir):
+    from graph_python_spark.pipeline.packing import chunk_dedup_ratio
+
+    return chunk_dedup_ratio(_docs(spark, sf_dir), chunk_size=CHUNK_SIZE,
+                             overlap=CHUNK_OVERLAP)
+
+
 def q_degree_drift(spark, sf_dir):
     """Degree-distribution drift (TV distance over log2 buckets) between
     the pre-cut and full customer-graph snapshots."""
@@ -1630,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incr": q_cc_incr,
         "four_cycles": q_four_cycles,
         "degree_drift": q_degree_drift,
+        "chunk_dedup": q_chunk_dedup,
     }
 
 
@@ -4551,6 +4559,33 @@ tv AS (SELECT ROUND(SUM(ABS(po - pn)) / 2, 6) AS tvd FROM sh)
 SELECT bucket_floor, n_old, n_new, ROUND(po, 6) AS p_old,
        ROUND(pn, 6) AS p_new, tvd AS tv_distance
 FROM sh CROSS JOIN tv"""
+
+    sqls["chunk_dedup"] = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             1 + (GREATEST(CAST(len(toks) AS BIGINT) - {CHUNK_SIZE}, 0)
+                  + {CHUNK_SIZE - CHUNK_OVERLAP} - 1)
+                 // {CHUNK_SIZE - CHUNK_OVERLAP} AS k
+      FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id,
+              md5(array_to_string(
+                    list_slice(toks, g.ci * {CHUNK_SIZE - CHUNK_OVERLAP} + 1,
+                               LEAST(g.ci * {CHUNK_SIZE - CHUNK_OVERLAP}
+                                     + {CHUNK_SIZE}, n)), ' ')) AS chunk_md5
+       FROM b, UNNEST(generate_series(0, k - 1)) AS g(ci)),
+dupd AS (SELECT chunk_md5 FROM ch GROUP BY chunk_md5
+         HAVING COUNT(DISTINCT doc_id) > 1),
+fl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks
+       FROM ch WHERE chunk_md5 IN (SELECT chunk_md5 FROM dupd)
+       GROUP BY doc_id),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1)
+SELECT pd.doc_id, pd.n_chunks,
+       CAST(COALESCE(fl.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       ROUND(CAST(COALESCE(fl.n_dup_chunks, 0) AS DOUBLE)
+             / CAST(pd.n_chunks AS DOUBLE), 6) AS dup_ratio
+FROM pd LEFT JOIN fl ON pd.doc_id = fl.doc_id"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

@@ -320,3 +320,42 @@ def pipeline_pack_e2e(
         .select("doc_id"),
         "doc_id", "left_semi")
     return pack_sequences(train, budget)
+
+
+def chunk_dedup_ratio(
+    docs: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document duplication report: chunk every document
+    (``chunk_documents``), find chunks whose md5 appears under MORE THAN
+    ONE document, and return each document's duplicated-chunk ratio —
+    the fine-grained dedup signal that doc-level exact/near dedup misses
+    (boilerplate headers, license blocks, quoted passages).
+
+    Returns (doc_id, n_chunks, n_dup_chunks, dup_ratio), one row per
+    non-empty document.
+
+    Plan: the chunk relation groups once on the md5 key (map-side
+    combine), duplicated digests semi-join back, then one per-doc
+    aggregate — all hash-partitioned, nothing global.
+    """
+    chunks = chunk_documents(docs, chunk_size, overlap, text_col)
+    dup_digests = (
+        chunks.groupBy("chunk_md5")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("chunk_md5")
+    )
+    flagged = chunks.join(dup_digests, "chunk_md5", "left_semi") \
+        .groupBy("doc_id").agg(F.count("*").cast("long").alias("n_dup_chunks"))
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"))
+    return per_doc.join(flagged, "doc_id", "left_outer").select(
+        "doc_id", "n_chunks",
+        F.coalesce(F.col("n_dup_chunks"), F.lit(0)).cast("long")
+        .alias("n_dup_chunks"),
+        F.round(F.coalesce(F.col("n_dup_chunks"), F.lit(0)).cast("double")
+                / F.col("n_chunks").cast("double"), 6).alias("dup_ratio"),
+    )

@@ -663,3 +663,18 @@ def test_degree_drift_detects_shape_change(spark):
     out = degree_drift(old, new).collect()
     tv = out[0].tv_distance
     assert tv == 1.0  # disjoint buckets: max drift
+
+
+def test_chunk_dedup_ratio_replay(spark):
+    from graph_python_spark.pipeline.packing import chunk_dedup_ratio
+
+    shared = "x y z"  # a chunk-sized block shared by docs 1 and 2
+    rows = [(1, shared), (2, shared + " extra tail tokens here"),
+            (3, "totally unique content words")]
+    out = {r.doc_id: r for r in
+           chunk_dedup_ratio(docs_df(spark, rows), chunk_size=3,
+                             overlap=0).collect()}
+    # doc1's single chunk "x y z" == doc2's first chunk
+    assert out[1].n_dup_chunks == 1 and out[1].dup_ratio == 1.0
+    assert out[2].n_chunks == 3 and out[2].n_dup_chunks == 1
+    assert out[3].n_dup_chunks == 0 and out[3].dup_ratio == 0.0
