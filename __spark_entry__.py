@@ -1448,6 +1448,12 @@ def q_cc_incr(spark, sf_dir):
     return cc_incremental(e, init, rounds=CC_INCR_ROUNDS)
 
 
+def q_quality_by_source(spark, sf_dir):
+    from graph_python_spark.pipeline.text import quality_by_source
+
+    return quality_by_source(_docs(spark, sf_dir))
+
+
 def q_chunk_dedup(spark, sf_dir):
     from graph_python_spark.pipeline.packing import chunk_dedup_ratio
 
@@ -1638,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cycles": q_four_cycles,
         "degree_drift": q_degree_drift,
         "chunk_dedup": q_chunk_dedup,
+        "quality_by_source": q_quality_by_source,
     }
 
 
@@ -4586,6 +4593,38 @@ SELECT pd.doc_id, pd.n_chunks,
        ROUND(CAST(COALESCE(fl.n_dup_chunks, 0) AS DOUBLE)
              / CAST(pd.n_chunks AS DOUBLE), 6) AS dup_ratio
 FROM pd LEFT JOIN fl ON pd.doc_id = fl.doc_id"""
+
+    sqls["quality_by_source"] = """
+WITH base AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+top AS (
+  SELECT doc_id, MAX(c) AS top FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id),
+arr AS (
+  SELECT doc_id, lang, source,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS wchars,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+  FROM base),
+k AS (
+  SELECT a.doc_id, a.lang, a.source,
+         CASE WHEN a.n_words >= 12 AND a.n_words <= 100000 AND a.n_words > 0
+                AND a.wchars >= 2.0 * a.n_words AND a.wchars <= 12.0 * a.n_words
+                AND a.nd >= 0.3 * a.n_words
+                AND COALESCE(t.top, 0) <= 0.3 * a.n_words
+              THEN 1 ELSE 0 END AS keep
+  FROM arr a LEFT JOIN top t ON a.doc_id = t.doc_id)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS keep_rate
+FROM k GROUP BY 1, 2"""
 
     degq_union = "\nUNION ALL\n".join(
         f"SELECT {float(p)!r} AS p, ROUND(quantile_cont(deg, {float(p)!r}), 6)"

@@ -441,3 +441,32 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         F.round(F.col("n_tokens").cast("double") / F.col("_t").cast("double"),
                 6).alias("token_share"),
     )
+
+
+def quality_by_source(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) keep-rate report of the ``quality_filter`` rule
+    stack — the table a pipeline operator reads to see WHERE the corpus
+    is dying (a source with a collapsing keep-rate is usually a scraper
+    regression, not a content change).
+
+    Returns (lang, source, n_docs, n_keep, keep_rate).
+
+    Plan: the quality_filter plan (one explode + two partial aggs) joined
+    back to the (lang, source) attributes on doc_id, then one tiny
+    groupBy on the cell key.
+    """
+    flags = quality_filter(docs).select("doc_id", "keep")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(flags, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("n_keep").cast("double")
+                    / F.col("n_docs").cast("double"), 6),
+        )
+    )

@@ -678,3 +678,17 @@ def test_chunk_dedup_ratio_replay(spark):
     assert out[1].n_dup_chunks == 1 and out[1].dup_ratio == 1.0
     assert out[2].n_chunks == 3 and out[2].n_dup_chunks == 1
     assert out[3].n_dup_chunks == 0 and out[3].dup_ratio == 0.0
+
+
+def test_quality_by_source_replay(spark):
+    from graph_python_spark.pipeline.text import quality_by_source
+
+    good = "the quick brown fox jumps over a lazy dog near the old river bank"
+    rows = [(1, good, "en", "s0"), (2, "tiny", "en", "s0"),
+            (3, good + " extended with several more ordinary words", "de", "s1")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {(r.lang, r.source): r for r in quality_by_source(df).collect()}
+    assert out[("en", "s0")].n_docs == 2 and out[("en", "s0")].n_keep == 1
+    assert out[("en", "s0")].keep_rate == 0.5
+    assert out[("de", "s1")].keep_rate == 1.0
