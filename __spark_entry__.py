@@ -49,6 +49,38 @@ CC_ROUNDS = 12
 MINPLUS_ROUNDS = 8
 LPA_SWEEPS = 4
 
+# Quality-gate thresholds used by the quality_filter / pipeline_pack /
+# quality_by_source oracles — derived from the operator's own signature so
+# the SQL can never silently diverge from the engine defaults.
+import inspect as _inspect
+
+_QF_DEFAULTS = {
+    k: p.default
+    for k, p in _inspect.signature(text.quality_filter).parameters.items()
+    if p.default is not _inspect.Parameter.empty
+}
+QF_MIN_WORDS = _QF_DEFAULTS["min_words"]
+QF_MAX_WORDS = _QF_DEFAULTS["max_words"]
+QF_MIN_MWL = _QF_DEFAULTS["min_mean_word_len"]
+QF_MAX_MWL = _QF_DEFAULTS["max_mean_word_len"]
+QF_MIN_DISTINCT = _QF_DEFAULTS["min_distinct_ratio"]
+QF_MAX_TOP = _QF_DEFAULTS["max_top_tok_ratio"]
+
+
+def quality_keep_where(a: str = "a", t: str = "t") -> str:
+    """The composite keep predicate of ``text.quality_filter`` as one SQL
+    WHERE fragment over arr alias ``a`` (n_words, wchars, nd) left-joined
+    with top alias ``t`` (top) — shared by every oracle that filters on
+    quality so there is exactly ONE copy of the thresholds."""
+    return (
+        f"{a}.n_words >= {QF_MIN_WORDS} AND {a}.n_words <= {QF_MAX_WORDS} "
+        f"AND {a}.n_words > 0\n"
+        f"    AND {a}.wchars >= {QF_MIN_MWL} * {a}.n_words "
+        f"AND {a}.wchars <= {QF_MAX_MWL} * {a}.n_words\n"
+        f"    AND {a}.nd >= {QF_MIN_DISTINCT} * {a}.n_words\n"
+        f"    AND COALESCE({t}.top, 0) <= {QF_MAX_TOP} * {a}.n_words"
+    )
+
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1500,7 +1532,106 @@ def q_label_centroids(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's 50-query correctness window (first 50
+    # entries) covers the session-3..10 operators that had only
+    # builder/judge-side oracle runs through round 2; the r1/r2
+    # driver-confirmed 50 follow (still regression-covered by
+    # scripts/check_oracles.py + pytest).
     return {
+        "betweenness": q_betweenness,
+        "scc": q_scc,
+        "msf": q_msf,
+        "coreness": q_coreness,
+        "pack_sequences": q_pack_sequences,
+        "pipeline_pack": q_pipeline_pack,
+        "pca_power": q_pca_power,
+        "cc_incr": q_cc_incr,
+        "cc_converged": q_cc_converged,
+        "pagerank_converged": q_pagerank_converged,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+        "kcore": q_kcore,
+        "ktruss": q_ktruss,
+        "clustering_coeff": q_clustering_coeff,
+        "hits": q_hits,
+        "ppr": q_ppr,
+        "mis": q_mis,
+        "katz": q_katz,
+        "eigenvector": q_eigenvector,
+        "coloring": q_coloring,
+        "degree_hist": q_degree_hist,
+        "jaccard_neighbors": q_jaccard_neighbors,
+        "link_predict": q_link_predict,
+        "modularity": q_modularity,
+        "assortativity": q_assortativity,
+        "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
+        "pseudo_diameter": q_pseudo_diameter,
+        "ngram_jaccard": q_ngram_jaccard,
+        "harmonic": q_harmonic,
+        "closeness": q_closeness,
+        "feature_prop": q_feature_prop,
+        "cocitation": q_cocitation,
+        "anf_reach": q_anf_reach,
+        "dag_levels": q_dag_levels,
+        "reciprocity": q_reciprocity,
+        "bm25": q_bm25,
+        "contamination": q_contamination,
+        "contamination_pruned": q_contamination_pruned,
+        "copurchase": q_copurchase,
+        "semdedup": q_semdedup,
+        "centroid_classify": q_centroid_classify,
+        "knn_graph": q_knn_graph,
+        "butterflies": q_butterflies,
+        "triad_census": q_triad_census,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "weighted_sample": q_weighted_sample,
+        "rebalance_sources": q_rebalance_sources,
+        "sparsify": q_sparsify,
+        "neighborhood_fn": q_neighborhood_fn,
+        "contract_nations": q_contract_nations,
+        "transitivity": q_transitivity,
+        "rich_club": q_rich_club,
+        "quality_filter": q_quality_filter,
+        "duplicate_spans": q_duplicate_spans,
+        "click_attribution": q_click_attribution,
+        "wl_fingerprints": q_wl_fingerprints,
+        "pagerank_weighted": q_pagerank_weighted,
+        "degree_quantiles": q_degree_quantiles,
+        "vertex_features": q_vertex_features,
+        "distinct_users_kmv": q_distinct_users_kmv,
+        "bigram_logprob": q_bigram_logprob,
+        "vocab_topk": q_vocab_topk,
+        "seeded_labelprop": q_seeded_labelprop,
+        "salsa": q_salsa,
+        "chunk_docs": q_chunk_docs,
+        "dataset_split": q_dataset_split,
+        "tfidf_topk": q_tfidf_topk,
+        "quantize_embeddings": q_quantize_embeddings,
+        "conductance": q_conductance,
+        "attr_assortativity": q_attr_assortativity,
+        "snapshot_diff": q_snapshot_diff,
+        "walk_skipgrams": q_walk_skipgrams,
+        "bpe_merges": q_bpe_merges,
+        "item_recs": q_item_recs,
+        "token_entropy": q_token_entropy,
+        "pagerank_incr": q_pagerank_incr,
+        "bursts": q_bursts,
+        "event_transitions": q_event_transitions,
+        "matching": q_matching,
+        "graph_summary": q_graph_summary,
+        "corpus_stats": q_corpus_stats,
+        "label_centroids": q_label_centroids,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "four_cycles": q_four_cycles,
+        "degree_drift": q_degree_drift,
+        "chunk_dedup": q_chunk_dedup,
+        "quality_by_source": q_quality_by_source,
         "degree_out": q_degree_out,
         "degree_in_stats": q_degree_in_stats,
         "reduce_scalar": q_reduce_scalar,
@@ -1551,100 +1682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "bpe_tokens": q_bpe_tokens,
         "windowed_events": q_windowed_events,
-        "cc_converged": q_cc_converged,
-        "pagerank_converged": q_pagerank_converged,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "ivf_topk": q_ivf_topk,
-        "multimodal_features": q_multimodal_features,
-        "kcore": q_kcore,
-        "ktruss": q_ktruss,
-        "clustering_coeff": q_clustering_coeff,
-        "hits": q_hits,
-        "ppr": q_ppr,
-        "betweenness": q_betweenness,
-        "mis": q_mis,
-        "katz": q_katz,
-        "eigenvector": q_eigenvector,
-        "coloring": q_coloring,
-        "msf": q_msf,
-        "degree_hist": q_degree_hist,
-        "scc": q_scc,
-        "jaccard_neighbors": q_jaccard_neighbors,
-        "link_predict": q_link_predict,
-        "modularity": q_modularity,
-        "assortativity": q_assortativity,
-        "random_walks": q_random_walks,
-        "node2vec_walks": q_node2vec_walks,
-        "pseudo_diameter": q_pseudo_diameter,
-        "ngram_jaccard": q_ngram_jaccard,
-        "harmonic": q_harmonic,
-        "closeness": q_closeness,
-        "feature_prop": q_feature_prop,
-        "cocitation": q_cocitation,
-        "anf_reach": q_anf_reach,
-        "dag_levels": q_dag_levels,
-        "reciprocity": q_reciprocity,
-        "bm25": q_bm25,
-        "contamination": q_contamination,
-        "contamination_pruned": q_contamination_pruned,
-        "copurchase": q_copurchase,
-        "semdedup": q_semdedup,
-        "centroid_classify": q_centroid_classify,
-        "knn_graph": q_knn_graph,
-        "butterflies": q_butterflies,
-        "triad_census": q_triad_census,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "weighted_sample": q_weighted_sample,
-        "rebalance_sources": q_rebalance_sources,
-        "sparsify": q_sparsify,
-        "neighborhood_fn": q_neighborhood_fn,
-        "contract_nations": q_contract_nations,
-        "transitivity": q_transitivity,
-        "rich_club": q_rich_club,
-        "quality_filter": q_quality_filter,
-        "duplicate_spans": q_duplicate_spans,
-        "click_attribution": q_click_attribution,
-        "wl_fingerprints": q_wl_fingerprints,
-        "pagerank_weighted": q_pagerank_weighted,
-        "degree_quantiles": q_degree_quantiles,
-        "vertex_features": q_vertex_features,
-        "distinct_users_kmv": q_distinct_users_kmv,
-        "coreness": q_coreness,
-        "bigram_logprob": q_bigram_logprob,
-        "vocab_topk": q_vocab_topk,
-        "seeded_labelprop": q_seeded_labelprop,
-        "salsa": q_salsa,
-        "pack_sequences": q_pack_sequences,
-        "chunk_docs": q_chunk_docs,
-        "dataset_split": q_dataset_split,
-        "tfidf_topk": q_tfidf_topk,
-        "quantize_embeddings": q_quantize_embeddings,
-        "conductance": q_conductance,
-        "attr_assortativity": q_attr_assortativity,
-        "snapshot_diff": q_snapshot_diff,
-        "walk_skipgrams": q_walk_skipgrams,
-        "bpe_merges": q_bpe_merges,
-        "item_recs": q_item_recs,
-        "pca_power": q_pca_power,
-        "token_entropy": q_token_entropy,
-        "pagerank_incr": q_pagerank_incr,
-        "bursts": q_bursts,
-        "event_transitions": q_event_transitions,
-        "matching": q_matching,
-        "pipeline_pack": q_pipeline_pack,
-        "graph_summary": q_graph_summary,
-        "corpus_stats": q_corpus_stats,
-        "label_centroids": q_label_centroids,
-        "powerlaw_alpha": q_powerlaw_alpha,
-        "cc_incr": q_cc_incr,
-        "four_cycles": q_four_cycles,
-        "degree_drift": q_degree_drift,
-        "chunk_dedup": q_chunk_dedup,
-        "quality_by_source": q_quality_by_source,
     }
 
 
@@ -3953,7 +3990,7 @@ SELECT ks.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
              ELSE 0.0 END, 6) AS rich_club
 FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k"""
 
-    sqls["quality_filter"] = """
+    sqls["quality_filter"] = f"""
 WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
@@ -3974,23 +4011,16 @@ arr AS (
   FROM base
 )
 SELECT a.doc_id, a.n_words,
-       (a.n_words >= 12 AND a.n_words <= 100000) AS ok_n_words,
+       (a.n_words >= {QF_MIN_WORDS} AND a.n_words <= {QF_MAX_WORDS}) AS ok_n_words,
        CASE WHEN a.n_words > 0
-            THEN a.wchars >= 2.0 * a.n_words AND a.wchars <= 12.0 * a.n_words
+            THEN a.wchars >= {QF_MIN_MWL} * a.n_words
+                 AND a.wchars <= {QF_MAX_MWL} * a.n_words
        ELSE FALSE END AS ok_word_len,
-       CASE WHEN a.n_words > 0 THEN a.nd >= 0.3 * a.n_words
+       CASE WHEN a.n_words > 0 THEN a.nd >= {QF_MIN_DISTINCT} * a.n_words
        ELSE FALSE END AS ok_distinct,
-       CASE WHEN a.n_words > 0 THEN COALESCE(t.top, 0) <= 0.3 * a.n_words
+       CASE WHEN a.n_words > 0 THEN COALESCE(t.top, 0) <= {QF_MAX_TOP} * a.n_words
        ELSE FALSE END AS ok_repetition,
-       ((a.n_words >= 12 AND a.n_words <= 100000)
-        AND CASE WHEN a.n_words > 0
-                 THEN a.wchars >= 2.0 * a.n_words
-                      AND a.wchars <= 12.0 * a.n_words
-            ELSE FALSE END
-        AND CASE WHEN a.n_words > 0 THEN a.nd >= 0.3 * a.n_words
-            ELSE FALSE END
-        AND CASE WHEN a.n_words > 0 THEN COALESCE(t.top, 0) <= 0.3 * a.n_words
-            ELSE FALSE END) AS keep
+       ({quality_keep_where('a', 't')}) AS keep
 FROM arr a LEFT JOIN top t USING (doc_id)"""
 
     w = int(DUPSPAN_W)
@@ -4443,10 +4473,7 @@ arr AS (
   FROM base),
 keepd AS (
   SELECT a.doc_id FROM arr a LEFT JOIN top t ON a.doc_id = t.doc_id
-  WHERE a.n_words >= 12 AND a.n_words <= 100000 AND a.n_words > 0
-    AND a.wchars >= 2.0 * a.n_words AND a.wchars <= 12.0 * a.n_words
-    AND a.nd >= 0.3 * a.n_words
-    AND COALESCE(t.top, 0) <= 0.3 * a.n_words),
+  WHERE {quality_keep_where('a', 't')}),
 surv AS (SELECT d.doc_id, d.text FROM documents d
          JOIN keepd ON d.doc_id = keepd.doc_id),
 winners AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
@@ -4594,7 +4621,7 @@ SELECT pd.doc_id, pd.n_chunks,
              / CAST(pd.n_chunks AS DOUBLE), 6) AS dup_ratio
 FROM pd LEFT JOIN fl ON pd.doc_id = fl.doc_id"""
 
-    sqls["quality_by_source"] = """
+    sqls["quality_by_source"] = f"""
 WITH base AS (
   SELECT doc_id, lang, source,
          list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -4614,10 +4641,7 @@ arr AS (
   FROM base),
 k AS (
   SELECT a.doc_id, a.lang, a.source,
-         CASE WHEN a.n_words >= 12 AND a.n_words <= 100000 AND a.n_words > 0
-                AND a.wchars >= 2.0 * a.n_words AND a.wchars <= 12.0 * a.n_words
-                AND a.nd >= 0.3 * a.n_words
-                AND COALESCE(t.top, 0) <= 0.3 * a.n_words
+         CASE WHEN {quality_keep_where('a', 't')}
               THEN 1 ELSE 0 END AS keep
   FROM arr a LEFT JOIN top t ON a.doc_id = t.doc_id)
 SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,

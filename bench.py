@@ -5,10 +5,14 @@ throughput@4N / (4 × throughput@N)).  Primary gate: 2 -> 8 cores (the
 regime where this host's own CPU scales ~1.0; see BASELINE.md);
 secondary context: 8 -> 32 alongside the measured pure-CPU ceiling.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "query_runs": {...}, "sf": ...,
-   "pagerank_bench": {...}, "scaling": {...}}
+Prints TWO JSON lines (and writes BENCH_FULL.json):
+  1. the full payload {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "query_runs": {...}, "sf": ...,
+     "pagerank_bench": {...}, "scaling": {...}}
+  2. LAST, a compact summary small enough for bounded tail capture:
+     {"metric", "value", "unit", "sf", "n_queries", top-10 "queries",
+      "efficiency_2_to_8", "efficiency_8_to_32", "cpu_eff_*",
+      "pagerank_median_iter_sec", "full_payload"}
 """
 
 from __future__ import annotations
@@ -205,7 +209,47 @@ def main() -> None:
     spark.stop()
 
     results["value"] = round(sum(results["queries"].values()), 3)
+    # Full payload: one JSON line for humans/pipelines with room, plus a
+    # file copy (BENCH_r02 lesson: the full line outgrew the driver's tail
+    # capture and the official record came back parsed:null).
     print(json.dumps(results))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+    except OSError:
+        pass
+    # Compact summary LAST so any bounded tail capture still parses it.
+    print(json.dumps(compact_summary(results)))
+
+
+def compact_summary(results: dict) -> dict:
+    """Small fixed-size digest of the full bench payload: headline value,
+    the north-rule scaling gates, the pure-CPU ceiling they are read
+    against, and the top-10 slowest queries.  Printed as the FINAL stdout
+    line so a bounded tail capture always parses it (pytest-pinned to stay
+    under 1000 chars)."""
+    top10 = dict(sorted(results["queries"].items(),
+                        key=lambda kv: -kv[1])[:10])
+    compact = {"metric": results["metric"], "value": results["value"],
+               "unit": "sec", "sf": results.get("sf", SF_DIR),
+               "n_queries": len(results["queries"]),
+               "queries": top10, "full_payload": "BENCH_FULL.json"}
+    scaling = results.get("scaling")
+    if scaling:
+        compact["efficiency_2_to_8"] = scaling.get("efficiency_2_to_8")
+        compact["efficiency_8_to_32"] = scaling.get("efficiency_8_to_32")
+        calib = scaling.get("cpu_calibration", {})
+        compact["cpu_eff_2_to_8"] = calib.get("cpu_eff_2_to_8")
+        compact["cpu_eff_8_to_32"] = calib.get("cpu_eff_8_to_32")
+        compact["efficiency_8_to_32_vs_cpu_ceiling"] = scaling.get(
+            "efficiency_8_to_32_vs_cpu_ceiling")
+    pr = results.get("pagerank_bench", {})
+    if pr:
+        compact["pagerank_median_iter_sec"] = pr.get("median_iter_sec")
+        compact["pagerank_edges_per_sec"] = pr.get("edges_per_sec")
+    return compact
 
 
 def _cpu_burn(units: int) -> int:

@@ -154,9 +154,12 @@ def cc_incremental(edges: DataFrame, init_labels: DataFrame,
     """
     esym = _symmetrize(edges).cache()
     verts = esym.select(F.col("s").alias("id")).distinct()
+    # dedup defensively (min keeps the lattice-safe lower label): a
+    # duplicate id in the init frame would duplicate the vertex row
+    # through the left join and corrupt every round
+    init_1 = init_labels.groupBy("id").agg(F.min("component").alias("_c0"))
     f = (
-        verts.join(init_labels.select("id", F.col("component").alias("_c0")),
-                   "id", "left_outer")
+        verts.join(init_1, "id", "left_outer")
         .select(F.col("id").alias("i"),
                 F.coalesce(F.col("_c0"), F.col("id")).alias("v"))
     )

@@ -9,8 +9,10 @@ is a pure function of the graph (fixed-unroll SQL oracles replay it
 exactly; rounds past the fixpoint see an empty edge set and are
 identity).  A constant number of rounds removes a constant fraction of
 edges in expectation (Israeli–Itai), so a small fixed unroll matches
-almost everything; run with ``rounds`` high enough for your graph or
-check the returned live-edge count.
+almost everything — but maximality is only GUARANTEED at the fixpoint.
+Run with ``rounds`` high enough for your graph, or verify with
+``residual_alive_edges`` (one anti-join; 0 rows == maximal), which the
+bench-scale pytest enforces.
 
 Spark shape: the iterated state is the SHRINKING alive-edge relation.
 Per round: one aggregate per endpoint (min priority via groupBy over the
@@ -91,3 +93,20 @@ def maximal_matching(edges: DataFrame, rounds: int = 4) -> DataFrame:
     for p in matched_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def residual_alive_edges(edges: DataFrame, matched: DataFrame) -> DataFrame:
+    """Edges of the input graph with BOTH endpoints unmatched by
+    ``matched`` (a maximal_matching result).  A maximal matching leaves
+    zero such edges — use ``residual_alive_edges(e, m).count() == 0`` to
+    confirm the round budget reached the fixpoint."""
+    used = (
+        matched.select(F.col("a").alias("v"))
+        .unionByName(matched.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    return (
+        _canon(edges)
+        .join(used.select(F.col("v").alias("a")), "a", "left_anti")
+        .join(used.select(F.col("v").alias("b")), "b", "left_anti")
+    )

@@ -418,10 +418,13 @@ def pagerank_incremental(
     if n == 0:
         return edges.sparkSession.createDataFrame([], "id long, score double")
     teleport = (1.0 - damping) / n
+    # dedup defensively: a duplicate id in the init frame would duplicate
+    # the vertex row through the left join and corrupt every iteration
+    init_1 = (init_scores.groupBy("id")
+              .agg(F.max("score").alias("_s0")))
     contrib0 = (
         vertices.select(F.col("id").alias("i"))
-        .join(init_scores.select(F.col("id").alias("i"),
-                                 F.col("score").alias("_s0")), "i", "left_outer")
+        .join(init_1.select(F.col("id").alias("i"), "_s0"), "i", "left_outer")
         .select("i", (F.coalesce(F.col("_s0"), F.lit(1.0 / n))
                       - F.lit(teleport)).alias("c"))
     )

@@ -167,9 +167,10 @@ def four_cycle_count(edges: DataFrame, max_degree: int | None = None) -> DataFra
         .groupBy("u", "v")
         .agg(F.count("*").alias("cn"))
     )
-    # C4 = ½ Σ C(cn,2) = Σ cn(cn−1) / 4 — keep the whole sum in exact
-    # 64-bit integers and divide once (the identity guarantees % 4 == 0)
+    # C4 = ½ Σ C(cn,2) = Σ cn(cn−1) / 4 — `div` keeps the whole computation
+    # in 64-bit integers (Spark's `/` on longs is double division and loses
+    # exactness past 2^53); with max_degree pruning the % 4 == 0 identity
+    # no longer holds, and integer floor-division is then the defined result
     return cn.agg(
-        (F.sum(F.col("cn") * (F.col("cn") - 1)) / 4)
-        .cast("long").alias("n_four_cycles")
+        F.expr("sum(cn * (cn - 1)) div 4").alias("n_four_cycles")
     )

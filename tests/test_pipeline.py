@@ -217,6 +217,51 @@ def test_cosine_near_dup_lsh_recall(spark):
     assert len(lsh) / len(exact) == 1.0
 
 
+def test_derived_band_bits_scaling():
+    # constant expected bucket size: bits grow with log2(n), floored at the
+    # static r1/r2 default (4) and capped at 16
+    from graph_python_spark.pipeline.similarity import derived_band_bits
+
+    assert derived_band_bits(10) == 4
+    assert derived_band_bits(64) == 4
+    assert derived_band_bits(1024) == 4
+    assert derived_band_bits(10_000) == 8          # ceil(log2(156.25))
+    assert derived_band_bits(1_000_000) == 14      # ceil(log2(15625))
+    assert derived_band_bits(10**10) == 16         # capped
+    # monotone non-decreasing in n
+    bits = [derived_band_bits(n) for n in (1, 10, 10**3, 10**5, 10**7, 10**9)]
+    assert bits == sorted(bits)
+
+
+def test_lsh_bucket_cap_on_skewed_fixture(spark):
+    # 300 IDENTICAL vectors (they collide in EVERY band — the quadratic
+    # pathology the cap exists for) + 60 distinct ones.  After the cap no
+    # surviving bucket exceeds the bound, and derived-banding near-dup
+    # still completes with bounded candidate pairs instead of 300² per band.
+    from graph_python_spark.pipeline.similarity import (
+        _cap_buckets, cosine_near_dup, lsh_band_buckets)
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)]
+    rows += [(300 + i, [0.0, 1.0, float(i % 7) / 7.0, float(i % 11) / 11.0])
+             for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bb = lsh_band_buckets(emb, dim=4, bands=4, band_bits=4)
+    capped = _cap_buckets(bb, max_rows=100)
+    sizes = [r["c"] for r in capped.groupBy("band", "bucket")
+             .agg(F.count("*").alias("c")).collect()]
+    assert sizes and max(sizes) <= 100
+    # the identical-vector bucket was dropped from every band
+    assert capped.filter(F.col("id") < 300).count() == 0
+
+    pairs = cosine_near_dup(emb, threshold=0.9, dim=4, bands=4,
+                            band_bits=None, max_bucket_rows=100)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # no pair from the dropped identical block; any surviving pair is a
+    # true near-dup among the distinct block
+    assert all(a >= 300 and b >= 300 for a, b in got)
+
+
 def test_streaming_stateful_user_stats(spark, tmp_path):
     from graph_python_spark.streaming.streams import run_to_memory, stream_user_stats
 
