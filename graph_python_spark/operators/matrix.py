@@ -702,6 +702,18 @@ class MatrixFrame:
         rows = self.df.orderBy("i", "j").collect()
         return ([r["i"] for r in rows], [r["j"] for r in rows], [r["v"] for r in rows])
 
+    def __reduce__(self):
+        """Pickle support (reference ``Matrix.__reduce__``,
+        matrix.py:257-273, which serializes via the ss export): serialize
+        as driver-side COO + logical shape + value type; unpickling
+        rebuilds the DataFrame on the process's active SparkSession.  A
+        collect, so sized for driver-fitting matrices — parquet
+        checkpoints (plans/iterate.py) remain the at-scale path."""
+        r, c, v = self.to_coo()
+        return (_rebuild_matrix,
+                (r, c, v, self.nrows, self.ncols,
+                 self.df.schema["v"].dataType.simpleString()))
+
     # (to_dicts defined with the csr/dict import-export block above)
 
     def head(self, n: int = 10) -> list[tuple[int, int, Any]]:
@@ -756,3 +768,14 @@ def split(m: MatrixFrame, row_splits: Sequence[int], col_splits: Sequence[int]) 
         out.append(row_tiles)
         roff += rh
     return out
+
+
+def _rebuild_matrix(rows, cols, vals, nrows, ncols, vtype) -> "MatrixFrame":
+    """Unpickle target for MatrixFrame.__reduce__ (module-level so pickle
+    can resolve it by name)."""
+    from graph_python_spark.operators.vector import _active_spark
+
+    spark = _active_spark()
+    df = spark.createDataFrame(list(zip(rows, cols, vals)),
+                               f"i long, j long, v {vtype}")
+    return MatrixFrame(df, nrows, ncols)

@@ -378,6 +378,18 @@ class VectorFrame:
         rows = self.df.orderBy("i").collect()
         return [r["i"] for r in rows], [r["v"] for r in rows]
 
+    def __reduce__(self):
+        """Pickle support (reference ``Vector.__reduce__`` pattern,
+        matrix.py:257-273 for Matrix): serialize as driver-side COO +
+        logical size + value type; unpickling rebuilds the DataFrame on
+        the process's active SparkSession.  A collect, so sized for
+        driver-fitting vectors — checkpoints (plans/iterate.py) remain the
+        at-scale persistence path."""
+        idx, vals = self.to_coo()
+        return (_rebuild_vector,
+                (idx, vals, self.size,
+                 self.df.schema["v"].dataType.simpleString()))
+
     def to_dict(self) -> dict[int, Any]:
         return {r["i"]: r["v"] for r in self.df.collect()}
 
@@ -397,3 +409,16 @@ class VectorFrame:
         time via toLocalIterator."""
         for r in self.df.orderBy("i").toLocalIterator(prefetch_partitions):
             yield (r["i"], r["v"])
+
+
+def _active_spark() -> SparkSession:
+    s = SparkSession.getActiveSession()
+    return s if s is not None else SparkSession.builder.getOrCreate()
+
+
+def _rebuild_vector(idx, vals, size, vtype) -> "VectorFrame":
+    """Unpickle target for VectorFrame.__reduce__ (module-level so pickle
+    can resolve it by name)."""
+    spark = _active_spark()
+    df = spark.createDataFrame(list(zip(idx, vals)), f"i long, v {vtype}")
+    return VectorFrame(df, size)

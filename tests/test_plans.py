@@ -1,9 +1,25 @@
-"""Plan audit: the scale-sensitive query paths must never plan an
-unbounded row-pair product.  CartesianProduct is forbidden everywhere;
-BroadcastNestedLoopJoin is allowed only where the algorithm is a
-broadcast-small-side scan by design (brute-force cosine baseline scoring
-every vector against the broadcast query set; IVF routing every vector to
-its nearest broadcast centroid) — both O(n x small), scan-bounded."""
+"""Plan audit over EVERY queries() entry (the Spark analogue of the
+reference's ``tests/test_recorder.py`` physical-plan regression surface).
+
+Scale rules enforced on the optimized physical plan of all 144 queries:
+
+  * ``CartesianProduct`` is forbidden everywhere, no exceptions — an
+    unbounded row-pair product is a 100-TB catastrophe.
+  * ``BroadcastNestedLoopJoin`` is allowed only where the algorithm IS a
+    broadcast-small-side scan by design, with a pinned maximum count:
+    either a broadcast query/centroid set scored against every row
+    (O(n × small), scan-bounded), a crossJoin of a 1-row global aggregate
+    (corpus stats, vertex counts, fold results), or an operator whose
+    SEMANTICS are a pairwise product (kronecker / outer product — output
+    size is the product; the small side is broadcast).
+  * ``Exchange SinglePartition`` is allowed only with a pinned maximum
+    count, for 1-row global folds (reduce-to-scalar aggregates) and the
+    bounded ≤256-row offset relations of the two-phase prefix-sum /
+    quantile designs.
+
+Any NEW nested-loop join or single-partition exchange — in a listed query
+beyond its pinned count, or in any unlisted query — fails the suite.
+"""
 
 import pytest
 
@@ -11,39 +27,90 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# queries whose algorithm IS a broadcast-small-side nested-loop scan
-BNLJ_BY_DESIGN = {"ann_cosine_topk", "ivf_topk"}
+# name -> (max BroadcastNestedLoopJoin, reason)
+BNLJ_ALLOW = {
+    "ann_cosine_topk": (1, "brute-force baseline: broadcast query set scans all vectors"),
+    "ivf_topk": (2, "centroid routing + probe: broadcast centroid array, by design"),
+    "kronecker": (1, "operator semantics ARE the pairwise product; small side broadcast"),
+    "outer_product": (1, "u⊗v semantics; one side broadcast"),
+    "ewise_add_vector": (1, "broadcast 1-row dense-extent aggregate"),
+    "bm25": (1, "broadcast 1-row corpus stats (N, avgdl)"),
+    "centroid_classify": (1, "broadcast centroid-array 1-row fold"),
+    "conductance": (1, "broadcast 1-row total-volume fold"),
+    "corpus_stats": (1, "broadcast 1-row corpus aggregate"),
+    "kmeans": (1, "broadcast 1-row centroid-array fold (zero-shuffle assignment)"),
+    "semdedup": (3, "kmeans centroid fold + within-cluster stats broadcasts"),
+    "tfidf_topk": (1, "broadcast 1-row document-count fold"),
+    "triad_census": (1, "broadcast 1-row edge/vertex-count fold"),
+    "attr_assortativity": (1, "broadcast 1-row moment fold"),
+    "degree_drift": (3, "two snapshot 1-row mass folds + TV-distance merge"),
+}
 
-# candidate-pair generators + graph kernels: the paths where an accidental
-# cartesian would be a 100-TB catastrophe
-AUDITED = [
-    "near_dup_cosine", "minhash_lsh", "token_jaccard", "simhash_pairs",
-    "lsh_cosine_topk", "ann_cosine_topk", "ivf_topk", "dedup_exact",
-    "triangle_count", "mxm_plus_times", "mxm_masked_plus_pair",
-    "degree_out", "cc_labels",
-    # late r2: peeling / centrality / wedge-join paths
-    "kcore", "hits", "ppr", "jaccard_neighbors",
-    # r2 session 3: truss/clustering wedge joins, Brandes waves, Luby MIS
-    "ktruss", "clustering_coeff", "betweenness", "mis",
-    # r2 session 4: link-prediction wedge join, metric label joins, walks,
-    # shingle inverted index, double-sweep BFS
-    "link_predict", "modularity", "assortativity", "random_walks",
-    "ngram_jaccard", "pseudo_diameter", "harmonic", "feature_prop",
-    "cocitation",
-]
+# name -> (max Exchange SinglePartition, reason)
+SP_ALLOW = {
+    "reduce_scalar": (1, "the operator IS a 1-row global fold"),
+    "triangle_count": (1, "1-row global count"),
+    "four_cycles": (1, "1-row global count"),
+    "modularity": (1, "1-row global modularity fold"),
+    "assortativity": (1, "1-row moment fold"),
+    "attr_assortativity": (2, "per-attribute moment folds"),
+    "degree_quantiles": (1, "quantile merge over a ≤256-row per-partition sketch"),
+    "powerlaw_alpha": (1, "1-row Hill-estimator fold"),
+    "pack_sequences": (1, "two-phase prefix sum: ≤256-row partition-offset relation"),
+    "pipeline_pack": (1, "same prefix-sum offsets inside the e2e composite"),
+    "bm25": (1, "1-row corpus-stats fold"),
+    "centroid_classify": (1, "1-row centroid-array fold"),
+    "conductance": (1, "1-row volume fold"),
+    "corpus_stats": (1, "1-row corpus aggregate"),
+    "kmeans": (1, "1-row centroid-array fold"),
+    "semdedup": (3, "centroid fold + per-cluster stats folds"),
+    "tfidf_topk": (1, "1-row document-count fold"),
+    "triad_census": (2, "count folds feeding the census algebra"),
+    "degree_drift": (3, "snapshot mass folds"),
+}
 
 
-@pytest.mark.parametrize("name", AUDITED)
-def test_no_unbounded_products(spark, name):
-    queries = entrymod.queries()
-    df = queries[name](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-    if name not in BNLJ_BY_DESIGN:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{name} plans a nested-loop join outside the documented "
-            "broadcast-small-side designs"
-        )
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    """Build every query's optimized physical plan once (no execution
+    beyond what the builders themselves materialize)."""
+    qs = entrymod.queries()
+    plans = {}
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+    return plans
+
+
+def _names():
+    return sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", _names())
+def test_plan_scale_rules(all_plans, name):
+    plan = all_plans[name]
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans a cartesian product")
+
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    max_bnlj = BNLJ_ALLOW.get(name, (0, ""))[0]
+    assert n_bnlj <= max_bnlj, (
+        f"{name}: {n_bnlj} BroadcastNestedLoopJoin (allowed {max_bnlj}"
+        f"{' — ' + BNLJ_ALLOW[name][1] if name in BNLJ_ALLOW else ''})")
+
+    n_sp = plan.count("Exchange SinglePartition")
+    max_sp = SP_ALLOW.get(name, (0, ""))[0]
+    assert n_sp <= max_sp, (
+        f"{name}: {n_sp} Exchange SinglePartition (allowed {max_sp}"
+        f"{' — ' + SP_ALLOW[name][1] if name in SP_ALLOW else ''})")
+
+
+def test_allowlists_not_stale():
+    """Every allowlist entry must name a real query — dead entries hide
+    regressions when a query is renamed."""
+    names = set(entrymod.queries())
+    assert set(BNLJ_ALLOW) <= names
+    assert set(SP_ALLOW) <= names
 
 
 def test_loop_shuffle_width_bounds_and_restore(spark):
