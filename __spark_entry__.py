@@ -1531,6 +1531,16 @@ def q_label_centroids(spark, sf_dir):
     return label_centroids(_emb(spark, sf_dir))
 
 
+def q_spy_grid(spark, sf_dir):
+    """Binned nnz density of the customer adjacency — the spy/datashade
+    aggregation (reference viz.py:45-227): one projection + hash agg onto
+    a 16x16 pixel grid, the only render path that scales."""
+    from graph_python_spark.sources.viz import spy_counts
+
+    n = customer_count(spark, sf_dir) + 1
+    return spy_counts(_eg(spark, sf_dir), 16, 16, nrows=n, ncols=n)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-query correctness window (first 50
     # entries) covers the session-3..10 operators that had only
@@ -1682,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "bpe_tokens": q_bpe_tokens,
         "windowed_events": q_windowed_events,
+        "spy_grid": q_spy_grid,
     }
 
 
@@ -4656,5 +4667,12 @@ FROM k GROUP BY 1, 2"""
     sqls["degree_quantiles"] = f"""WITH {eg},
 deg AS (SELECT src, COUNT(*) AS deg FROM eg GROUP BY src)
 {degq_union}"""
+
+    sqls["spy_grid"] = f"""WITH {eg},
+n1 AS (SELECT n + 1 AS n FROM nv)
+SELECT LEAST(CAST(FLOOR(src * 16.0 / (SELECT n FROM n1)) AS BIGINT), 15) AS br,
+       LEAST(CAST(FLOOR(dst * 16.0 / (SELECT n FROM n1)) AS BIGINT), 15) AS bc,
+       CAST(COUNT(*) AS BIGINT) AS nnz
+FROM eg GROUP BY 1, 2"""
 
     return sqls

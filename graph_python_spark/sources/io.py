@@ -139,3 +139,48 @@ def from_dense(spark: SparkSession, arr, dtype: str = "double") -> MatrixFrame:
 def vector_from_dense(spark: SparkSession, arr, dtype: str = "double") -> VectorFrame:
     df = spark.createDataFrame([(k, float(x)) for k, x in enumerate(arr)], f"i long, v {dtype}")
     return VectorFrame(df, len(arr))
+
+
+# -- pydata/sparse COO adapters (reference io/_sparse.py:8-110) ----------------
+# The pydata `sparse` package is optional (absent in this sandbox): imports
+# are lazy and the conversion itself is the canonical COO path, so these are
+# thin driver-side shims for notebook-scale interchange — the engine-scale
+# interchange formats remain parquet / Arrow blocks (operators/blocks.py).
+def from_pydata_sparse(spark: SparkSession, arr, dtype: str = "double"):
+    """Build a MatrixFrame / VectorFrame from a pydata ``sparse`` array
+    (COO/GCXS/DOK — anything ``sparse.as_coo`` accepts).  1-D arrays map
+    to VectorFrame, 2-D to MatrixFrame."""
+    try:
+        import sparse as _sp
+    except ImportError as exc:
+        raise ImportError(
+            "from_pydata_sparse requires the optional `sparse` package"
+        ) from exc
+    coo = _sp.as_coo(arr)
+    if coo.ndim == 1:
+        return VectorFrame.from_coo(
+            spark, coo.coords[0].tolist(), coo.data.tolist(),
+            size=coo.shape[0], dtype=dtype)
+    if coo.ndim != 2:
+        raise ValueError(f"only 1-D/2-D sparse arrays supported, got {coo.ndim}-D")
+    return MatrixFrame.from_coo(
+        spark, coo.coords[0].tolist(), coo.coords[1].tolist(),
+        coo.data.tolist(), nrows=coo.shape[0], ncols=coo.shape[1],
+        dtype=dtype)
+
+
+def to_pydata_sparse(m) -> "object":
+    """Export a MatrixFrame / VectorFrame as a pydata ``sparse.COO``
+    (driver-side collect — notebook scale, like the reference's)."""
+    try:
+        import numpy as np
+        import sparse as _sp
+    except ImportError as exc:
+        raise ImportError(
+            "to_pydata_sparse requires the optional `sparse` package"
+        ) from exc
+    if isinstance(m, VectorFrame):
+        idx, vals = m.to_coo()
+        return _sp.COO(np.array([idx]), np.array(vals), shape=(m.size,))
+    r, c, v = m.to_coo()
+    return _sp.COO(np.array([r, c]), np.array(v), shape=(m.nrows, m.ncols))
