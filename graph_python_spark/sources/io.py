@@ -184,3 +184,100 @@ def to_pydata_sparse(m) -> "object":
         return _sp.COO(np.array([idx]), np.array(vals), shape=(m.size,))
     r, c, v = m.to_coo()
     return _sp.COO(np.array([r, c]), np.array(v), shape=(m.nrows, m.ncols))
+
+
+# -- awkward-array adapters (reference io/_awkward.py:10-180) ------------------
+# Same logical surface as the reference: formats vec | csr | csc | hypercsr |
+# hypercsc; the result carries top-level parameters ``format`` and ``shape``
+# and exposes ``values`` / ``indices`` (plus ``offset_labels`` for the hyper
+# formats).  awkward is optional (absent in this sandbox) so imports are lazy;
+# the conversion reuses the tested CSR/CSC/DCSR/DCSC driver exports.
+def to_awkward(m, format: Optional[str] = None):
+    """Export a MatrixFrame / VectorFrame as an ``awkward.Array`` (ragged
+    rows of ``{indices, values}`` records for the matrix formats)."""
+    try:
+        import awkward as ak
+        import numpy as np
+    except ImportError as exc:
+        raise ImportError(
+            "to_awkward requires the optional `awkward` package") from exc
+
+    if isinstance(m, VectorFrame):
+        fmt = format or "vec"
+        if fmt != "vec":
+            raise ValueError(f"Invalid format for Vector: {fmt}")
+        idx, vals = m.to_coo()
+        out = ak.zip({"values": np.asarray(vals), "indices": np.asarray(idx, dtype=np.int64)})
+        shape = [m.size]
+    else:
+        fmt = (format or "csr").lower()
+        if fmt == "csr":
+            indptr, minors, vals = m.to_csr()
+            labels = None
+        elif fmt == "csc":
+            indptr, minors, vals = m.to_csc()
+            labels = None
+        elif fmt == "hypercsr":
+            labels, indptr, minors, vals = m.to_dcsr()
+        elif fmt == "hypercsc":
+            labels, indptr, minors, vals = m.to_dcsc()
+        else:
+            raise ValueError(f"Invalid format for Matrix: {fmt}")
+        inner = ak.zip({"indices": np.asarray(minors, dtype=np.int64),
+                        "values": np.asarray(vals)})
+        lists = ak.unflatten(inner, np.diff(np.asarray(indptr, dtype=np.int64)))
+        if labels is None:
+            out = lists
+        else:
+            out = ak.zip({"data": lists,
+                          "offset_labels": np.asarray(labels, dtype=np.int64)},
+                         depth_limit=1)
+        shape = [m.nrows, m.ncols]
+    out = ak.with_parameter(out, "format", fmt)
+    return ak.with_parameter(out, "shape", shape)
+
+
+def from_awkward(spark: SparkSession, arr, dtype: str = "double"):
+    """Rebuild a MatrixFrame / VectorFrame from an array produced by
+    :func:`to_awkward` (parameters ``format`` + ``shape`` required, like the
+    reference's ``from_awkward``)."""
+    try:
+        import awkward as ak
+        import numpy as np
+    except ImportError as exc:
+        raise ImportError(
+            "from_awkward requires the optional `awkward` package") from exc
+
+    params = arr.layout.parameters
+    if missing := {"format", "shape"} - params.keys():
+        raise ValueError(f"Missing parameters: {missing}")
+    fmt, shape = params["format"], params["shape"]
+    if len(shape) == 1:
+        if fmt != "vec":
+            raise ValueError(f"Invalid format for Vector: {fmt}")
+        return VectorFrame.from_coo(
+            spark, np.asarray(arr.indices).tolist(),
+            np.asarray(arr.values).tolist(), size=shape[0], dtype=dtype)
+    nrows, ncols = shape
+    if fmt in ("hypercsr", "hypercsc"):
+        labels = np.asarray(arr.offset_labels).tolist()
+        lists = arr.data
+    elif fmt in ("csr", "csc"):
+        labels, lists = None, arr
+    else:
+        raise ValueError(f"Invalid format for Matrix: {fmt}")
+    counts = np.asarray(ak.num(lists), dtype=np.int64)
+    indptr = np.r_[0, np.cumsum(counts)].tolist()
+    minors = np.asarray(ak.flatten(lists.indices)).tolist()
+    vals = np.asarray(ak.flatten(lists.values)).tolist()
+    if fmt == "csr":
+        return MatrixFrame.from_csr(spark, indptr, minors, vals,
+                                    nrows=nrows, ncols=ncols, dtype=dtype)
+    if fmt == "csc":
+        return MatrixFrame.from_csc(spark, indptr, minors, vals,
+                                    nrows=nrows, ncols=ncols, dtype=dtype)
+    if fmt == "hypercsr":
+        return MatrixFrame.from_dcsr(spark, labels, indptr, minors, vals,
+                                     nrows=nrows, ncols=ncols, dtype=dtype)
+    return MatrixFrame.from_dcsc(spark, labels, indptr, minors, vals,
+                                 nrows=nrows, ncols=ncols, dtype=dtype)

@@ -96,6 +96,26 @@ def test_matplotlib_frontends_gated(spark):
             viz.draw(m)  # small enough, dies at the import gate
 
 
+def test_awkward_adapters_gated(spark):
+    from graph_python_spark.sources import io
+    have_ak = True
+    try:
+        import awkward  # noqa: F401
+    except ImportError:
+        have_ak = False
+    m, _, _ = _random_matrix(spark, nnz=20)
+    if not have_ak:
+        with pytest.raises(ImportError, match="awkward"):
+            io.to_awkward(m)
+        with pytest.raises(ImportError, match="awkward"):
+            io.from_awkward(spark, object())
+    else:  # pragma: no cover - sandbox lacks the lib
+        for fmt in ("csr", "csc", "hypercsr", "hypercsc"):
+            back = io.from_awkward(spark, io.to_awkward(m, fmt))
+            assert back.to_coo() == m.to_coo()
+            assert (back.nrows, back.ncols) == (m.nrows, m.ncols)
+
+
 def test_pydata_sparse_adapters_gated(spark):
     from graph_python_spark.sources import io
     have_sparse = True
