@@ -1174,6 +1174,35 @@ def q_pagerank_weighted(spark, sf_dir):
     return scores.select("id", F.round(F.col("score"), 6).alias("score"))
 
 
+HOSTRANK_ITERS = 10
+
+
+def q_hostrank(spark, sf_dir):
+    """Host-level PageRank — the canonical link-graph coarsen-then-rank
+    composite: contract the customer (page) graph under the
+    customer→nation (page→host) mapping (algorithms/contract.py: two
+    vertex-key hash joins + one group-pair agg, ONE O(E) shuffle), then run
+    weighted PageRank on the quotient where transition mass splits
+    proportionally to the aggregated inter-host link count.  At web scale
+    the expensive O(E) pass happens exactly once; every iteration then
+    touches only the O(hosts) graph."""
+    from graph_python_spark.algorithms.contract import contract_graph
+    from graph_python_spark.algorithms.pagerank import pagerank_weighted_fixed
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"),
+        F.col("w").alias("v"))
+    mapping = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("group"))
+    g = contract_graph(e, mapping)
+    scores = pagerank_weighted_fixed(
+        g.select(F.col("gi").alias("i"), F.col("gj").alias("j"),
+                 F.col("w").cast("double").alias("v")),
+        iterations=HOSTRANK_ITERS)
+    return scores.select(F.col("id").alias("host"),
+                         F.round(F.col("score"), 6).alias("score"))
+
+
 WL_ROUNDS = 2
 
 
@@ -1693,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "windowed_events": q_windowed_events,
         "spy_grid": q_spy_grid,
+        "hostrank": q_hostrank,
     }
 
 
@@ -1747,6 +1777,39 @@ r{k} AS MATERIALIZED (
 )""")
     return head + "".join(steps) + f"""
 SELECT i AS id, ROUND(CAST(v AS DOUBLE), 6) AS score FROM r{iters}"""
+
+
+def _hostrank_sql(iters: int) -> str:
+    """Weighted pagerank unroll over the nation-contracted customer graph
+    (the q_hostrank composite): contraction CTE = the contract_nations
+    oracle, then the _pagerank_weighted_sql recursion on (gi, gj, w)."""
+    head = f"""WITH {customer_graph_sql().strip().rstrip(')')}
+),
+m AS (SELECT c_custkey AS id, c_nationkey AS grp FROM customer),
+cg AS (
+  SELECT mi.grp AS gi, mj.grp AS gj, SUM(eg.w) AS w
+  FROM eg JOIN m mi ON eg.src = mi.id JOIN m mj ON eg.dst = mj.id
+  WHERE mi.grp <> mj.grp
+  GROUP BY 1, 2
+),
+verts AS (SELECT gi AS id FROM cg UNION SELECT gj FROM cg),
+nvv AS (SELECT count(*) AS n FROM verts),
+ow AS (SELECT gi, SUM(w) AS ow FROM cg GROUP BY gi),
+r0 AS (SELECT id AS i, 1.0 / (SELECT n FROM nvv) AS v FROM verts)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT vt.id AS i,
+         (0.15 / (SELECT n FROM nvv)) + COALESCE(c.c, 0.0) AS v
+  FROM verts vt LEFT JOIN (
+    SELECT e.gj AS id, SUM(r.v * (0.85 * e.w / ow.ow)) AS c
+    FROM cg e JOIN r{k - 1} r ON e.gi = r.i JOIN ow ON ow.gi = e.gi
+    GROUP BY e.gj
+  ) c ON vt.id = c.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT i AS host, ROUND(CAST(v AS DOUBLE), 6) AS score FROM r{iters}"""
 
 
 def _cc_converged_sql() -> str:
@@ -4087,6 +4150,7 @@ l0 AS (SELECT s AS id, md5(CAST(COUNT(*) AS VARCHAR)) AS label
 SELECT id, label FROM l{WL_ROUNDS}"""
 
     sqls["pagerank_weighted"] = _pagerank_weighted_sql(PRW_ITERS)
+    sqls["hostrank"] = _hostrank_sql(HOSTRANK_ITERS)
 
     sqls["vertex_features"] = f"""WITH {eg},
 ce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
