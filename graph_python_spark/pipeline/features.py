@@ -79,53 +79,72 @@ def pca_top_component(
     Returns (pos, loading) for pos 0..d−1 with loading = v_pos after the
     final normalization (∈ [−1, 1], the max-|·| component at ±1).
 
-    Scale shape: the exploded (id, pos, x) relation shuffles once per
-    pass keyed by id (y = Xᶜv dot products) then once keyed by pos
-    (w = Xᶜᵀy) — both with map-side combine; v and the d per-dimension
-    means live in d-row broadcast relations.  No d² blowup, no collect.
+    Scale shape (matvec fused into one Arrow pass): per iteration ONE
+    mapInPandas scan of the n×d table computes, per Arrow batch, the
+    batch-local y = Xv − (μ·v) and the d-element partials Xᵀy and Σy —
+    so only O(batches·d) partial rows reach the groupBy, never an
+    O(n·d) exploded relation (an earlier relational form checkpointed
+    128M exploded rows twice and shuffled them per pass: 208.8 s at
+    4M×32; this shape re-reads the parquet and moves KBs).  The driver
+    holds only the O(d) vectors μ and v between iterations — the same
+    bounded-state class as kmeans centroids; the mean-centering never
+    materializes Xᶜ (y = Xv − μ·v, w = Σxᵢyᵢ − μ·Σyᵢ).
     """
-    ex = emb.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "_xf"),
-    ).select("id", "pos", F.col("_xf").cast("double").alias("x"))
-    ex = ex.localCheckpoint(eager=True)  # pin: reused 2x per iteration
-    means = ex.groupBy("pos").agg(
-        (F.sum("x") / F.count("*")).alias("mu"))
-    xc = (
-        ex.join(F.broadcast(means), "pos")
-        .select("id", "pos", (F.col("x") - F.col("mu")).alias("xc"))
-        .localCheckpoint(eager=True)
-    )
-    v = means.select("pos", F.lit(1.0).alias("v"))
-    prev_v = None
+    import numpy as np
+
+    spark = emb.sparkSession
+    vecs = emb.select(F.col(vec_col).alias("_v"))
+    first = vecs.head(1)
+    if not first:
+        return spark.createDataFrame([], "pos long, loading double")
+    d = len(first[0]["_v"])
+    part_schema = "pos long, s double, c long"
+
+    def mean_partials(it):
+        import pandas as pd
+        pos = np.arange(d, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            yield pd.DataFrame({"pos": pos, "s": x.sum(axis=0),
+                                "c": np.int64(len(x))})
+
+    mu_rows = (vecs.mapInPandas(mean_partials, part_schema)
+               .groupBy("pos")
+               .agg((F.sum("s") / F.sum("c")).alias("mu"))
+               .orderBy("pos").collect())  # d rows — bounded by dim
+    mu = np.array([r["mu"] for r in mu_rows], dtype=np.float64)
+
+    v = np.ones(d, dtype=np.float64)
     for _ in range(iterations):
-        y = (
-            xc.join(F.broadcast(v), "pos")
-            .groupBy("id")
-            .agg(F.sum(F.col("xc") * F.col("v")).alias("y"))
-        )
-        w = (
-            xc.join(y, "id")
-            .groupBy("pos")
-            .agg(F.sum(F.col("xc") * F.col("y")).alias("w"))
-        )
-        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        v = (
-            w.join(F.broadcast(mx))
-            .select("pos", (F.col("w") / F.col("mx")).alias("v"))
-            .localCheckpoint(eager=True)
-        )
-        if prev_v is not None:
-            prev_v.unpersist()
-        prev_v = v
-    # pin hygiene: v is eagerly checkpointed, so the big intermediates'
-    # blocks can be released before returning
-    ex.unpersist()
-    xc.unpersist()
-    return v.select(
-        F.col("pos").cast("long").alias("pos"),
-        F.round(F.col("v"), 6).alias("loading"),
-    )
+        muv = float(mu @ v)
+
+        def iter_partials(it, v=v, muv=muv):
+            import pandas as pd
+            pos = np.arange(d, dtype=np.int64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["_v"].to_numpy()).astype(np.float64,
+                                                          copy=False)
+                y = x @ v - muv
+                yield pd.DataFrame({"pos": pos, "s": x.T @ y,
+                                    "ys": float(y.sum())})
+
+        rows = (vecs.mapInPandas(iter_partials, "pos long, s double, ys double")
+                .groupBy("pos")
+                .agg(F.sum("s").alias("s"), F.sum("ys").alias("ys"))
+                .orderBy("pos").collect())  # d rows
+        xy = np.array([r["s"] for r in rows], dtype=np.float64)
+        total_ys = rows[0]["ys"]  # identical for every pos by construction
+        w = xy - mu * total_ys
+        v = w / np.abs(w).max()
+
+    return spark.createDataFrame(
+        [(int(p), float(x)) for p, x in enumerate(v)],
+        "pos long, loading double",
+    ).select("pos", F.round(F.col("loading"), 6).alias("loading"))
 
 
 def label_centroids(emb: DataFrame, label_col: str = "label",
