@@ -583,6 +583,8 @@ PSEUDO_DIAM_ROUNDS = 8
 NGRAM_N = 8
 NGRAM_DF_CAP = 50     # drop boilerplate shingles present in > 50 docs
 NGRAM_NUM, NGRAM_DEN = 3, 10
+CONTAIN_NUM, CONTAIN_DEN = 1, 2   # containment >= 0.5 flags sub-doc dup
+LANDMARKS = [0, 3, 17, 64]        # deterministic BFS landmark vertices
 HC_SOURCES = 6
 HC_ROUNDS = 8
 COCITE_MIN_TOTAL = 3
@@ -822,6 +824,22 @@ def q_ngram_jaccard(spark, sf_dir):
         _docs(spark, sf_dir), n=NGRAM_N,
         threshold_num=NGRAM_NUM, threshold_den=NGRAM_DEN,
         df_cap=NGRAM_DF_CAP)
+
+
+def q_ngram_containment(spark, sf_dir):
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N,
+        threshold_num=CONTAIN_NUM, threshold_den=CONTAIN_DEN,
+        df_cap=NGRAM_DF_CAP)
+
+
+def q_landmark_dist(spark, sf_dir):
+    from graph_python_spark.algorithms.traversal import landmark_distances
+
+    e = customer_graph(spark, sf_dir)
+    return landmark_distances(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        landmarks=LANDMARKS, rounds=MINPLUS_ROUNDS)
 
 
 def q_cocitation(spark, sf_dir):
@@ -1591,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "ngram_containment": q_ngram_containment,
+        "landmark_dist": q_landmark_dist,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "clustering_coeff": q_clustering_coeff,
@@ -2989,6 +3009,56 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
 WHERE i.inter * {den} >= (sa.sz + sb.sz - i.inter) * {num}"""
 
 
+def _containment_sql(n: int, num: int, den: int, df_cap: int) -> str:
+    """Character-shingle inverted-index CONTAINMENT (|A∩B| / min size) —
+    mirrors pipeline/dedup.containment_pairs; same CTE chain as the
+    Jaccard oracle with the LEAST denominator."""
+    return f"""WITH toks AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, CAST(t.i AS INTEGER), {n}) AS tok
+  FROM documents d,
+       UNNEST(generate_series(1, greatest(1, length(d.text) - {n - 1}))) AS t(i)
+),
+keep AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= {df_cap}),
+tc AS (SELECT t.doc_id, t.tok FROM toks t JOIN keep k ON k.tok = t.tok),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       CAST(LEAST(sa.sz, sb.sz) AS BIGINT) AS min_sz
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * {den} >= LEAST(sa.sz, sb.sz) * {num}"""
+
+
+def _landmark_sql(rounds: int, landmarks: list[int]) -> str:
+    """Multi-source unit-weight min-plus unroll keyed by (lm, id) —
+    mirrors algorithms/traversal.landmark_distances."""
+    seeds = ", ".join(f"({lm})" for lm in landmarks)
+    head = f"""WITH {customer_graph_sql().strip().rstrip(')')}
+),
+rel AS (SELECT src AS s, dst AS d FROM eg GROUP BY 1, 2),
+d0 AS (SELECT CAST(lm AS BIGINT) AS lm, CAST(lm AS BIGINT) AS id,
+              CAST(0 AS BIGINT) AS v
+       FROM (VALUES {seeds}) t(lm))"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT COALESCE(d.lm, m.lm) AS lm, COALESCE(d.id, m.id) AS id,
+         LEAST(d.v, m.mv) AS v
+  FROM d{k - 1} d FULL OUTER JOIN (
+    SELECT d2.lm, e.d AS id, MIN(d2.v + 1) AS mv
+    FROM rel e JOIN d{k - 1} d2 ON e.s = d2.id
+    GROUP BY d2.lm, e.d
+  ) m ON d.lm = m.lm AND d.id = m.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT lm, id, CAST(v AS BIGINT) AS dist FROM d{rounds}"""
+
+
 def _cocitation_sql(min_total: int) -> str:
     """Directed wedge self-joins for co-citation (common in-neighbors) and
     bibliographic coupling (common out-neighbors) — mirrors
@@ -3517,6 +3587,9 @@ FROM sp"""
     sqls["pseudo_diameter"] = _pseudo_diameter_sql(PSEUDO_DIAM_ROUNDS)
     sqls["ngram_jaccard"] = _ngram_jaccard_sql(NGRAM_N, NGRAM_NUM, NGRAM_DEN,
                                                NGRAM_DF_CAP)
+    sqls["ngram_containment"] = _containment_sql(NGRAM_N, CONTAIN_NUM,
+                                                 CONTAIN_DEN, NGRAM_DF_CAP)
+    sqls["landmark_dist"] = _landmark_sql(MINPLUS_ROUNDS, LANDMARKS)
     sqls["harmonic"] = _harmonic_sql(HC_ROUNDS, HC_SOURCES)
     sqls["closeness"] = _closeness_sql(HC_ROUNDS, HC_SOURCES)
     sqls["feature_prop"] = _feature_prop_sql(FEAT_OFFSETS)

@@ -256,3 +256,49 @@ def dag_longest_path_levels(edges: DataFrame, rounds: int = 16) -> DataFrame:
     lvl.unpersist()
     e.unpersist()
     return out
+
+
+@iterative
+def landmark_distances(edges: DataFrame, landmarks: list[int],
+                       rounds: int) -> DataFrame:
+    """Multi-source BFS distance sketch from ``landmarks`` — the classic
+    landmark / distance-oracle primitive for web-scale graphs (estimate
+    dist(u, v) ≲ min_L dist(u, L) + dist(L, v) without per-pair BFS).
+
+    Exactly ``rounds`` synchronous unit-weight min-plus relaxations with
+    the state keyed by (lm, id) — all |L| sources advance in ONE frontier
+    relation per round, so the loop costs the same number of shuffles as a
+    single-source BFS regardless of |L| (state and shuffle volume scale as
+    |L|·V, an explicit, bounded replication — at 10^9 vertices and 16
+    landmarks the state is ~16 GB of longs spread over the cluster, not a
+    per-source job storm).  Deterministic fixed unroll (min-plus past the
+    fixpoint is the identity), so the result is DuckDB-oracle-checkable.
+
+    Reference semantics: the same lor_land/min_plus frontier expansion as
+    ``bfs_levels`` (notebooks/Example B.1), vectorized over sources the way
+    ``graphblas`` batches BFS as a Matrix frontier (one row per source).
+
+    Returns (lm, id, dist) for vertices within ``rounds`` hops of each
+    landmark; dist[lm, lm] = 0.
+    """
+    e = (
+        edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+        .distinct()
+        .cache()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(lm), int(lm), 0) for lm in landmarks], "lm long, id long, v long")
+    for _ in range(rounds):
+        cand = (
+            e.join(dist.withColumnRenamed("id", "s"), "s")
+            .groupBy("lm", F.col("d").alias("id"))
+            .agg(F.min(F.col("v") + 1).alias("_nd"))
+        )
+        dist = (
+            dist.join(cand, ["lm", "id"], "full_outer")
+            .select("lm", "id", F.least(F.col("v"), F.col("_nd")).alias("v"))
+        )
+        dist = materialize(dist)
+    e.unpersist()
+    return dist.select("lm", "id", F.col("v").alias("dist"))

@@ -445,3 +445,50 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
                 F.col("component").alias("canonical_id"),
                 "cluster_size")
     )
+
+def containment_pairs(docs: DataFrame, n: int = 8,
+                      threshold_num: int = 1, threshold_den: int = 2,
+                      df_cap: int | None = None) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT:
+    C(A, B) = |A ∩ B| / min(|A|, |B|) — the Broder containment measure.
+    Jaccard misses the sub-document case (a short doc wholly embedded in a
+    long one has tiny |A∩B|/|A∪B| but containment ≈ 1), which is the
+    dominant duplication mode in crawled training corpora (quoted posts,
+    boilerplate-wrapped articles).
+
+    Identical inverted-index plan to :func:`ngram_jaccard_pairs` — shingle
+    join key, one groupBy per candidate pair, integer-only threshold math
+    (inter·den ≥ min_sz·num, no float division) — only the denominator
+    changes, so the same ``df_cap`` scale guard bounds the per-shingle
+    self-join at df_cap².
+
+    Returns (doc_a, doc_b, inter, min_sz) for unordered pairs (doc_a <
+    doc_b) whose containment clears threshold_num/threshold_den.
+    """
+    toks = char_ngrams(docs, n=n)
+    if df_cap is not None:
+        dfreq = (
+            toks.groupBy("tok").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("tok")
+        )
+        toks = toks.join(dfreq, "tok")
+    toks = toks.cache()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("szb")), "doc_b")
+        .select("doc_a", "doc_b", "inter",
+                F.least(F.col("sza"), F.col("szb")).cast("long").alias("min_sz"))
+        .filter(F.col("inter") * threshold_den >= F.col("min_sz") * threshold_num)
+    )

@@ -414,3 +414,94 @@ def test_closeness_path(spark):
     assert got[2] == (2, 3, 2.0 / 3.0)
     assert got[3] == (2, 5, 0.4)
     assert 0 not in got  # sources at distance 0 are excluded
+
+
+def _bfs_oracle(pairs, source, rounds):
+    """Pure-python BFS capped at `rounds` hops (directed)."""
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    dist = {source: 0}
+    frontier = [source]
+    for depth in range(1, rounds + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = depth
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_landmark_distances_differential(spark):
+    from graph_python_spark.algorithms.traversal import landmark_distances
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 5), (5, 6),
+             (6, 7), (2, 6), (7, 0), (8, 9)]  # 8,9 unreachable from 0..7
+    e = spark.createDataFrame(pairs, "i long, j long")
+    lms = [0, 2, 8]
+    got = {(r["lm"], r["id"]): r["dist"]
+           for r in landmark_distances(e, landmarks=lms, rounds=6).collect()}
+    want = {(lm, v): d
+            for lm in lms
+            for v, d in _bfs_oracle(pairs, lm, 6).items()}
+    assert got == want
+    assert got[(0, 0)] == 0 and got[(8, 9)] == 1
+    assert all((8, v) not in got for v in range(8))  # islands stay apart
+
+
+def test_landmark_distance_estimate_upper_bounds(spark):
+    from graph_python_spark.algorithms.traversal import landmark_distances
+
+    # triangle-inequality sanity on an undirected path graph: the landmark
+    # estimate min_L d(u,L)+d(L,v) upper-bounds the true distance and is
+    # exact whenever some landmark lies on a shortest path.
+    pairs = [(k, k + 1) for k in range(9)] + [(k + 1, k) for k in range(9)]
+    e = spark.createDataFrame(pairs, "i long, j long")
+    d = {(r["lm"], r["id"]): r["dist"]
+         for r in landmark_distances(e, landmarks=[0, 5], rounds=12).collect()}
+    for u in range(10):
+        for v in range(10):
+            est = min(d[(lm, u)] + d[(lm, v)] for lm in (0, 5))
+            assert est >= abs(u - v)
+    assert min(d[(lm, 2)] + d[(lm, 8)] for lm in (0, 5)) == 6  # 5 on path
+
+
+def _containment_oracle(texts, n, num, den, cap):
+    shingles = {d: {t[i:i + n] for i in range(max(1, len(t) - n + 1))}
+                for d, t in texts.items()}
+    dfreq = {}
+    for s in shingles.values():
+        for tok in s:
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    kept = {d: {t for t in s if dfreq[t] <= cap} for d, s in shingles.items()}
+    out = {}
+    ids = sorted(kept)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            inter = len(kept[a] & kept[b])
+            mn = min(len(kept[a]), len(kept[b]))
+            if inter and inter * den >= mn * num:
+                out[(a, b)] = (inter, mn)
+    return out
+
+
+def test_containment_pairs_differential(spark):
+    from graph_python_spark.pipeline.dedup import containment_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        # 2 is wholly CONTAINED in 1: containment 1.0 but Jaccard is low
+        2: "quick brown fox",
+        3: "a completely different document body here",
+        4: "the quick brown fox jumps over the lazy dog and sleeps",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["min_sz"])
+           for r in containment_pairs(docs, n=8, threshold_num=1,
+                                      threshold_den=2, df_cap=10).collect()}
+    want = _containment_oracle(texts, 8, 1, 2, 10)
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][0] == got[(1, 2)][1]  # sub-doc dup
+    assert (2, 3) not in got
