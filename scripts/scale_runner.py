@@ -123,6 +123,10 @@ def main() -> None:
         "iter_times": [round(t, 2) for t in times],
         "seconds": round(sum(times), 3),
         "median_iter_sec": round(med, 3),
+        # steady-state floor: interference (hypervisor neighbors, GC, JIT
+        # stragglers) only ever ADDS time, so the fastest iteration is the
+        # cleanest estimate of the engine's true per-iteration cost
+        "min_iter_sec": round(min(times), 3),
         "iters_per_sec": round(1.0 / med, 4),
         "edges_per_sec": round(nnz / med, 1),
     }))
