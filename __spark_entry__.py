@@ -448,6 +448,18 @@ def q_quality(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def q_dedup_merge(spark, sf_dir):
+    # merge policy over minhash near-dup clusters: keep the best-quality
+    # member per cluster (quality desc, doc_id asc), not the min-id one
+    docs = _docs(spark, sf_dir)
+    # 9/10 jaccard: near-exact duplicates — at 1/2 the synthetic corpus's
+    # template docs collapse into ONE giant cluster (a 1-row check); the
+    # tighter cut yields many clusters and exercises the per-cluster argmax
+    pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4,
+                                    threshold_num=9, threshold_den=10)
+    return dedup.merge_near_dups(pairs, text.quality_score(docs))
+
+
 def q_repetition(spark, sf_dir):
     return text.repetition_stats(_docs(spark, sf_dir))
 
@@ -1611,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ngram_containment": q_ngram_containment,
         "landmark_dist": q_landmark_dist,
+        "dedup_merge": q_dedup_merge,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "clustering_coeff": q_clustering_coeff,
@@ -3811,6 +3824,71 @@ SELECT doc_id, n_tokens, ROUND(stop_ratio, 6) AS stop_ratio,
        ROUND(punct_ratio, 6) AS punct_ratio,
        ROUND(stop_ratio - punct_ratio + length_term, 6) AS quality
 FROM m"""
+
+    # merge policy: the minhash pair CTE chain (mh_cols/band_rows above) +
+    # recursive min-reachability components + the quality CTE (renamed
+    # qbase/qm to avoid clashing with the token CTE) + per-cluster argmax
+    sqls["dedup_merge"] = f"""WITH RECURSIVE {_TOKENS_SQL.strip()},
+sig AS (SELECT doc_id, {mh_cols} FROM toks GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c JOIN toks ta ON ta.doc_id = c.doc_a
+              JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+),
+mp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 9
+),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM mp
+        UNION SELECT doc_b, doc_a FROM mp),
+verts AS (SELECT s AS id FROM sym UNION SELECT d FROM sym),
+reach(v, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.v WHERE r.lbl < e.d
+),
+comp AS (SELECT v AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY v),
+sz AS (SELECT canonical_id, COUNT(*) AS cluster_size
+       FROM comp GROUP BY canonical_id),
+qbase AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS qtoks
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         ROUND(CASE WHEN len(qtoks) > 0
+              THEN CAST(len(list_filter(qtoks, t -> t IN ({stops}))) AS DOUBLE) / len(qtoks)
+              ELSE 0.0 END
+         - CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END
+         + CAST(LEAST(len(qtoks), 64) AS DOUBLE) / 64.0, 6) AS quality
+  FROM qbase
+),
+ranked AS (
+  SELECT comp.canonical_id AS cluster_id, comp.doc_id, sz.cluster_size,
+         q.quality,
+         ROW_NUMBER() OVER (PARTITION BY comp.canonical_id
+                            ORDER BY q.quality DESC, comp.doc_id ASC) AS rn
+  FROM comp JOIN sz ON sz.canonical_id = comp.canonical_id
+            JOIN qm q ON q.doc_id = comp.doc_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS keep_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       quality AS keep_quality
+FROM ranked WHERE rn = 1"""
 
     sqls["repetition"] = """
 WITH base AS (

@@ -492,3 +492,39 @@ def containment_pairs(docs: DataFrame, n: int = 8,
                 F.least(F.col("sza"), F.col("szb")).cast("long").alias("min_sz"))
         .filter(F.col("inter") * threshold_den >= F.col("min_sz") * threshold_num)
     )
+
+def merge_near_dups(pairs: DataFrame, scores: DataFrame) -> DataFrame:
+    """The MERGE POLICY step after near-dup detection: per dedup cluster
+    keep the highest-quality member (ties broken by smallest doc_id), not
+    the arbitrary min-id canonical — on crawled corpora the best-formatted
+    copy of a duplicated article is what belongs in the training set.
+
+    ``pairs`` is a near-dup pair relation (doc_a, doc_b); ``scores`` must
+    carry (doc_id, quality) with a deterministic, engine-portable quality
+    value (e.g. :func:`text.quality_score`, rounded to 6 dp).
+
+    Scale shape: clusters via the cached-adjacency FastSV sweep
+    (:func:`near_dup_clusters`), one O(docs-in-pairs) join to the score
+    relation, and a per-cluster window whose frame is the cluster size —
+    the same bounded-frame pattern as every per-neighbor aggregate.
+
+    Returns (cluster_id, keep_doc_id, cluster_size, keep_quality), one row
+    per near-dup cluster; singleton documents never enter a pair and are
+    kept implicitly.
+    """
+    clusters = near_dup_clusters(pairs)
+    ranked = (
+        clusters.join(scores.select("doc_id", "quality"), "doc_id")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("canonical_id")
+                .orderBy(F.desc("quality"), F.asc("doc_id"))))
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select(F.col("canonical_id").alias("cluster_id"),
+                F.col("doc_id").alias("keep_doc_id"),
+                "cluster_size",
+                F.col("quality").alias("keep_quality"))
+    )

@@ -505,3 +505,19 @@ def test_containment_pairs_differential(spark):
     assert got == want
     assert (1, 2) in got and got[(1, 2)][0] == got[(1, 2)][1]  # sub-doc dup
     assert (2, 3) not in got
+
+
+def test_merge_near_dups_picks_best_quality(spark):
+    from graph_python_spark.pipeline.dedup import merge_near_dups
+
+    # two clusters: {1,2,3} (chain) and {7,8}; 5 is a singleton (no pair)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long")
+    scores = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.9), (5, 1.0), (7, 0.2), (8, 0.1)],
+        "doc_id long, quality double")
+    got = {r["cluster_id"]: (r["keep_doc_id"], r["cluster_size"],
+                             r["keep_quality"])
+           for r in merge_near_dups(pairs, scores).collect()}
+    # cluster 1: quality tie 0.9 between 2 and 3 -> smaller doc_id wins
+    assert got == {1: (2, 3, 0.9), 7: (7, 2, 0.2)}
