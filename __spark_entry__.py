@@ -854,6 +854,15 @@ def q_landmark_dist(spark, sf_dir):
         landmarks=LANDMARKS, rounds=MINPLUS_ROUNDS)
 
 
+def q_bipartite_sides(spark, sf_dir):
+    from graph_python_spark.algorithms.components import bipartite_sides
+
+    e = customer_graph(spark, sf_dir)
+    return bipartite_sides(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        cc_rounds=CC_ROUNDS, bfs_rounds=MINPLUS_ROUNDS)
+
+
 def q_cocitation(spark, sf_dir):
     from graph_python_spark.algorithms.vertexsim import cocitation_scores
 
@@ -1624,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "landmark_dist": q_landmark_dist,
         "dedup_merge": q_dedup_merge,
+        "bipartite_sides": q_bipartite_sides,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "clustering_coeff": q_clustering_coeff,
@@ -1990,6 +2000,45 @@ d{k} AS MATERIALIZED (
 )""")
     return head + "".join(steps) + f"""
 SELECT id, CAST(v AS BIGINT) AS {out_col} FROM d{rounds}"""
+
+
+def _bipartite_sides_sql(cc_rounds: int, bfs_rounds: int) -> str:
+    """min-label component unroll + multi-source unit min-plus from every
+    component representative + dist parity — mirrors
+    algorithms/components.bipartite_sides."""
+    head = f"""WITH {customer_graph_sql().strip().rstrip(')')}
+),
+sym AS (SELECT src AS s, dst AS d FROM eg UNION SELECT dst, src FROM eg),
+verts AS (SELECT s AS id FROM sym UNION SELECT d FROM sym),
+l0 AS (SELECT id AS i, id AS v FROM verts)"""
+    steps = []
+    for k in range(1, cc_rounds + 1):
+        steps.append(f""",
+l{k} AS MATERIALIZED (
+  SELECT l.i, LEAST(l.v, COALESCE(m.mn, l.v)) AS v
+  FROM l{k - 1} l LEFT JOIN (
+    SELECT e.d AS i, MIN(l2.v) AS mn
+    FROM sym e JOIN l{k - 1} l2 ON e.s = l2.i
+    GROUP BY e.d
+  ) m ON l.i = m.i
+)""")
+    steps.append(f""",
+comp AS (SELECT i AS id, v AS component FROM l{cc_rounds}),
+d0 AS (SELECT id, CAST(0 AS BIGINT) AS v FROM comp WHERE id = component)""")
+    for k in range(1, bfs_rounds + 1):
+        steps.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, m.id) AS id, LEAST(d.v, m.mv) AS v
+  FROM d{k - 1} d FULL OUTER JOIN (
+    SELECT e.d AS id, MIN(d2.v + 1) AS mv
+    FROM sym e JOIN d{k - 1} d2 ON e.s = d2.id
+    GROUP BY e.d
+  ) m ON d.id = m.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT c.id, CAST(c.component AS BIGINT) AS component,
+       CAST(d.v % 2 AS BIGINT) AS side
+FROM comp c JOIN d{bfs_rounds} d ON d.id = c.id"""
 
 
 def _bfs_parents_sql(rounds: int) -> str:
@@ -3571,6 +3620,7 @@ FROM sp"""
 
     sqls["pagerank"] = _pagerank_sql(PR_ITERS)
     sqls["cc_labels"] = _cc_sql(CC_ROUNDS)
+    sqls["bipartite_sides"] = _bipartite_sides_sql(CC_ROUNDS, MINPLUS_ROUNDS)
     sqls["pagerank_converged"] = _pagerank_converged_sql(itermax=100, tol=1e-6)
     sqls["cc_converged"] = _cc_converged_sql()
     sqls["louvain"] = _louvain_sql(sweeps=4)

@@ -165,3 +165,48 @@ def cc_incremental(edges: DataFrame, init_labels: DataFrame,
     )
     with loop_shuffle_width(edges.sparkSession, f.count()):
         return _cc_rounds(esym, f, rounds)
+
+
+def bipartite_sides(edges: DataFrame, cc_rounds: int = 12,
+                    bfs_rounds: int = 8) -> DataFrame:
+    """Per-vertex 2-coloring side: BFS-layer parity from each component's
+    min-id representative — the distributed bipartiteness primitive (a
+    graph is bipartite iff no edge joins two same-side vertices; for
+    bipartite components the side IS a proper 2-coloring, e.g. for
+    host/page or user/item layers that arrive unlabeled).
+
+    Deterministic composition of two fixed-round loops over ONE cached
+    symmetric edge relation: min-label components (``cc_rounds`` hook
+    rounds), then multi-source unit BFS seeded at every representative at
+    once — all components advance in one O(V)-state frontier (the
+    ``landmark_distances`` trick keyed by id alone, since components
+    partition the vertex set).  Vertices further than ``bfs_rounds`` from
+    their representative are dropped identically on any engine (fixed
+    unroll, full-merge each round).
+
+    Returns (id, component, side) with side ∈ {0, 1}.
+    """
+    esym = _symmetrize(edges).cache()
+    vertices = esym.select(F.col("s").alias("id")).distinct()
+    f = vertices.select(F.col("id").alias("i"), F.col("id").alias("v"))
+    with loop_shuffle_width(edges.sparkSession, f.count()):
+        comp = materialize(_cc_rounds(esym, f, cc_rounds))
+        dist = comp.filter(F.col("id") == F.col("component")).select(
+            "id", F.lit(0).cast("long").alias("v"))
+        for _ in range(bfs_rounds):
+            cand = (
+                esym.join(dist.withColumnRenamed("id", "s"), "s")
+                .groupBy(F.col("d").alias("id"))
+                .agg(F.min(F.col("v") + 1).alias("_nd"))
+            )
+            dist = (
+                dist.join(cand, "id", "full_outer")
+                .select("id", F.least(F.col("v"), F.col("_nd")).alias("v"))
+            )
+            dist = materialize(dist)
+    out = (
+        comp.join(dist, "id")
+        .select("id", "component", (F.col("v") % 2).alias("side"))
+    )
+    esym.unpersist()
+    return out

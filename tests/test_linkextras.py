@@ -521,3 +521,24 @@ def test_merge_near_dups_picks_best_quality(spark):
            for r in merge_near_dups(pairs, scores).collect()}
     # cluster 1: quality tie 0.9 between 2 and 3 -> smaller doc_id wins
     assert got == {1: (2, 3, 0.9), 7: (7, 2, 0.2)}
+
+
+def test_bipartite_sides_differential(spark):
+    from graph_python_spark.algorithms.components import bipartite_sides
+
+    # component A: even cycle 0-1-2-3 (bipartite); component B: path 10-11-12;
+    # component C: triangle 20-21-22 (odd cycle — parity still well-defined)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0),
+             (10, 11), (11, 12),
+             (20, 21), (21, 22), (22, 20)]
+    e = spark.createDataFrame(pairs, "i long, j long")
+    got = {r["id"]: (r["component"], r["side"])
+           for r in bipartite_sides(e, cc_rounds=6, bfs_rounds=6).collect()}
+    assert got == {0: (0, 0), 1: (0, 1), 2: (0, 0), 3: (0, 1),
+                   10: (10, 0), 11: (10, 1), 12: (10, 0),
+                   20: (20, 0), 21: (20, 1), 22: (20, 1)}
+    # bipartiteness: components 0 and 10 have no same-side edge; the
+    # triangle must expose one (here 21-22)
+    sides = {v: s for v, (_, s) in got.items()}
+    same = [(a, b) for a, b in pairs if sides[a] == sides[b]]
+    assert same == [(21, 22)]
