@@ -854,6 +854,18 @@ def q_landmark_dist(spark, sf_dir):
         landmarks=LANDMARKS, rounds=MINPLUS_ROUNDS)
 
 
+def q_ppr_batch(spark, sf_dir):
+    from graph_python_spark.algorithms.centrality import ppr_batch
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(PPR_SEEDS)
+    scores = ppr_batch(e, seeds, iterations=PPR_ITERS)
+    return scores.select("seed", "id", F.round("score", 6).alias("score"))
+
+
 def q_bipartite_sides(spark, sf_dir):
     from graph_python_spark.algorithms.components import bipartite_sides
 
@@ -1634,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dist": q_landmark_dist,
         "dedup_merge": q_dedup_merge,
         "bipartite_sides": q_bipartite_sides,
+        "ppr_batch": q_ppr_batch,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "clustering_coeff": q_clustering_coeff,
@@ -2847,6 +2860,33 @@ r{t} AS MATERIALIZED (
 SELECT i AS id, ROUND(v, 6) AS score FROM r{iters}"""
 
 
+def _ppr_batch_sql(iters: int, n_seeds: int, damping: float = 0.85) -> str:
+    """Unrolled batch PPR keyed (seed, i) — mirrors
+    algorithms/centrality.ppr_batch (one independent vector per seed,
+    r_0 = e_seed)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+deg AS (SELECT src, count(*) AS d FROM eb GROUP BY src),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+r0 AS (SELECT id AS s, id AS i, 1.0 AS v FROM seeds)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+r{t} AS MATERIALIZED (
+  SELECT COALESCE(tl.s, c.s) AS s, COALESCE(tl.i, c.i) AS i,
+         COALESCE(tl.p, 0) + COALESCE(c.c, 0) AS v
+  FROM (SELECT id AS s, id AS i, {1.0 - damping} AS p FROM seeds) tl
+  FULL OUTER JOIN (
+    SELECT r.s, e.dst AS i, SUM(r.v * {damping} / d.d) AS c
+    FROM eb e JOIN r{t - 1} r ON e.src = r.i JOIN deg d ON d.src = e.src
+    GROUP BY r.s, e.dst
+  ) c ON tl.s = c.s AND tl.i = c.i
+)""")
+    return head + "".join(steps) + f"""
+SELECT s AS seed, i AS id, ROUND(v, 6) AS score FROM r{iters}"""
+
+
 def _jaccard_sql(min_sim: float) -> str:
     """Wedge self-join neighborhood Jaccard — mirrors
     algorithms/vertexsim.jaccard_neighbors (threshold applied to the
@@ -3633,6 +3673,7 @@ FROM sp"""
     sqls["clustering_coeff"] = _clustering_sql()
     sqls["hits"] = _hits_sql(HITS_ITERS)
     sqls["ppr"] = _ppr_sql(PPR_ITERS, PPR_SEEDS)
+    sqls["ppr_batch"] = _ppr_batch_sql(PPR_ITERS, PPR_SEEDS)
     sqls["betweenness"] = _betweenness_sql(BC_SOURCES, BC_LEVELS)
     sqls["mis"] = _mis_sql(MIS_ROUNDS)
     sqls["katz"] = _katz_sql(KATZ_ITERS, KATZ_ALPHA)

@@ -186,6 +186,64 @@ def ppr_fixed(
 
 
 @iterative
+def ppr_batch(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 6,
+    damping: float = 0.85,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Batch personalized PageRank: an INDEPENDENT PPR vector per seed,
+    all advanced in one loop — the state is keyed (seed, i), so k seeds
+    cost the same number of shuffles as one (the multi-source batching of
+    ``landmark_distances`` applied to the PPR contrib loop).  This is the
+    shape personalization runs at scale: one job for a whole batch of
+    users/pages, not a job per seed.
+
+    Per seed: r_0 = e_seed; r_{t+1} = (1-d) e_seed + d A_row^T r_t over
+    the deduped binarized edge set (same conventions as ``ppr_fixed``).
+    State and shuffle volume are O(k x support); the transition relation
+    is built once and reused every iteration.
+
+    Returns the sparse (seed, id, score) relation: for each seed exactly
+    the vertices within ``iterations`` hops.
+    """
+    eb = edges.select("i", "j").distinct()
+    if partitions is not None:
+        eb = eb.repartition(partitions, "i")
+    et = materialize(
+        eb.join(eb.groupBy("i").agg(F.count("*").alias("_deg")), "i")
+        .select("i", "j", (F.lit(damping) / F.col("_deg")).alias("t"))
+    )
+    tel = materialize(
+        seeds.select(F.col("id").alias("s"), F.col("id").alias("i"),
+                     F.lit(1.0 - damping).alias("p"))
+    )
+    pin = _Pin()
+    r = tel.select("s", "i", F.lit(1.0).alias("v"))  # r_0 = e_seed
+    with loop_shuffle_width(edges.sparkSession, max(et.count(), 1)):
+        for _ in range(iterations):
+            contrib = (
+                et.join(r, "i")
+                .select("s", F.col("j").alias("i"),
+                        (F.col("t") * F.col("v")).alias("w"))
+                .groupBy("s", "i")
+                .agg(F.sum("w").alias("c"))
+            )
+            r = (
+                tel.join(contrib, ["s", "i"], "full_outer")
+                .select("s", "i", (F.coalesce(F.col("p"), F.lit(0.0))
+                                   + F.coalesce(F.col("c"), F.lit(0.0))).alias("v"))
+            )
+            (r,) = pin.pin(r)
+    if iterations > 0:
+        et.unpersist()
+        tel.unpersist()
+    return r.select(F.col("s").alias("seed"), F.col("i").alias("id"),
+                    F.col("v").alias("score"))
+
+
+@iterative
 def betweenness_sources(
     edges: DataFrame,
     sources: DataFrame,

@@ -542,3 +542,24 @@ def test_bipartite_sides_differential(spark):
     sides = {v: s for v, (_, s) in got.items()}
     same = [(a, b) for a, b in pairs if sides[a] == sides[b]]
     assert same == [(21, 22)]
+
+
+def test_ppr_batch_matches_single_seed_and_linearity(spark):
+    from graph_python_spark.algorithms.centrality import ppr_batch, ppr_fixed
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0), (1, 4)]
+    e = spark.createDataFrame(pairs, "i long, j long")
+    seeds2 = spark.createDataFrame([(0,), (3,)], "id long")
+    batch = {(r["seed"], r["id"]): r["score"]
+             for r in ppr_batch(e, seeds2, iterations=5).collect()}
+    # single seed: ppr_fixed({s}) IS the batch vector for s
+    one = spark.createDataFrame([(0,)], "id long")
+    single = {r["id"]: r["score"] for r in ppr_fixed(e, one, iterations=5).collect()}
+    for v, sc in single.items():
+        assert abs(batch[(0, v)] - sc) < 1e-12
+    # linearity: uniform teleport over {0, 3} == mean of the two batch vectors
+    both = {r["id"]: r["score"] for r in ppr_fixed(e, seeds2, iterations=5).collect()}
+    ids = {i for (_, i) in batch}
+    for v in ids:
+        mean = (batch.get((0, v), 0.0) + batch.get((3, v), 0.0)) / 2.0
+        assert abs(both.get(v, 0.0) - mean) < 1e-12
