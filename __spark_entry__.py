@@ -1016,6 +1016,28 @@ def q_knn_graph(spark, sf_dir):
                                 method="lsh", dim=64, bands=8, band_bits=4)
 
 
+LS_MOD = 4        # every 4th vector keeps its true label as a seed
+LS_ROUNDS = 4
+
+
+def q_label_spread(spark, sf_dir):
+    """Semi-supervised label spreading over the kNN SIMILARITY graph — the
+    label-denoising / pseudo-labeling primitive: a quarter of the vectors
+    keep their true label (clamped seeds), everything else takes the
+    per-round argmax over labeled kNN neighbors.  Composition of two
+    oracled pieces: knn_graph (LSH-bucketed scale path) feeding
+    seeded_label_propagation."""
+    from graph_python_spark.algorithms.labelprop import seeded_label_propagation
+
+    emb = _emb(spark, sf_dir)
+    knn = similarity.knn_graph(emb, k=KNN_K, mutual=True, method="lsh",
+                               dim=64, bands=8, band_bits=4)
+    edges = knn.select(F.col("src").alias("i"), F.col("dst").alias("j"))
+    seeds = emb.filter(F.col("vec_id") % LS_MOD == 0).select(
+        F.col("vec_id").alias("id"), F.col("label").cast("long").alias("label"))
+    return seeded_label_propagation(edges, seeds, rounds=LS_ROUNDS)
+
+
 def q_triad_census(spark, sf_dir):
     from graph_python_spark.algorithms.triangles import directed_triangle_census
 
@@ -1647,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_merge": q_dedup_merge,
         "bipartite_sides": q_bipartite_sides,
         "ppr_batch": q_ppr_batch,
+        "label_spread": q_label_spread,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "clustering_coeff": q_clustering_coeff,
@@ -2266,6 +2289,71 @@ knn AS (
 SELECT k1.src, k1.dst, k1.cos_sim, k1.rank
 FROM knn k1
 WHERE EXISTS (SELECT 1 FROM knn k2 WHERE k2.src = k1.dst AND k2.dst = k1.src)"""
+
+
+def _label_spread_sql(k: int, dim: int, bands: int, band_bits: int,
+                      mod: int, rounds: int) -> str:
+    """knn_graph's banded-LSH mutual-kNN CTE chain feeding the seeded-LPA
+    unroll — mirrors q_label_spread (seeds = every ``mod``-th vector
+    clamped to its true label, including vectors isolated from the kNN
+    graph, which the Spark loop also retains)."""
+    band_selects = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {_hyperplane_lit(dim, b * band_bits + r)}) >= 0"
+            f" THEN {1 << r} ELSE 0 END)"
+            for r in range(band_bits)
+        )
+        band_selects.append(
+            f"SELECT vec_id AS id, {b} AS band, {bits} AS bucket FROM v"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    steps = "".join(f""",
+cand{r + 1} AS (
+  SELECT i, lbl FROM (
+    SELECT sym.d AS i, x.lbl, COUNT(*) AS n
+    FROM sym JOIN l{r} x ON sym.s = x.i
+    GROUP BY sym.d, x.lbl)
+  QUALIFY row_number() OVER (PARTITION BY i ORDER BY n DESC, lbl ASC) = 1
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT i, lbl FROM seeds
+  UNION ALL
+  SELECT c.i, c.lbl FROM cand{r + 1} c
+  WHERE c.i NOT IN (SELECT i FROM seeds)
+)""" for r in range(rounds))
+    return f"""
+WITH {_emb_head_sql()},
+bb AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id <> b.id
+),
+sims AS (
+  SELECT c.src, c.dst,
+         ROUND(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM cand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst
+),
+knn AS (
+  SELECT src, dst, cos_sim,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos_sim DESC, dst ASC) AS BIGINT)
+         AS rank
+  FROM sims
+  QUALIFY rank <= {k}
+),
+mk AS (
+  SELECT k1.src, k1.dst FROM knn k1
+  WHERE EXISTS (SELECT 1 FROM knn k2 WHERE k2.src = k1.dst AND k2.dst = k1.src)
+),
+sym AS (SELECT DISTINCT s, d FROM (
+  SELECT src AS s, dst AS d FROM mk
+  UNION ALL SELECT dst AS s, src AS d FROM mk) WHERE s <> d),
+seeds AS (SELECT vec_id AS i, CAST(label AS BIGINT) AS lbl
+          FROM embeddings WHERE vec_id % {mod} = 0),
+l0 AS (SELECT i, lbl FROM seeds){steps}
+SELECT i AS id, CAST(lbl AS BIGINT) AS label FROM l{rounds}"""
 
 
 def _near_dup_sql(threshold: float, dim: int, bands: int, band_bits: int) -> str:
@@ -4135,6 +4223,9 @@ GROUP BY a.l, b.l
 HAVING COUNT(*) >= {COPURCHASE_MIN_W}"""
     sqls["centroid_classify"] = _centroid_classify_sql(dim=64)
     sqls["knn_graph"] = _knn_graph_sql(KNN_K, dim=64, bands=8, band_bits=4)
+    sqls["label_spread"] = _label_spread_sql(KNN_K, dim=64, bands=8,
+                                             band_bits=4, mod=LS_MOD,
+                                             rounds=LS_ROUNDS)
     sqls["triad_census"] = f"""
 WITH {customer_graph_sql().strip()},
 e AS (SELECT DISTINCT src AS i, dst AS j FROM eg WHERE src <> dst),

@@ -563,3 +563,18 @@ def test_ppr_batch_matches_single_seed_and_linearity(spark):
     for v in ids:
         mean = (batch.get((0, v), 0.0) + batch.get((3, v), 0.0)) / 2.0
         assert abs(both.get(v, 0.0) - mean) < 1e-12
+
+
+def test_label_spread_retains_isolated_seeds(spark):
+    from graph_python_spark.algorithms.labelprop import seeded_label_propagation
+
+    # two labeled seeds on a path; 99 is an isolated seed (no edges) and
+    # must survive every clamp round with its own label
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "i long, j long")
+    seeds = spark.createDataFrame([(1, 10), (4, 20), (99, 30)],
+                                  "id long, label long")
+    got = {r["id"]: r["label"]
+           for r in seeded_label_propagation(e, seeds, rounds=3).collect()}
+    assert got[99] == 30
+    assert got[1] == 10 and got[4] == 20
+    assert got[2] in (10, 20) and got[3] in (10, 20)
