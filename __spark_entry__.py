@@ -1202,6 +1202,18 @@ def q_bigram_logprob(spark, sf_dir):
 CORENESS_ROUNDS = 8
 
 
+TRUSSNESS_ROUNDS = 6
+
+
+def q_trussness(spark, sf_dir):
+    from graph_python_spark.algorithms.ktruss import trussness_rounds
+
+    e = customer_graph(spark, sf_dir)
+    return trussness_rounds(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        rounds=TRUSSNESS_ROUNDS)
+
+
 def q_coreness(spark, sf_dir):
     from graph_python_spark.algorithms.kcore import coreness_rounds
 
@@ -1670,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_sides": q_bipartite_sides,
         "ppr_batch": q_ppr_batch,
         "label_spread": q_label_spread,
+        "trussness": q_trussness,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "clustering_coeff": q_clustering_coeff,
@@ -2859,6 +2872,56 @@ SELECT a, b, CAST(support AS BIGINT) AS support
 FROM s{rounds} WHERE support >= {k - 2}"""
 
 
+def _trussness_sql(rounds: int) -> str:
+    """Triangle h-index fixpoint unroll — mirrors
+    algorithms/ktruss.trussness_rounds: static oriented triangle relation,
+    h0 = support, per round three estimate joins + per-edge h-index
+    (h = MAX(LEAST(rank, x)) over the desc-sorted contributions, which is
+    order-independent under ties)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM eg WHERE src <> dst
+),
+tri AS MATERIALIZED (
+  SELECT x.a, x.b, y.b AS c
+  FROM e0 x JOIN e0 y ON x.b = y.a
+  JOIN e0 z ON z.a = x.a AND z.b = y.b
+),
+h0 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a, b FROM tri
+    UNION ALL SELECT b AS a, c AS b FROM tri
+    UNION ALL SELECT a, c AS b FROM tri
+  ) GROUP BY a, b
+)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+c{r} AS (
+  SELECT t.a, t.b, LEAST(t2.t, t3.t) AS x
+  FROM tri t JOIN h{r - 1} t2 ON t2.a = t.b AND t2.b = t.c
+             JOIN h{r - 1} t3 ON t3.a = t.a AND t3.b = t.c
+  UNION ALL
+  SELECT t.b AS a, t.c AS b, LEAST(t1.t, t3.t) AS x
+  FROM tri t JOIN h{r - 1} t1 ON t1.a = t.a AND t1.b = t.b
+             JOIN h{r - 1} t3 ON t3.a = t.a AND t3.b = t.c
+  UNION ALL
+  SELECT t.a, t.c AS b, LEAST(t1.t, t2.t) AS x
+  FROM tri t JOIN h{r - 1} t1 ON t1.a = t.a AND t1.b = t.b
+             JOIN h{r - 1} t2 ON t2.a = t.b AND t2.b = t.c
+),
+h{r} AS MATERIALIZED (
+  SELECT a, b, MAX(LEAST(rn, x)) AS t FROM (
+    SELECT a, b, x,
+           CAST(row_number() OVER (PARTITION BY a, b ORDER BY x DESC)
+                AS BIGINT) AS rn
+    FROM c{r}) GROUP BY a, b
+)""")
+    return head + "".join(steps) + f"""
+SELECT a, b, CAST(t AS BIGINT) AS trussness FROM h{rounds}"""
+
+
 def _clustering_sql() -> str:
     """Local clustering coefficient: 2·t(v)/(d(v)·(d(v)-1)) on the
     canonical undirected simple graph — mirrors
@@ -3758,6 +3821,7 @@ FROM sp"""
     sqls["label_prop"] = _lpa_sql(LPA_SWEEPS)
     sqls["kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
     sqls["ktruss"] = _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)
+    sqls["trussness"] = _trussness_sql(TRUSSNESS_ROUNDS)
     sqls["clustering_coeff"] = _clustering_sql()
     sqls["hits"] = _hits_sql(HITS_ITERS)
     sqls["ppr"] = _ppr_sql(PPR_ITERS, PPR_SEEDS)

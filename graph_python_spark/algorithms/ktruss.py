@@ -90,3 +90,77 @@ def ktruss(
     out = materialize(_edge_support(cur).filter(F.col("support") >= k - 2))
     pinned.unpersist()
     return out, rounds
+
+
+def trussness_rounds(edges: DataFrame, rounds: int = 8,
+                     partitions: Optional[int] = None) -> DataFrame:
+    """Full truss decomposition (per-EDGE truss support number) by the
+    triangle h-index fixpoint — the edge analog of ``coreness_rounds``
+    (Sariyüce, Seshadhri, Pinar 2017 local truss decomposition): start
+    t(e) = support(e) and synchronously update
+
+        t(e) ← h-index of { min(t(f), t(g)) : (e, f, g) a triangle }.
+
+    Estimates only decrease and the fixpoint is exactly the truss support
+    θ(e) (e survives in the k-truss iff θ(e) >= k-2); updating a fixpoint
+    is the identity, so the FIXED-round unroll is SQL-expressible — the
+    same idempotent-past-fixpoint trick as coreness.
+
+    Unlike ``ktruss`` peeling the edge/triangle relations never shrink:
+    the a < b < c oriented triangle relation is built ONCE and cached, and
+    each round is three (a,b)-keyed joins of the O(E) estimate vector to
+    it plus one per-edge window over triangle contributions (frame =
+    support(e), the same bounded-hub caveat as every per-neighbor
+    aggregate).  One decomposition run replaces a k-sweep of peels.
+
+    Returns (a, b, trussness) for every canonical edge in >= 1 triangle
+    (triangle-free edges have trussness 0 and are omitted, matching
+    ``_edge_support``'s support relation).
+    """
+    from pyspark.sql.window import Window
+
+    cur = canonical_edges(edges)
+    if partitions is not None:
+        cur = cur.repartition(partitions, "a")
+    cur = materialize(cur)
+    e2 = cur.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = cur.select("a", F.col("b").alias("c"))
+    tri = materialize(cur.join(e2, "b").join(e3, ["a", "c"])
+                      .select("a", "b", "c"))
+    stacked = (
+        tri.select("a", "b")
+        .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionAll(tri.select("a", F.col("c").alias("b")))
+    )
+    t = materialize(stacked.groupBy("a", "b")
+                    .agg(F.count("*").cast("long").alias("t")))
+    w = Window.partitionBy("a", "b").orderBy(F.desc("x"))
+    with loop_shuffle_width(edges.sparkSession, max(tri.count(), 1)):
+        for _ in range(rounds):
+            t1 = t.select("a", "b", F.col("t").alias("_t1"))
+            t2 = t.select(F.col("a").alias("b"), F.col("b").alias("c"),
+                          F.col("t").alias("_t2"))
+            t3 = t.select("a", F.col("b").alias("c"), F.col("t").alias("_t3"))
+            tt = tri.join(t1, ["a", "b"]).join(t2, ["b", "c"]).join(t3, ["a", "c"])
+            contribs = (
+                tt.select("a", "b", F.least("_t2", "_t3").alias("x"))
+                .unionAll(tt.select(F.col("b").alias("a"), F.col("c").alias("b"),
+                                    F.least("_t1", "_t3").alias("x")))
+                .unionAll(tt.select("a", F.col("c").alias("b"),
+                                    F.least("_t1", "_t2").alias("x")))
+            )
+            nxt = (
+                contribs.select("a", "b", "x", F.row_number().over(w).alias("_rn"))
+                .select("a", "b",
+                        F.least(F.col("_rn").cast("long"), F.col("x")).alias("_h"))
+                .groupBy("a", "b")
+                .agg(F.max("_h").alias("t"))
+            )
+            prev, t = t, materialize(nxt)
+            prev.unpersist()
+    out = t.select("a", "b", F.col("t").alias("trussness"))
+    out = out.localCheckpoint(eager=True)
+    t.unpersist()
+    tri.unpersist()
+    cur.unpersist()
+    return out

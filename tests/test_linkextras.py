@@ -578,3 +578,45 @@ def test_label_spread_retains_isolated_seeds(spark):
     assert got[99] == 30
     assert got[1] == 10 and got[4] == 20
     assert got[2] in (10, 20) and got[3] in (10, 20)
+
+
+def _truss_support_oracle(pairs):
+    """True per-edge truss support via brute-force peeling: theta(e) =
+    max s such that e survives iterated removal of edges closing < s
+    triangles."""
+    def support(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    base = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    theta = {e: 0 for e in base}
+    s, cur = 1, set(base)
+    while cur:
+        while True:
+            sup = support(cur)
+            drop = {e for e in cur if sup[e] < s}
+            if not drop:
+                break
+            cur -= drop
+        for e in cur:
+            theta[e] = s
+        s += 1
+    return theta
+
+
+def test_trussness_differential(spark):
+    from graph_python_spark.algorithms.ktruss import trussness_rounds
+
+    # deterministic pseudo-random graph on 14 vertices + a pendant path
+    pairs = sorted({(i * 7 % 14, (i * i + 3) % 14) for i in range(40)}
+                   | {(0, 20), (20, 21)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = spark.createDataFrame(pairs, "i long, j long")
+    got = {(r["a"], r["b"]): r["trussness"]
+           for r in trussness_rounds(e, rounds=10).collect()}
+    want = {e_: t for e_, t in _truss_support_oracle(pairs).items() if t > 0}
+    assert got == want
+    assert all(t >= 1 for t in got.values())
