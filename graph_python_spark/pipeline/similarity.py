@@ -163,6 +163,126 @@ def _dot_batch(a: Column, b: Column) -> Column:
     return _udf(a, b)
 
 
+_SCORE_BLOCK_ROWS = 1024
+
+
+def _grouped_vectors(emb: DataFrame, bb: DataFrame, vec_col: str,
+                     id_col: str) -> DataFrame:
+    """(band, bucket, _id, _v): every bucket member with its vector — the
+    ONE relation the in-bucket scoring kernels group on.  Volume is
+    n·bands rows (vector duplicated per band), shuffled once by id for the
+    join and once by (band, bucket) for the grouped map — at 100 TB both
+    exchanges are linear in n·bands, never in candidate-pair count."""
+    vecs = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (bb.join(vecs, bb["id"] == vecs["_id"])
+            .select("band", "bucket", "_id", "_v"))
+
+
+def _bucket_topk_local(emb: DataFrame, bb: DataFrame, k: int, vec_col: str,
+                       id_col: str) -> DataFrame:
+    """Per-(band, bucket) local top-k cosine neighbors, scored INSIDE the
+    bucket with one BLAS matmul per row-block (`applyInPandas`) instead of
+    materializing the candidate-pair relation.
+
+    Exactness vs the pair-join formulation: the global top-k per src over
+    all bucket collisions equals the top-k over the UNION of per-bucket
+    local top-ks, because a pair in the global top-k ranks ≤ k inside any
+    subset (bucket) that contains it — provided the local and global
+    orderings are IDENTICAL: round(cos, 6) desc, then dst (= id) asc.  The
+    kernel sorts the group by id and uses a stable argsort on the rounded
+    scores, so ties resolve to ascending id exactly like the global window.
+
+    Memory: row-blocks of %d × bucket_size doubles; with the default
+    bucket cap (%d rows) the scratch matrix stays ≤ ~25 MB per block.
+    Zero-norm vectors are dropped in the kernel (parity with the
+    pair-join path, which inner-joined them away).
+    """ % (_SCORE_BLOCK_ROWS, 50 * LSH_TARGET_BUCKET_ROWS)
+    import numpy as np
+    import pandas as pd
+
+    idt = emb.schema[id_col].dataType.simpleString()
+    kk_req = int(k)
+
+    def _score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64,
+                                                         copy=False)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        keep = nrm > 0.0
+        ids, V, nrm = ids[keep], V[keep], nrm[keep]
+        s = len(ids)
+        empty = pd.DataFrame({"src": ids[:0], "dst": ids[:0],
+                              "cos_sim": np.empty(0, dtype=np.float64)})
+        if s < 2:
+            return empty
+        Vn = V / nrm[:, None]
+        kk = min(kk_req, s - 1)
+        srcs, dsts, coss = [], [], []
+        for lo in range(0, s, _SCORE_BLOCK_ROWS):
+            hi = min(lo + _SCORE_BLOCK_ROWS, s)
+            C = np.round(Vn[lo:hi] @ Vn.T, 6)
+            C[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # no self
+            idx = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+            srcs.append(np.repeat(ids[lo:hi], kk))
+            dsts.append(ids[idx.ravel()])
+            coss.append(np.take_along_axis(C, idx, axis=1).ravel())
+        return pd.DataFrame({"src": np.concatenate(srcs),
+                             "dst": np.concatenate(dsts),
+                             "cos_sim": np.concatenate(coss)})
+
+    return (_grouped_vectors(emb, bb, vec_col, id_col)
+            .groupBy("band", "bucket")
+            .applyInPandas(_score,
+                           schema=f"src {idt}, dst {idt}, cos_sim double"))
+
+
+def _bucket_threshold_pairs(emb: DataFrame, bb: DataFrame, threshold: float,
+                            vec_col: str, id_col: str) -> DataFrame:
+    """Per-(band, bucket) near-dup pairs (a < b, round(cos, 6) ≥
+    threshold), scored inside the bucket with one matmul per row-block —
+    emits only the surviving pairs, never the candidate relation.  The
+    result set is EXACTLY the pair-join formulation's (every bucket
+    collision is examined; the threshold filter is the same rounded
+    cosine), deduplicated across bands by the caller."""
+    import numpy as np
+    import pandas as pd
+
+    idt = emb.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def _score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        keep = nrm > 0.0
+        ids, V, nrm = ids[keep], V[keep], nrm[keep]
+        s = len(ids)
+        empty = pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0],
+                              "cos_sim": np.empty(0, dtype=np.float64)})
+        if s < 2:
+            return empty
+        Vn = V / nrm[:, None]
+        aa, bb_, cc = [], [], []
+        for lo in range(0, s, _SCORE_BLOCK_ROWS):
+            hi = min(lo + _SCORE_BLOCK_ROWS, s)
+            C = np.round(Vn[lo:hi] @ Vn.T, 6)
+            m = (C >= thr) & (ids[lo:hi, None] < ids[None, :])
+            ii, jj = np.nonzero(m)
+            aa.append(ids[lo:hi][ii])
+            bb_.append(ids[jj])
+            cc.append(C[ii, jj])
+        return pd.DataFrame({"doc_a": np.concatenate(aa),
+                             "doc_b": np.concatenate(bb_),
+                             "cos_sim": np.concatenate(cc)})
+
+    return (_grouped_vectors(emb, bb, vec_col, id_col)
+            .groupBy("band", "bucket")
+            .applyInPandas(_score,
+                           schema=f"doc_a {idt}, doc_b {idt}, cos_sim double"))
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0),
                               lambda acc, x: acc + x.cast("double") * x.cast("double")))
@@ -352,27 +472,27 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.9,
                  F.col("_norm").alias("_nb"))
     if method == "exact":
         pairs = a.join(b, a["doc_a"] < b["doc_b"])
-    else:
-        band_bits, max_bucket_rows = _resolve_banding(n, band_bits,
-                                                      max_bucket_rows)
-        bb = _bucket_relation(emb, dim, bands, band_bits, vec_col, id_col)
-        if max_bucket_rows is not None:
-            bb = _cap_buckets(bb, max_bucket_rows)
-        cand = (
-            bb.select(F.col("id").alias("doc_a"), "band", "bucket")
-            .join(bb.select(F.col("id").alias("doc_b"), "band", "bucket"),
-                  ["band", "bucket"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+        return (
+            pairs.select("doc_a", "doc_b",
+                         F.round(_dot_batch(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb")), 6)
+                         .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
         )
-        pairs = cand.join(a, "doc_a").join(b, "doc_b")
-    return (
-        pairs.select("doc_a", "doc_b",
-                     F.round(_dot_batch(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb")), 6)
-                     .alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    # LSH path: score INSIDE each (band, bucket) group with one BLAS
+    # matmul per row-block and emit only the surviving pairs — the
+    # candidate-pair relation (Σ bucket² rows, previously distinct-ed and
+    # pushed through two vector-wide sort-merge joins) never materializes.
+    # Duplicates across bands merge on max(cos): per-bucket GEMM blocking
+    # can differ in the last ulp, so an exact-match distinct could keep
+    # both copies; max is deterministic either way.
+    band_bits, max_bucket_rows = _resolve_banding(n, band_bits,
+                                                  max_bucket_rows)
+    bb = _bucket_relation(emb, dim, bands, band_bits, vec_col, id_col)
+    if max_bucket_rows is not None:
+        bb = _cap_buckets(bb, max_bucket_rows)
+    local = _bucket_threshold_pairs(emb, bb, threshold, vec_col, id_col)
+    return local.groupBy("doc_a", "doc_b").agg(
+        F.max("cos_sim").alias("cos_sim"))
 
 
 def knn_graph(emb: DataFrame, k: int = 5, mutual: bool = False,
@@ -411,25 +531,30 @@ def knn_graph(emb: DataFrame, k: int = 5, mutual: bool = False,
                  F.col("_norm").alias("_nb"))
     if method == "exact":
         pairs = a.join(b, F.col("src") != F.col("dst"))
+        sims = pairs.select(
+            "src", "dst",
+            F.round(_dot_batch(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb")), 6)
+            .alias("cos_sim"))
     else:
+        # LSH path: local top-k scored INSIDE each (band, bucket) group
+        # (one BLAS matmul per row-block), then a global top-k over the
+        # union — exact w.r.t. the bucket-collision candidate set because
+        # the local and global orderings are identical (see
+        # _bucket_topk_local).  The relation entering the window is
+        # n·bands·k thin rows; the candidate-pair relation (Σ bucket²,
+        # previously distinct-ed through two vector-wide sort-merge
+        # joins) never materializes.  Cross-band duplicates merge on
+        # max(cos) — per-bucket GEMM blocking can differ in the last ulp,
+        # and two copies of one (src, dst) pair entering the window would
+        # both take rank slots.
         band_bits, max_bucket_rows = _resolve_banding(n, band_bits,
                                                       max_bucket_rows)
         bb = _bucket_relation(emb, dim, bands, band_bits, vec_col, id_col)
         if max_bucket_rows is not None:
             bb = _cap_buckets(bb, max_bucket_rows)
-        cand = (
-            bb.select(F.col("id").alias("src"), "band", "bucket")
-            .join(bb.select(F.col("id").alias("dst"), "band", "bucket"),
-                  ["band", "bucket"])
-            .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst")
-            .distinct()
-        )
-        pairs = cand.join(a, "src").join(b, "dst")
-    sims = pairs.select(
-        "src", "dst",
-        F.round(_dot_batch(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb")), 6)
-        .alias("cos_sim"))
+        local = _bucket_topk_local(emb, bb, k, vec_col, id_col)
+        sims = local.groupBy("src", "dst").agg(
+            F.max("cos_sim").alias("cos_sim"))
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(),
                                           F.col("dst").asc())
     knn = (sims.withColumn("rank", F.row_number().over(w).cast("long"))
