@@ -22,6 +22,8 @@ correctness oracle.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -527,4 +529,72 @@ def merge_near_dups(pairs: DataFrame, scores: DataFrame) -> DataFrame:
                 F.col("doc_id").alias("keep_doc_id"),
                 "cluster_size",
                 F.col("quality").alias("keep_quality"))
+    )
+
+
+def source_overlap(docs: DataFrame, min_shared: int = 1,
+                   shingle_width: int = 5,
+                   df_cap: Optional[int] = None) -> DataFrame:
+    """Cross-source content overlap ("fork detection"): for every pair of
+    sources sharing >= ``min_shared`` content shingles, the shared count,
+    Jaccard, and containment of their per-source shingle SETS.
+
+    This is the repo-level view of the corpus north star: in a
+    trillion-file repository table, pairs of repos with high containment
+    are forks/vendored copies.  ``shingle_width`` > 0 keys on word
+    ``shingle_width``-gram shingles (catches partial/vendored copies);
+    ``shingle_width = 0`` keys on whole-document sha256(text) — the
+    per-row invariant the corpus source exposes (sources/corpus.py
+    content_sha256) — i.e. exact-file fork detection.
+
+    Spark shape: distinct (source, md5(shingle)) → inverted index on the
+    hash → hash-key self-join (sa < sb) → one groupBy((sa, sb)).count + a
+    size join.  md5 (not xxhash64) so the DuckDB oracle replays the key
+    byte-for-byte.  ``df_cap`` drops shingles present in more than df_cap
+    sources (boilerplate like LICENSE text — near-zero pair
+    discrimination, quadratic pair fan-out), the same frequency-sieve
+    argument as token_jaccard_pairs' df_cap; set sizes stay the TRUE
+    sizes so retained pairs keep exact denominators.  At 100 TB the only
+    wide exchange is the hash-keyed shuffle; pair fan-out per shingle is
+    bounded by df_cap².
+    """
+    if shingle_width <= 0:
+        keyed = docs.select(
+            F.col("source"), F.sha2(F.col("text"), 256).alias("h"))
+    else:
+        w = shingle_width
+        shingles = F.expr(
+            f"CASE WHEN size(toks) < {w} THEN array()"
+            f" ELSE transform(sequence(1, size(toks) - {w - 1}),"
+            f" i -> concat_ws(' ', slice(toks, i, {w}))) END")
+        keyed = (
+            docs.select("source", tokens_col().alias("toks"))
+            .select("source", F.explode(shingles).alias("sg"))
+            .select("source", F.md5(F.col("sg")).alias("h"))
+        )
+    sh = keyed.distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    idx = sh
+    if df_cap is not None:
+        freq = sh.groupBy("h").agg(F.count("*").alias("_df"))
+        idx = sh.join(freq.filter(F.col("_df") <= df_cap).select("h"), "h")
+    pairs = (
+        idx.alias("a")
+        .join(idx.alias("b"),
+              (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(na, "src_a").join(nb, "src_b")
+        .select(
+            "src_a", "src_b", "shared",
+            F.round(F.col("shared") / (F.col("_na") + F.col("_nb") - F.col("shared")), 6)
+            .alias("jaccard"),
+            F.round(F.col("shared") / F.least(F.col("_na"), F.col("_nb")), 6)
+            .alias("containment"),
+        )
     )

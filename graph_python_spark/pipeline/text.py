@@ -470,3 +470,55 @@ def quality_by_source(docs: DataFrame) -> DataFrame:
                     / F.col("n_docs").cast("double"), 6),
         )
     )
+
+
+def pmi_topk(docs: DataFrame, k: int = 50, min_count: int = 5) -> DataFrame:
+    """Top-k adjacent-token pairs by pointwise mutual information —
+    collocation mining over the corpus (the phrase-detection primitive of
+    word2vec-style pipelines):
+
+        pmi(w1 w2) = ln( count(w1 w2) · N / (count(w1 ·) · count(· w2)) )
+
+    with N = total bigram positions and positional unigram counts (w1 as
+    a left word, w2 as a right word), so every probability is over the
+    same bigram-position sample space and the measure is exactly MLE PMI.
+
+    Plan: the same array-local bigram relation as bigram_logprob_scores,
+    ONE groupBy on the bigram key (map-side partials), positional unigram
+    counts aggregated FROM the bigram counts (tiny second aggregation over
+    distinct bigrams, not the corpus), a 1-row N fold broadcast, and a
+    TakeOrdered top-k — no windows, no second corpus pass.  ``min_count``
+    is the standard low-frequency sieve (PMI explodes on hapax pairs).
+    """
+    bigrams = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END")
+    db = (
+        docs.select(tokens_col().alias("toks"))
+        .select(F.explode(bigrams).alias("bg"))
+    )
+    counts = db.groupBy("bg").agg(F.count("*").alias("cbg")).cache()
+    left = (
+        counts.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("cbg").alias("cw1"))
+    )
+    right = (
+        counts.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"))
+        .agg(F.sum("cbg").alias("cw2"))
+    )
+    total = counts.agg(F.sum("cbg").alias("n_total"))
+    return (
+        counts.filter(F.col("cbg") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(left, "w1").join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bg", F.col("cbg").cast("long").alias("n_pair"),
+            F.round(F.log(F.col("cbg").cast("double") * F.col("n_total")
+                          / (F.col("cw1") * F.col("cw2"))), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(k)
+    )

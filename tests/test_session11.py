@@ -1,0 +1,140 @@
+"""Differential tests for the round-3 session-11 additions: SimRank vs a
+dense NumPy oracle, degree relabeling permutation/ordering invariants,
+source shingle-overlap exact values, and PMI collocations vs a hand
+oracle."""
+
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from graph_python_spark.algorithms.relabel import degree_relabel, relabel_locality
+from graph_python_spark.algorithms.simrank import simrank
+from graph_python_spark.pipeline.dedup import source_overlap
+from graph_python_spark.pipeline.text import pmi_topk
+
+
+def edge_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long")
+
+
+def rand_graph(n=30, m=120, seed=11):
+    rng = random.Random(seed)
+    return [(a, b) for a, b in
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(m)} if a != b]
+
+
+def simrank_dense(pairs, n, iters, c):
+    """Dense O(n^2) SimRank oracle: S_{k+1} = c * D^-1 (A^T S A) D^-1 with
+    diag pinned to 1, S_0 = I, zero where an endpoint has no in-edges."""
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[a, b] = 1.0
+    ind = A.sum(axis=0)
+    S = np.eye(n)
+    for _ in range(iters):
+        T = A.T @ S @ A
+        denom = np.outer(ind, ind)
+        new = np.zeros((n, n))
+        nz = denom > 0
+        new[nz] = c * T[nz] / denom[nz]
+        np.fill_diagonal(new, 1.0)
+        S = new
+    return S
+
+
+def test_simrank_random(spark):
+    pairs = rand_graph()
+    n = max(max(p) for p in pairs) + 1
+    for iters in (1, 2, 3):
+        got = {(r["u"], r["v"]): r["score"]
+               for r in simrank(edge_df(spark, pairs), iters=iters, c=0.8).collect()}
+        S = simrank_dense(pairs, n, iters, 0.8)
+        for u in range(n):
+            for v in range(u + 1, n):
+                assert np.isclose(got.get((u, v), 0.0), S[u, v], atol=1e-9), \
+                    (iters, u, v)
+
+
+def test_simrank_eps_prunes_only_small(spark):
+    pairs = rand_graph(seed=12)
+    full = {(r["u"], r["v"]): r["score"]
+            for r in simrank(edge_df(spark, pairs), iters=2).collect()}
+    kept = {(r["u"], r["v"]): r["score"]
+            for r in simrank(edge_df(spark, pairs), iters=2, eps=0.01).collect()}
+    for k, s in kept.items():
+        assert np.isclose(s, full[k], atol=1e-9)
+    # everything surviving the sieve is above it
+    assert all(s >= 0.01 for s in kept.values())
+
+
+def test_degree_relabel_permutation(spark):
+    pairs = rand_graph(seed=13)
+    rows = degree_relabel(edge_df(spark, pairs)).collect()
+    new_ids = sorted(r["new_id"] for r in rows)
+    assert new_ids == list(range(len(rows)))  # dense bijection
+    by_rank = sorted(rows, key=lambda r: r["new_id"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a["deg"], -a["id"]) >= (b["deg"], -b["id"])  # deg desc, id asc
+    # hubs first: rank 0 is a max-degree vertex
+    assert by_rank[0]["deg"] == max(r["deg"] for r in rows)
+
+
+def test_relabel_locality_counts_edges(spark):
+    pairs = rand_graph(seed=14)
+    e = edge_df(spark, pairs)
+    rep = relabel_locality(e, degree_relabel(e)).collect()[0]
+    und = {(min(a, b), max(a, b)) for a, b in pairs}
+    assert rep["n_edges"] == len(und)
+    assert rep["mean_gap_old"] > 0 and rep["mean_gap_new"] > 0
+
+
+def test_source_overlap_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f", "s1"),
+            (1, "a b c d e g", "s2"),   # shares shingle "a b c d e" with s1
+            (2, "x y z w q r", "s3"),   # no overlap
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap(docs, shingle_width=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # s1: {abcde, bcdef}; s2: {abcde, bcdeg}; shared {abcde}
+    assert (r["src_a"], r["src_b"], r["shared"]) == ("s1", "s2", 1)
+    assert np.isclose(r["jaccard"], 1 / 3)
+    assert np.isclose(r["containment"], 1 / 2)
+
+
+def test_source_overlap_df_cap(spark):
+    # a shingle present in all 3 sources is dropped at df_cap=2, so only
+    # the pair sharing a rarer shingle survives
+    docs = spark.createDataFrame(
+        [
+            (0, "c o m m o n", "s1"),
+            (1, "c o m m o n x", "s2"),
+            (2, "c o m m o n y", "s3"),
+            (3, "r a r e p q", "s1"),
+            (4, "r a r e p q z", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap(docs, shingle_width=6, df_cap=2).collect()
+    got = {(r["src_a"], r["src_b"]): r["shared"] for r in rows}
+    assert got == {("s1", "s2"): 1}
+
+
+def test_pmi_topk_hand(spark):
+    # corpus: "a b" x3, "a c" x1 -> bigrams: ab,ab,ab,ac
+    docs = spark.createDataFrame(
+        [(0, "a b", "s"), (1, "a b", "s"), (2, "a b", "s"), (3, "a c", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = pmi_topk(docs, k=10, min_count=1).collect()
+    got = {r["bg"]: (r["n_pair"], r["pmi"]) for r in rows}
+    # N=4, left(a)=4; right(b)=3, right(c)=1
+    assert got["a b"][0] == 3
+    assert np.isclose(got["a b"][1], round(np.log(3 * 4 / (4 * 3)), 6))
+    assert np.isclose(got["a c"][1], round(np.log(1 * 4 / (4 * 1)), 6))
