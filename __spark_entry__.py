@@ -1713,6 +1713,26 @@ def q_pmi_topk(spark, sf_dir):
     return text.pmi_topk(_docs(spark, sf_dir), k=PMI_TOPK, min_count=PMI_MIN_COUNT)
 
 
+TRUST_SEEDS = 5
+TRUST_ITERS = 8
+
+
+def q_spam_mass(spark, sf_dir):
+    """Relative spam mass (VLDB'06): full PageRank vs core-biased PageRank
+    teleporting only to the TRUST_SEEDS smallest vertex ids."""
+    from graph_python_spark.algorithms.trustrank import spam_mass
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    trusted = verts.orderBy("id").limit(TRUST_SEEDS)
+    out = spam_mass(e, trusted, iterations=TRUST_ITERS)
+    return out.select("id", F.round("pr", 9).alias("pr"),
+                      F.round("core_pr", 9).alias("core_pr"),
+                      F.round("spam_mass", 6).alias("spam_mass"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-query correctness window (first 50
     # entries) covers the session-3..10 operators that had only
@@ -1778,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relabel_locality": q_relabel_locality,
         "dist_hist": q_dist_hist,
         "pmi_topk": q_pmi_topk,
+        "spam_mass": q_spam_mass,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
         "knn_graph": q_knn_graph,
@@ -5301,4 +5322,48 @@ JOIN rgt ON split_part(bg, ' ', 2) = rgt.w2
 WHERE cbg >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, bg LIMIT {PMI_TOPK}"""
 
+    sqls["spam_mass"] = _spam_mass_sql(TRUST_ITERS, TRUST_SEEDS)
+
     return sqls
+
+
+def _spam_mass_sql(iters: int, n_seeds: int, damping: float = 0.85) -> str:
+    """Unrolled full pagerank_3f AND core-biased variant (teleport 1/n on
+    the n_seeds smallest ids only), joined into the VLDB'06 relative spam
+    mass — mirrors algorithms/trustrank.spam_mass."""
+    head = f"""WITH {customer_graph_sql().strip().rstrip(')')}
+),
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+nvv AS (SELECT count(*) AS n FROM verts),
+deg AS (SELECT src, count(*) AS d FROM eb GROUP BY src),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+p0 AS (SELECT id AS i, 1.0 / (SELECT n FROM nvv) AS v FROM verts),
+c0 AS (SELECT id AS i, 1.0 / (SELECT n FROM nvv) AS v FROM seeds)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT vt.id AS i,
+         ({1.0 - damping} / (SELECT n FROM nvv)) + COALESCE(c.c, 0.0) AS v
+  FROM verts vt LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.v * ({damping} / deg.d)) AS c
+    FROM eb e JOIN p{k - 1} r ON e.src = r.i JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON vt.id = c.id
+),
+c{k} AS MATERIALIZED (
+  SELECT COALESCE(tl.i, c.i) AS i, COALESCE(tl.p, 0) + COALESCE(c.c, 0) AS v
+  FROM (SELECT id AS i, {1.0 - damping} / (SELECT n FROM nvv) AS p FROM seeds) tl
+  FULL OUTER JOIN (
+    SELECT e.dst AS i, SUM(r.v * ({damping} / deg.d)) AS c
+    FROM eb e JOIN c{k - 1} r ON e.src = r.i JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON tl.i = c.i
+)"""
+        )
+    return head + "".join(steps) + f"""
+SELECT p.i AS id, ROUND(p.v, 9) AS pr,
+       ROUND(COALESCE(c.v, 0.0), 9) AS core_pr,
+       ROUND((p.v - COALESCE(c.v, 0.0)) / p.v, 6) AS spam_mass
+FROM p{iters} p LEFT JOIN c{iters} c ON p.i = c.i"""

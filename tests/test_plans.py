@@ -44,6 +44,7 @@ BNLJ_ALLOW = {
     "triad_census": (1, "broadcast 1-row edge/vertex-count fold"),
     "attr_assortativity": (1, "broadcast 1-row moment fold"),
     "degree_drift": (3, "two snapshot 1-row mass folds + TV-distance merge"),
+    "pmi_topk": (1, "broadcast 1-row total-bigram-count fold"),
 }
 
 # name -> (max Exchange SinglePartition, reason)
@@ -67,6 +68,9 @@ SP_ALLOW = {
     "tfidf_topk": (1, "1-row document-count fold"),
     "triad_census": (2, "count folds feeding the census algebra"),
     "degree_drift": (3, "snapshot mass folds"),
+    "degree_relabel": (1, "two-phase rank: ≤256-row partition-offset relation"),
+    "relabel_locality": (3, "rank offsets (×2 mapping reuse) + 1-row gap fold"),
+    "pmi_topk": (1, "1-row total-bigram-count fold"),
 }
 
 
