@@ -126,6 +126,11 @@ def run_headlines(spark, results: dict) -> None:
         "pipeline_pack", "pagerank_incr",
         # late session 10: warm-start CC, quadrilateral census
         "cc_incr", "four_cycles",
+        # round 3 sessions 11-12: host quotient ranking, multi-landmark BFS,
+        # batch PPR, semi-supervised spreading over the LSH kNN graph,
+        # pair similarity, fork detection, spam mass
+        "hostrank", "landmark_dist", "ppr_batch", "label_spread",
+        "simrank", "source_overlap", "spam_mass",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

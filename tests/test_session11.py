@@ -90,6 +90,23 @@ def test_relabel_locality_counts_edges(spark):
     assert rep["mean_gap_old"] > 0 and rep["mean_gap_new"] > 0
 
 
+def test_relabel_locality_improves_on_hub_cluster(spark):
+    # 20 interconnected hubs at spread-out original ids inside 1000
+    # degree-1 leaves: degree-desc relabeling packs the hubs into ids
+    # 0..19, collapsing every hub-hub gap (the WebGraph compression win).
+    # On uniform-random endpoints the metric is permutation-invariant
+    # (E|Δ| = n/3 for ANY labeling) so only a clustered fixture shows it.
+    rng = random.Random(15)
+    hubs = sorted(rng.sample(range(1000), 20))
+    pairs = [(a, b) for a in hubs for b in hubs if a < b]
+    leaves = [v for v in range(1000) if v not in hubs]
+    for k, leaf in enumerate(leaves[:100]):
+        pairs.append((hubs[k % 20], leaf))
+    e = edge_df(spark, pairs)
+    rep = relabel_locality(e, degree_relabel(e)).collect()[0]
+    assert rep["mean_gap_new"] < rep["mean_gap_old"]
+
+
 def test_source_overlap_exact(spark):
     docs = spark.createDataFrame(
         [
