@@ -124,14 +124,30 @@ def read_corpus(spark: SparkSession, source: str) -> DataFrame:
 def vertex_dictionary(corpus: DataFrame) -> DataFrame:
     """Dense deterministic ids: sorted (repo, path) -> id (FIXTURES.md §2).
 
-    zipWithIndex on the sorted distinct file list — a single total-order
-    sort, done once per corpus load, never per iteration.
+    Two-phase global rank in pure DataFrame ops (no RDD / per-row Python,
+    per the input_hint): range-repartition on (repo, path), row_number
+    locally per partition in parallel, add the O(P) per-partition offsets
+    (the only ordering window runs on the partition-count-sized offset
+    relation, never the file list).  Done once per corpus load, never per
+    iteration.
     """
-    files = corpus.select("repo", "path").distinct().orderBy("repo", "path")
-    spark = corpus.sparkSession
-    rdd = files.rdd.map(lambda r: (r["repo"], r["path"])).zipWithIndex()
-    return spark.createDataFrame(
-        rdd.map(lambda t: (t[1], t[0][0], t[0][1])), "id long, repo string, path string"
+    from pyspark.sql import Window
+
+    order = [F.col("repo").asc(), F.col("path").asc()]
+    rp = (
+        corpus.select("repo", "path").distinct()
+        .repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = rp.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"))
+    wloc = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        rp.join(F.broadcast(offsets), "_pid")
+        .select((F.row_number().over(wloc) + F.col("_off") - 1).alias("id"),
+                "repo", "path")
     )
 
 
