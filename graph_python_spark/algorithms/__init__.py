@@ -40,6 +40,9 @@ from graph_python_spark.algorithms.metrics import (
 )
 from graph_python_spark.algorithms.contract import contract_graph
 from graph_python_spark.algorithms.wl import wl_fingerprints, wl_label_histogram
+from graph_python_spark.algorithms.simrank import simrank
+from graph_python_spark.algorithms.relabel import degree_relabel, relabel_locality
+from graph_python_spark.algorithms.trustrank import spam_mass, trustrank_fixed
 from graph_python_spark.algorithms.walks import deterministic_walks, ranked_adjacency
 from graph_python_spark.algorithms.anf import anf_sketches
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
@@ -87,4 +90,9 @@ __all__ = [
     "wl_label_histogram",
     "degree_quantiles",
     "vertex_features",
+    "simrank",
+    "degree_relabel",
+    "relabel_locality",
+    "trustrank_fixed",
+    "spam_mass",
 ]
