@@ -1715,6 +1715,16 @@ def q_pmi_topk(spark, sf_dir):
 
 TRUST_SEEDS = 5
 TRUST_ITERS = 8
+PQ_M = 4              # subspaces (dim 64 -> 16 components each)
+PQ_K = 16             # codewords per subspace (4 bits)
+PQ_ITERS = 2
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes: m independent per-subspace Lloyd
+    codebooks batched in one loop; (vec_id, sub, code, dist2) long form."""
+    return similarity.pq_codes(_emb(spark, sf_dir), dim=64, m=PQ_M, k=PQ_K,
+                               iterations=PQ_ITERS)
 
 
 def q_spam_mass(spark, sf_dir):
@@ -1799,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_hist": q_dist_hist,
         "pmi_topk": q_pmi_topk,
         "spam_mass": q_spam_mass,
+        "pq_codes": q_pq_codes,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
         "knn_graph": q_knn_graph,
@@ -5323,8 +5334,67 @@ WHERE cbg >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, bg LIMIT {PMI_TOPK}"""
 
     sqls["spam_mass"] = _spam_mass_sql(TRUST_ITERS, TRUST_SEEDS)
+    sqls["pq_codes"] = _pq_sql(PQ_M, PQ_K, PQ_ITERS, dim=64)
 
     return sqls
+
+
+def _pq_sql(m: int, k: int, iters: int, dim: int) -> str:
+    """Unrolled per-subspace Lloyd codebooks (product quantization) —
+    mirrors pipeline/similarity.pq_codes: same md5-ordered init rows for
+    every subspace, argmin of pp - 2*pc + cc with (d2, cid) tie-break,
+    quantized component means (the kmeans_fixed determinism contract,
+    per (sub, cid))."""
+    from graph_python_spark.pipeline.similarity import KMEANS_SCALE
+
+    sub_len = dim // m
+    d2 = _D2_SQL
+    head = f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sub0 AS (SELECT UNNEST(generate_series(0, {m - 1})) AS sub),
+p AS (SELECT v.vec_id, s.sub,
+             v.emb[s.sub * {sub_len} + 1 : s.sub * {sub_len} + {sub_len}] AS emb
+      FROM v CROSS JOIN sub0 s),
+init AS (
+  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                             vec_id ASC) - 1) AS cid,
+         emb
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                             vec_id ASC) <= {k}
+),
+cent0 AS (SELECT s.sub, i.cid,
+                 i.emb[s.sub * {sub_len} + 1 : s.sub * {sub_len} + {sub_len}] AS c
+          FROM init i CROSS JOIN sub0 s)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+asg{t} AS MATERIALIZED (
+  SELECT sub, vec_id, emb, cid FROM (
+    SELECT p.sub, p.vec_id, p.emb, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id, p.sub
+                              ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM p JOIN cent{t - 1} c ON c.sub = p.sub
+  ) WHERE rn = 1
+),
+cent{t} AS MATERIALIZED (
+  SELECT sub, cid, list(val ORDER BY pos) AS c FROM (
+    SELECT r.sub, r.cid, i.pos,
+           CAST(SUM(CAST(ROUND(r.emb[i.pos] * {float(KMEANS_SCALE)}) AS BIGINT))
+                AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * {float(KMEANS_SCALE)}) AS val
+    FROM asg{t} r
+    CROSS JOIN (SELECT UNNEST(generate_series(1, {sub_len})) AS pos) i
+    GROUP BY r.sub, r.cid, i.pos
+  ) GROUP BY sub, cid
+)""")
+    return head + "".join(steps) + f"""
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
+       ROUND(d2, 6) AS dist2 FROM (
+  SELECT p.vec_id, p.sub, c.cid, {d2} AS d2,
+         row_number() OVER (PARTITION BY p.vec_id, p.sub
+                            ORDER BY {d2} ASC, c.cid ASC) AS rn
+  FROM p JOIN cent{iters} c ON c.sub = p.sub
+) WHERE rn = 1"""
 
 
 def _spam_mass_sql(iters: int, n_seeds: int, damping: float = 0.85) -> str:

@@ -20,9 +20,12 @@ Splitting S = I + S_off makes the sweep two relational pieces:
 
 Scale notes (100 TB): the score relation only ever holds pairs reachable
 by co-ancestry, and every iteration multiplies scores by C/(|I(a)||I(b)|)
-≤ C < 1, so mass decays geometrically; ``eps`` prunes pairs whose score
-can no longer matter, bounding the pair relation between iterations
-(standard threshold-sieved SimRank).  ``max_indegree`` prunes the wedge
+≤ C < 1, so mass decays geometrically; ``eps`` prunes sub-threshold pairs
+from EVERY iterate (including s₁, whose unsieved expansion through the
+double edge join is the pair-volume blowup), bounding the pair relation
+between iterations.  Sieved scores are a LOWER BOUND of exact — they lose
+only contributions flowing through pruned sub-eps pairs (standard
+threshold-sieved SimRank).  ``max_indegree`` prunes the wedge
 fan-out THROUGH mega-in-degree hubs exactly as vertexsim.jaccard does —
 a hub contributes 1/|I|² ≈ 0 score anyway.  Both default off = exact,
 which is what the DuckDB-oracled query runs at test scale.
@@ -78,6 +81,13 @@ def simrank(
         "u", "v",
         (F.lit(c) * F.col("cnt") / (F.col("ind_u") * F.col("ind_v"))).alias("score"),
     )
+    if eps > 0.0:
+        # sieve EVERY iterate, including s1: the next sweep expands the
+        # score relation by ~avg_outdeg² through the double edge join, so
+        # an unsieved s1 is exactly the pair-volume blowup eps exists to
+        # bound (measured: 5.7M-edge Zipf fixture spilled the disk dry
+        # from s1's expansion before this filter was hoisted).
+        s = s.filter(F.col("score") >= eps)
     for _ in range(iters - 1):
         sym = s.select(F.col("u").alias("i"), F.col("v").alias("j"), "score").unionByName(
             s.select(F.col("v").alias("i"), F.col("u").alias("j"), "score"))

@@ -776,6 +776,115 @@ def centroid_classify(emb: DataFrame,
     )
 
 
+def pq_codes(emb: DataFrame, dim: int, m: int = 4, k: int = 16,
+             iterations: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization codes (Jegou, Douze, Schmid: "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``m`` contiguous subvectors of dim/m components, learn an
+    independent k-codeword Lloyd codebook per subspace, and emit each
+    vector's per-subspace code — the m·log2(k)-bit compressed
+    representation ANN indexes (IVF-PQ) store instead of raw floats.
+
+    All m subspace k-means runs advance in ONE loop: the training state is
+    keyed (sub, vec_id) and centroids (sub, cid), so m codebooks cost the
+    same number of shuffles as one (the multi-source batching of
+    ``ppr_batch``/``landmark_distances`` applied to Lloyd iteration).
+    Assignment broadcasts all m·k centroids grouped per subspace and folds
+    map-side — zero shuffle; the only per-iteration exchange is the
+    groupBy(sub, cid, pos) of quantized components (k·dim rows after
+    map-side partials).
+
+    Determinism follows the kmeans_fixed oracle contract exactly: init
+    codewords are the k smallest-md5(vec_id) vectors' subvectors (same
+    rows for every subspace), assignment argmin is pp - 2·pc + cc with
+    (d2, cid) tie-break, updates are quantized-integer means.
+
+    Returns the long form (vec_id, sub, code, dist2): one row per vector
+    per subspace, dist2 the squared subspace residual rounded 1e-6 —
+    Σ_sub dist2 is the vector's total quantization error.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_len = dim // m
+
+    def slices(vec: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                F.transform(F.slice(vec, j * sub_len + 1, sub_len),
+                            lambda x: x.cast("double")).alias("v"),
+            )
+            for j in range(m)
+        ])
+
+    pts = (
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.explode(slices(F.col(vec_col))).alias("_s"))
+        .select("vec_id", F.col("_s.sub").alias("sub"),
+                F.col("_s.v").alias("_v"))
+        .withColumn("_pp", _dot(F.col("_v"), F.col("_v")))
+    )
+
+    # init: the k smallest-digest FULL vectors once (one distributed
+    # TakeOrdered), sliced into every subspace
+    cents = (
+        emb.select(F.md5(F.col(id_col).cast("string")).alias("_d"),
+                   F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_f"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .agg(F.array_sort(F.collect_list(F.struct("_d", "vec_id", "_f"))).alias("_cs"))
+        .select(F.posexplode("_cs").alias("_cid", "_row"))
+        .select(F.col("_cid").cast("long").alias("cid"),
+                F.explode(slices(F.col("_row._f"))).alias("_s"))
+        .select(F.col("_s.sub").alias("sub"), "cid", F.col("_s.v").alias("_c"))
+    )
+
+    def assign(cframe: DataFrame) -> DataFrame:
+        cc = cframe.withColumn("_cc", _dot(F.col("_c"), F.col("_c")))
+        carr = cc.groupBy("sub").agg(
+            F.collect_list(F.struct("cid", "_c", "_cc")).alias("_cs"))
+        init = F.struct(F.lit(float("inf")).alias("_d2"),
+                        F.lit(-1).cast("long").alias("cid"))
+
+        def step(acc, c):
+            d2 = (F.col("_pp") - F.lit(2.0) * _dot(F.col("_v"), c["_c"])
+                  + c["_cc"])
+            better = (d2 < acc["_d2"]) | ((d2 == acc["_d2"])
+                                          & (c["cid"] < acc["cid"]))
+            return F.when(better, F.struct(d2.alias("_d2"),
+                                           c["cid"].alias("cid"))) \
+                    .otherwise(acc)
+
+        best = F.aggregate(F.col("_cs"), init, step)
+        return pts.join(F.broadcast(carr), "sub").select(
+            "vec_id", "sub", "_v", best["_d2"].alias("_d2"),
+            best["cid"].alias("cid"))
+
+    for _ in range(iterations):
+        asg = assign(cents)
+        cents = (
+            asg.select("sub", "cid", F.posexplode("_v").alias("pos", "_x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.sum(F.round(F.col("_x") * F.lit(float(KMEANS_SCALE)))
+                       .cast("long")).alias("_s"),
+                 F.count("*").alias("_n"))
+            .select("sub", "cid", "pos",
+                    (F.col("_s").cast("double")
+                     / (F.col("_n").cast("double") * F.lit(float(KMEANS_SCALE))))
+                    .alias("_val"))
+            .groupBy("sub", "cid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_val"))),
+                lambda s: s["_val"]).alias("_c"))
+        )
+        cents = cents.localCheckpoint(eager=True)
+
+    final = assign(cents)
+    return final.select("vec_id", "sub", F.col("cid").alias("code"),
+                        F.round("_d2", 6).alias("dist2"))
+
+
 def semantic_dedup(emb: DataFrame, k: int = 8, iterations: int = 2,
                    threshold: float = 0.92,
                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -63,10 +63,18 @@ def test_simrank_eps_prunes_only_small(spark):
             for r in simrank(edge_df(spark, pairs), iters=2).collect()}
     kept = {(r["u"], r["v"]): r["score"]
             for r in simrank(edge_df(spark, pairs), iters=2, eps=0.01).collect()}
+    # the sieve drops sub-eps pairs from EVERY iterate (that bound is what
+    # keeps the pair relation from exploding at scale), so each surviving
+    # score is a lower bound of the exact score: it loses only the
+    # contributions that flowed through pruned sub-eps pairs
     for k, s in kept.items():
-        assert np.isclose(s, full[k], atol=1e-9)
+        assert s <= full[k] + 1e-9
     # everything surviving the sieve is above it
     assert all(s >= 0.01 for s in kept.values())
+    # pairs comfortably above the sieve are never lost outright
+    for k, s in full.items():
+        if s >= 0.1:
+            assert k in kept
 
 
 def test_degree_relabel_permutation(spark):
