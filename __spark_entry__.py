@@ -1718,6 +1718,24 @@ TRUST_ITERS = 8
 PQ_M = 4              # subspaces (dim 64 -> 16 components each)
 PQ_K = 16             # codewords per subspace (4 bits)
 PQ_ITERS = 2
+IC_P = 0.25           # IC edge-liveness probability
+IC_SAMPLES = 4
+IC_ROUNDS = 4
+IC_SALT = 101
+
+
+def q_influence(spark, sf_dir):
+    """Monte-Carlo IC influence spread from the 3 smallest vertex ids:
+    per-sample reach, all samples batched in one (sample, id) frontier."""
+    from graph_python_spark.algorithms.influence import influence_spread
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(3)
+    return influence_spread(e, seeds, p=IC_P, samples=IC_SAMPLES,
+                            rounds=IC_ROUNDS, salt=IC_SALT)
 
 
 def q_pq_codes(spark, sf_dir):
@@ -1810,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_topk": q_pmi_topk,
         "spam_mass": q_spam_mass,
         "pq_codes": q_pq_codes,
+        "influence": q_influence,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
         "knn_graph": q_knn_graph,
@@ -5335,8 +5354,41 @@ ORDER BY pmi DESC, bg LIMIT {PMI_TOPK}"""
 
     sqls["spam_mass"] = _spam_mass_sql(TRUST_ITERS, TRUST_SEEDS)
     sqls["pq_codes"] = _pq_sql(PQ_M, PQ_K, PQ_ITERS, dim=64)
+    sqls["influence"] = _influence_sql(IC_P, IC_SAMPLES, IC_ROUNDS, IC_SALT)
 
     return sqls
+
+
+def _influence_sql(p: float, samples: int, rounds: int, salt: int) -> str:
+    """Unrolled IC-model Monte-Carlo reach — mirrors
+    algorithms/influence.influence_spread: the same chained affine-mod
+    edge coin (exact BIGINT math) and one BFS union per round."""
+    coin = (f"CAST(((((e.i * 1000003 + {salt}) % 1000000007) * 1000003 + e.j)"
+            f" % 1000000007 * 1000003 + f.sample) % 1000000007"
+            f" * 1000003 + 99991 AS BIGINT) % 1000000007")
+    coin = f"(({coin}) + 1) / 1000000007.0"
+    head = f"""WITH {customer_graph_sql().strip()},
+e AS (SELECT DISTINCT src AS i, dst AS j FROM eg WHERE src <> dst),
+verts AS (SELECT i AS id FROM e UNION SELECT j FROM e),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),
+samp AS (SELECT UNNEST(generate_series(0, {samples - 1})) AS sample),
+r0 AS (SELECT t.sample, s.id FROM seeds s CROSS JOIN samp t),
+f0 AS (SELECT * FROM r0)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+nx{k} AS MATERIALIZED (
+  SELECT DISTINCT f.sample, e.j AS id
+  FROM f{k - 1} f JOIN e ON e.i = f.id
+  WHERE {coin} <= {p}
+    AND NOT EXISTS (SELECT 1 FROM r{k - 1} r
+                    WHERE r.sample = f.sample AND r.id = e.j)
+),
+r{k} AS MATERIALIZED (SELECT * FROM r{k - 1} UNION ALL SELECT * FROM nx{k}),
+f{k} AS (SELECT * FROM nx{k})""")
+    return head + "".join(steps) + f"""
+SELECT CAST(sample AS BIGINT) AS sample, CAST(COUNT(*) AS BIGINT) AS reached
+FROM r{rounds} GROUP BY 1"""
 
 
 def _pq_sql(m: int, k: int, iters: int, dim: int) -> str:

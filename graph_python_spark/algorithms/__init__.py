@@ -43,6 +43,7 @@ from graph_python_spark.algorithms.wl import wl_fingerprints, wl_label_histogram
 from graph_python_spark.algorithms.simrank import simrank
 from graph_python_spark.algorithms.relabel import degree_relabel, relabel_locality
 from graph_python_spark.algorithms.trustrank import spam_mass, trustrank_fixed
+from graph_python_spark.algorithms.influence import influence_spread
 from graph_python_spark.algorithms.walks import deterministic_walks, ranked_adjacency
 from graph_python_spark.algorithms.anf import anf_sketches
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
@@ -95,4 +96,5 @@ __all__ = [
     "relabel_locality",
     "trustrank_fixed",
     "spam_mass",
+    "influence_spread",
 ]
