@@ -1722,6 +1722,18 @@ IC_P = 0.25           # IC edge-liveness probability
 IC_SAMPLES = 4
 IC_ROUNDS = 4
 IC_SALT = 101
+ADC_TOPK = 5
+ADC_QUERIES = 8       # the 8 smallest vec_ids are the query set
+
+
+def q_pq_adc(spark, sf_dir):
+    """ADC top-k search over the PQ codes: compressed-scan approximate
+    nearest neighbors (the query half of the IVF-PQ pattern)."""
+    emb = _emb(spark, sf_dir)
+    qids = [r["vec_id"] for r in
+            emb.select("vec_id").orderBy("vec_id").limit(ADC_QUERIES).collect()]
+    return similarity.pq_adc_topk(emb, qids, dim=64, k=ADC_TOPK, m=PQ_M,
+                                  codebook_k=PQ_K, iterations=PQ_ITERS)
 
 
 def q_influence(spark, sf_dir):
@@ -1828,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_topk": q_pmi_topk,
         "spam_mass": q_spam_mass,
         "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
         "influence": q_influence,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
@@ -5355,6 +5368,8 @@ ORDER BY pmi DESC, bg LIMIT {PMI_TOPK}"""
     sqls["spam_mass"] = _spam_mass_sql(TRUST_ITERS, TRUST_SEEDS)
     sqls["pq_codes"] = _pq_sql(PQ_M, PQ_K, PQ_ITERS, dim=64)
     sqls["influence"] = _influence_sql(IC_P, IC_SAMPLES, IC_ROUNDS, IC_SALT)
+    sqls["pq_adc"] = _pq_adc_sql(PQ_M, PQ_K, PQ_ITERS, dim=64,
+                                 topk=ADC_TOPK, n_queries=ADC_QUERIES)
 
     return sqls
 
@@ -5391,17 +5406,16 @@ SELECT CAST(sample AS BIGINT) AS sample, CAST(COUNT(*) AS BIGINT) AS reached
 FROM r{rounds} GROUP BY 1"""
 
 
-def _pq_sql(m: int, k: int, iters: int, dim: int) -> str:
-    """Unrolled per-subspace Lloyd codebooks (product quantization) —
-    mirrors pipeline/similarity.pq_codes: same md5-ordered init rows for
-    every subspace, argmin of pp - 2*pc + cc with (d2, cid) tie-break,
-    quantized component means (the kmeans_fixed determinism contract,
-    per (sub, cid))."""
+def _pq_ctes(m: int, k: int, iters: int, dim: int) -> str:
+    """Shared WITH-body for the PQ oracles: per-subspace point relation
+    ``p``, md5-ordered init, ``iters`` unrolled Lloyd steps ending in
+    ``cent{iters}`` (the kmeans_fixed determinism contract per
+    (sub, cid)) — mirrors pipeline/similarity.pq_train."""
     from graph_python_spark.pipeline.similarity import KMEANS_SCALE
 
     sub_len = dim // m
     d2 = _D2_SQL
-    head = f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    head = f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 sub0 AS (SELECT UNNEST(generate_series(0, {m - 1})) AS sub),
 p AS (SELECT v.vec_id, s.sub,
              v.emb[s.sub * {sub_len} + 1 : s.sub * {sub_len} + {sub_len}] AS emb
@@ -5439,7 +5453,14 @@ cent{t} AS MATERIALIZED (
     GROUP BY r.sub, r.cid, i.pos
   ) GROUP BY sub, cid
 )""")
-    return head + "".join(steps) + f"""
+    return head + "".join(steps)
+
+
+def _pq_sql(m: int, k: int, iters: int, dim: int) -> str:
+    """Final PQ code assignment over the shared CTEs — mirrors
+    pipeline/similarity.pq_codes."""
+    d2 = _D2_SQL
+    return f"""WITH {_pq_ctes(m, k, iters, dim)}
 SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
        ROUND(d2, 6) AS dist2 FROM (
   SELECT p.vec_id, p.sub, c.cid, {d2} AS d2,
@@ -5447,6 +5468,42 @@ SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
                             ORDER BY {d2} ASC, c.cid ASC) AS rn
   FROM p JOIN cent{iters} c ON c.sub = p.sub
 ) WHERE rn = 1"""
+
+
+def _pq_adc_sql(m: int, k: int, iters: int, dim: int, topk: int,
+                n_queries: int) -> str:
+    """ADC top-k over the PQ codes — mirrors pipeline/similarity.
+    pq_adc_topk: per-query (sub, code) distance table joined to the code
+    relation, subspace distances summed, rank by (round(ad2,6), vec_id)."""
+    d2 = _D2_SQL
+    return f"""WITH {_pq_ctes(m, k, iters, dim)},
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT p.vec_id, p.sub, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id, p.sub
+                              ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM p JOIN cent{iters} c ON c.sub = p.sub
+  ) WHERE rn = 1
+),
+qids AS (SELECT vec_id AS id FROM v ORDER BY vec_id LIMIT {n_queries}),
+dt AS (
+  SELECT p.vec_id AS query_id, p.sub, c.cid AS code, {d2} AS d2
+  FROM p JOIN qids q ON q.id = p.vec_id
+  JOIN cent{iters} c ON c.sub = p.sub
+),
+ad AS (
+  SELECT d.query_id, co.vec_id, ROUND(SUM(d.d2), 6) AS adist2
+  FROM codes co JOIN dt d ON d.sub = co.sub AND d.code = co.code
+  WHERE co.vec_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, adist2
+FROM (
+  SELECT query_id, vec_id, adist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist2 ASC, vec_id ASC) AS rn
+  FROM ad
+) WHERE rn <= {topk}"""
 
 
 def _spam_mass_sql(iters: int, n_seeds: int, damping: float = 0.85) -> str:

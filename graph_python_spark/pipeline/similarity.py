@@ -804,6 +804,17 @@ def pq_codes(emb: DataFrame, dim: int, m: int = 4, k: int = 16,
     per subspace, dist2 the squared subspace residual rounded 1e-6 —
     Σ_sub dist2 is the vector's total quantization error.
     """
+    codes, _cents = pq_train(emb, dim, m, k, iterations, vec_col, id_col)
+    return codes
+
+
+def pq_train(emb: DataFrame, dim: int, m: int = 4, k: int = 16,
+             iterations: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> tuple[DataFrame, DataFrame]:
+    """Train the PQ codebooks and encode the corpus in one pass: returns
+    (codes, codebook) where codes is the ``pq_codes`` long form
+    (vec_id, sub, code, dist2) and codebook is (sub, cid, _c) — the m·k
+    codeword vectors ADC search scans against."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_len = dim // m
@@ -881,8 +892,72 @@ def pq_codes(emb: DataFrame, dim: int, m: int = 4, k: int = 16,
         cents = cents.localCheckpoint(eager=True)
 
     final = assign(cents)
-    return final.select("vec_id", "sub", F.col("cid").alias("code"),
-                        F.round("_d2", 6).alias("dist2"))
+    codes = final.select("vec_id", "sub", F.col("cid").alias("code"),
+                         F.round("_d2", 6).alias("dist2"))
+    return codes, cents
+
+
+def pq_adc_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
+                m: int = 4, codebook_k: int = 16, iterations: int = 2,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes (Jegou et al.
+    TPAMI'11 §IV): for each query, build the m x codebook_k table of
+    squared subspace distances from the query's subvectors to every
+    codeword, then score each database vector as the SUM of its m
+    table-looked-up entries — the scan touches only the CODES
+    (m·log2(k) bits/vector), never the float vectors; that compressed
+    scan is the entire point of PQ at 100 TB.
+
+    Plan: the distance table is |Q|·m·codebook_k rows built from two tiny
+    relations and BROADCAST; the code relation joins it map-side on
+    (sub, code) and one (query_id, vec_id)-keyed partial aggregation sums
+    the m subspace entries.  Ranking follows the cosine_topk baseline
+    contract: order by (round(adist2, 6) asc, vec_id asc) — rounding
+    absorbs float-sum association noise so rank is engine-stable.
+
+    Returns (query_id, neighbor_id, rank, adist2): the k approximate
+    nearest neighbors per query (self excluded), adist2 rounded 1e-6.
+    """
+    codes, cents = pq_train(emb, dim, m, codebook_k, iterations,
+                            vec_col, id_col)
+    sub_len = dim // m
+    qs = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(j).cast("long").alias("sub"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * sub_len + 1, sub_len),
+                            lambda x: x.cast("double")).alias("v"),
+                    )
+                    for j in range(m)
+                ])).alias("_s"))
+        .select("query_id", F.col("_s.sub").alias("sub"),
+                F.col("_s.v").alias("_qv"))
+    )
+    dtable = (
+        qs.join(cents, "sub")
+        .select("query_id", "sub", F.col("cid").alias("code"),
+                (_dot(F.col("_qv"), F.col("_qv"))
+                 - F.lit(2.0) * _dot(F.col("_qv"), F.col("_c"))
+                 + _dot(F.col("_c"), F.col("_c"))).alias("_d2"))
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist2").asc(),
+                                               F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("long").alias("rank"), "adist2")
+    )
 
 
 def semantic_dedup(emb: DataFrame, k: int = 8, iterations: int = 2,

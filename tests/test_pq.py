@@ -17,11 +17,15 @@ def _q(x):
 
 
 def _pq_numpy(X, m, k, iters):
+    """Returns (assignments {(i, sub): (d2, cid)}, codebooks {sub: {cid: c}})
+    — codebooks are the TRAINED centroids (after ``iters`` updates), the
+    ones the final assignment and ADC both score against."""
     n, dim = X.shape
     L = dim // m
     order = sorted(range(n),
                    key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
     out = {}
+    books = {}
     for sub in range(m):
         P = X[:, sub * L:(sub + 1) * L].astype(np.float64)
         C = {cid: P[order[cid]].copy() for cid in range(k)}
@@ -47,9 +51,10 @@ def _pq_numpy(X, m, k, iters):
                     s += np.array([_q(x) for x in P[i]])
                 newC[cid] = s.astype(np.float64) / (len(members) * KMEANS_SCALE)
             C = newC
+        books[sub] = C
         for i in range(n):
             out[(i, sub)] = asg[i]
-    return out
+    return out, books
 
 
 def test_pq_codes_vs_numpy(spark):
@@ -61,7 +66,7 @@ def test_pq_codes_vs_numpy(spark):
         "vec_id long, embedding array<double>")
     got = {(r.vec_id, r.sub): (r.code, r.dist2)
            for r in pq_codes(emb, dim=DIM, m=M, k=K, iterations=IT).collect()}
-    exp = _pq_numpy(X, M, K, IT)
+    exp, _books = _pq_numpy(X, M, K, IT)
     assert len(got) == N * M
     for key, (code, dist2) in got.items():
         d2, cid = exp[key]
@@ -81,3 +86,34 @@ def test_pq_reconstruction_improves_with_k(spark):
         df = pq_codes(emb, dim=DIM, m=2, k=k, iterations=2)
         errs[k] = df.groupBy().sum("dist2").collect()[0][0]
     assert errs[8] < errs[2]  # richer codebook -> lower quantization error
+
+
+def test_pq_adc_topk_vs_numpy(spark):
+    rng = np.random.RandomState(9)
+    N, DIM, M, K, IT, TOPK = 120, 16, 4, 8, 2, 5
+    X = np.round(rng.uniform(-1, 1, (N, DIM)), 3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(N)],
+        "vec_id long, embedding array<double>")
+    queries = [0, 7, 33]
+    from graph_python_spark.pipeline.similarity import pq_adc_topk
+    got = {}
+    for r in pq_adc_topk(emb, queries, dim=DIM, k=TOPK, m=M,
+                         codebook_k=K, iterations=IT).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.adist2))
+    exp_assign, books = _pq_numpy(X, M, K, IT)
+    L = DIM // M
+    for q in queries:
+        scores = []
+        for i in range(N):
+            if i == q:
+                continue
+            ad = 0.0
+            for sub in range(M):
+                qv = X[q, sub * L:(sub + 1) * L].astype(np.float64)
+                c = books[sub][exp_assign[(i, sub)][1]]
+                ad += qv @ qv - 2 * (qv @ c) + c @ c
+            scores.append((round(ad, 6), i))
+        scores.sort()
+        exp = [(r + 1, i, d) for r, (d, i) in enumerate(scores[:TOPK])]
+        assert sorted(got[q]) == exp, q
