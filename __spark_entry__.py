@@ -1773,6 +1773,18 @@ def q_spam_mass(spark, sf_dir):
                       F.round("spam_mass", 6).alias("spam_mass"))
 
 
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie structure report over the THINNED customer graph
+    (the dense one is a single giant SCC — no structure to report)."""
+    from graph_python_spark.algorithms.bowtie import bowtie_decomposition
+    from graph_python_spark.sources.tpch_graph import thinned_customer_graph
+
+    e = thinned_customer_graph(spark, sf_dir)
+    out = bowtie_decomposition(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")))
+    return out.select("id", "region")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-query correctness window (first 50
     # entries) covers the session-3..10 operators that had only
@@ -1842,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
         "influence": q_influence,
+        "bowtie": q_bowtie,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
         "knn_graph": q_knn_graph,
@@ -2679,6 +2692,57 @@ reach(s, d) AS (
 SELECT r1.s AS id, CAST(MIN(r1.d) AS BIGINT) AS component
 FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
 GROUP BY r1.s"""
+
+
+def _bowtie_sql() -> str:
+    """Bow-tie regions as a pure graph property over the thinned customer
+    graph, via ONE recursive transitive-closure CTE (fine at sf0.01; the
+    Spark side runs SCC + four frontier BFS sweeps and never materializes
+    a closure).  CORE = largest SCC (ties by min component id); CASE
+    precedence CORE > IN > OUT > TUBE > TENDRIL > DISCONNECTED mirrors
+    algorithms/bowtie.bowtie_decomposition."""
+    from graph_python_spark.sources.tpch_graph import \
+        thinned_customer_graph_sql
+    return f"""WITH RECURSIVE {thinned_customer_graph_sql().strip()},
+eb AS (SELECT src AS s, dst AS d FROM tg),
+verts AS (SELECT DISTINCT id FROM (
+  SELECT s AS id FROM eb UNION ALL SELECT d AS id FROM eb)),
+reach(s, d) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN eb e ON e.s = r.d
+),
+scc AS (
+  SELECT r1.s AS id, MIN(r1.d) AS component
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+  GROUP BY r1.s
+),
+core AS (
+  SELECT id FROM scc WHERE component = (
+    SELECT component FROM scc GROUP BY component
+    ORDER BY count(*) DESC, component ASC LIMIT 1)
+),
+fwd AS (SELECT DISTINCT r.d AS id FROM reach r JOIN core c ON r.s = c.id),
+bwd AS (SELECT DISTINCT r.s AS id FROM reach r JOIN core c ON r.d = c.id),
+inn AS (SELECT b.id FROM bwd b LEFT JOIN core c ON b.id = c.id
+        WHERE c.id IS NULL),
+outt AS (SELECT w.id FROM fwd w LEFT JOIN core c ON w.id = c.id
+         WHERE c.id IS NULL),
+fin AS (SELECT DISTINCT r.d AS id FROM reach r JOIN inn i ON r.s = i.id),
+bout AS (SELECT DISTINCT r.s AS id FROM reach r JOIN outt o ON r.d = o.id)
+SELECT v.id,
+       CASE WHEN c.id IS NOT NULL THEN 'CORE'
+            WHEN i.id IS NOT NULL THEN 'IN'
+            WHEN o.id IS NOT NULL THEN 'OUT'
+            WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'TUBE'
+            WHEN f.id IS NOT NULL OR b.id IS NOT NULL THEN 'TENDRIL'
+            ELSE 'DISCONNECTED' END AS region
+FROM verts v
+LEFT JOIN core c ON v.id = c.id
+LEFT JOIN inn i ON v.id = i.id
+LEFT JOIN outt o ON v.id = o.id
+LEFT JOIN fin f ON v.id = f.id
+LEFT JOIN bout b ON v.id = b.id"""
 
 
 def _katz_sql(iters: int, alpha: float) -> str:
@@ -3963,6 +4027,7 @@ FROM sp"""
     sqls["coloring"] = _coloring_sql(COLOR_ROUNDS)
     sqls["msf"] = _msf_sql(MSF_ROUNDS, MSF_JUMPS)
     sqls["scc"] = _scc_sql()
+    sqls["bowtie"] = _bowtie_sql()
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
     sqls["link_predict"] = _link_predict_sql(LP_MIN_COMMON)

@@ -44,6 +44,7 @@ from graph_python_spark.algorithms.simrank import simrank
 from graph_python_spark.algorithms.relabel import degree_relabel, relabel_locality
 from graph_python_spark.algorithms.trustrank import spam_mass, trustrank_fixed
 from graph_python_spark.algorithms.influence import influence_spread
+from graph_python_spark.algorithms.bowtie import bowtie_decomposition, reach_from
 from graph_python_spark.algorithms.walks import deterministic_walks, ranked_adjacency
 from graph_python_spark.algorithms.anf import anf_sketches
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
@@ -97,4 +98,6 @@ __all__ = [
     "trustrank_fixed",
     "spam_mass",
     "influence_spread",
+    "bowtie_decomposition",
+    "reach_from",
 ]

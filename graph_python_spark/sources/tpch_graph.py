@@ -54,6 +54,44 @@ eg AS (
 )"""
 
 
+THIN_PCT = 12
+THIN_MULT = 2654435761  # Knuth multiplicative hash constant (public domain)
+
+
+def thinned_customer_graph(spark: SparkSession, sf_dir: str,
+                           pct: int = THIN_PCT) -> DataFrame:
+    """Sparse variant of :func:`customer_graph` keeping ~pct% of order
+    edges via a deterministic multiplicative hash of o_orderkey — the
+    dense customer graph is one giant SCC, so structure reports (bow-tie)
+    need a thinned derivative with real IN/OUT/tendril regions.
+    (src long, dst long), unweighted, self-loops dropped."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = customer_count(spark, sf_dir)
+    return (
+        orders.filter((F.col("o_orderkey") * F.lit(THIN_MULT)) % 100
+                      < F.lit(pct))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def thinned_customer_graph_sql(pct: int = THIN_PCT) -> str:
+    """DuckDB CTE body reconstructing thinned_customer_graph as ``tg``."""
+    return f"""
+nv AS (SELECT count(*) AS n FROM customer),
+tg AS (
+  SELECT DISTINCT o_custkey AS src,
+         o_orderkey % (SELECT n FROM nv) AS dst
+  FROM orders
+  WHERE (o_orderkey * {THIN_MULT}) % 100 < {pct}
+    AND o_custkey <> o_orderkey % (SELECT n FROM nv)
+)"""
+
+
 def supplier_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
