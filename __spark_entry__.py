@@ -1773,6 +1773,23 @@ def q_spam_mass(spark, sf_dir):
                       F.round("spam_mass", 6).alias("spam_mass"))
 
 
+SAGE_SEEDS = 32
+SAGE_FANOUTS = (5, 3)
+
+
+def q_sage_sample(spark, sf_dir):
+    """GraphSAGE minibatch-block sampling: deterministic layered neighbor
+    sample (fanouts 5, 3) from the 32 smallest customer-graph vertices."""
+    from graph_python_spark.algorithms.walks import neighbor_sample
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    verts = (e.select(F.col("i").alias("id"))
+             .unionByName(e.select(F.col("j").alias("id"))).distinct())
+    seeds = verts.orderBy("id").limit(SAGE_SEEDS)
+    return neighbor_sample(e, seeds, fanouts=list(SAGE_FANOUTS))
+
+
 def q_bowtie(spark, sf_dir):
     """Broder bow-tie structure report over the THINNED customer graph
     (the dense one is a single giant SCC — no structure to report)."""
@@ -1855,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "influence": q_influence,
         "bowtie": q_bowtie,
+        "sage_sample": q_sage_sample,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
         "knn_graph": q_knn_graph,
@@ -2692,6 +2710,37 @@ reach(s, d) AS (
 SELECT r1.s AS id, CAST(MIN(r1.d) AS BIGINT) AS component
 FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
 GROUP BY r1.s"""
+
+
+def _sage_sql(n_seeds: int, fanouts: tuple[int, ...]) -> str:
+    """Unrolled layered neighbor sampling — the same integer rank key
+    ((l·P2 + src·P3 + dst·P1) mod MOD, dst) as
+    algorithms/walks.neighbor_sample, one windowed CTE per layer."""
+    from graph_python_spark.algorithms.walks import _MOD, _P1, _P2, _P3
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM eb UNION ALL SELECT dst AS id FROM eb)),
+f1 AS (SELECT id AS src FROM verts ORDER BY id LIMIT {n_seeds})"""
+    parts = []
+    for layer, fanout in enumerate(fanouts, start=1):
+        key = (f"({layer} * {_P2} + e.src * {_P3} + e.dst * {_P1})"
+               f" % {_MOD}")
+        parts.append(f""",
+l{layer} AS (
+  SELECT {layer} AS layer, src, dst FROM (
+    SELECT e.src, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY {key}, e.dst) AS rn
+    FROM eb e JOIN f{layer} f ON e.src = f.src)
+  WHERE rn <= {fanout}
+),
+f{layer + 1} AS (SELECT DISTINCT dst AS src FROM l{layer})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM l{i}" for i in range(1, len(fanouts) + 1))
+    return (head + "".join(parts)
+            + f"""
+SELECT CAST(layer AS BIGINT) AS layer, src, dst FROM ({union})""")
 
 
 def _bowtie_sql() -> str:
@@ -4028,6 +4077,7 @@ FROM sp"""
     sqls["msf"] = _msf_sql(MSF_ROUNDS, MSF_JUMPS)
     sqls["scc"] = _scc_sql()
     sqls["bowtie"] = _bowtie_sql()
+    sqls["sage_sample"] = _sage_sql(SAGE_SEEDS, SAGE_FANOUTS)
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
     sqls["link_predict"] = _link_predict_sql(LP_MIN_COMMON)

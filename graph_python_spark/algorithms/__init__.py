@@ -45,7 +45,9 @@ from graph_python_spark.algorithms.relabel import degree_relabel, relabel_locali
 from graph_python_spark.algorithms.trustrank import spam_mass, trustrank_fixed
 from graph_python_spark.algorithms.influence import influence_spread
 from graph_python_spark.algorithms.bowtie import bowtie_decomposition, reach_from
-from graph_python_spark.algorithms.walks import deterministic_walks, ranked_adjacency
+from graph_python_spark.algorithms.walks import (deterministic_walks,
+                                                 neighbor_sample,
+                                                 ranked_adjacency)
 from graph_python_spark.algorithms.anf import anf_sketches
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
 
@@ -79,6 +81,7 @@ __all__ = [
     "modularity",
     "degree_assortativity",
     "deterministic_walks",
+    "neighbor_sample",
     "ranked_adjacency",
     "harmonic_centrality",
     "cocitation_scores",

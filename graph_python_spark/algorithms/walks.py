@@ -204,3 +204,50 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count("*").cast("long").alias("pair_count"))
     )
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int] = (5, 3),
+) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling (Hamilton et al. 2017) —
+    the minibatch-block builder for GNN training over a link graph.
+
+    Layer l (1-based) samples up to ``fanouts[l-1]`` out-neighbors,
+    without replacement, for every vertex in that layer's frontier; the
+    layer-(l+1) frontier is the distinct sampled destinations.  Returns
+    (layer long, src long, dst long).
+
+    Determinism contract (same family as the walks above): the sample of
+    src's neighborhood at layer l is the ``fanout`` smallest neighbors
+    under the integer key  ((l·P2 + src·P3 + dst·P1) mod MOD, dst)  —
+    pure 64-bit arithmetic, bit-replayable by any SQL engine, invariant
+    to partitioning and ordering.
+
+    Plan shape (100 TB): the frontier — O(seeds · Π fanouts) rows, tiny
+    next to E — is explicitly broadcast into a hash join against the
+    deduped edge table, so each layer shuffles only the joined
+    frontier-neighborhood relation through one src-partitioned window
+    rank (never a global window, never the full adjacency).  Layers are
+    sequential; total exchanged rows ≈ Σ frontier_l · avg_deg.
+    """
+    e = edges.select(F.col("i").alias("src"),
+                     F.col("j").alias("dst")).distinct()
+    frontier = seeds.select(F.col("id").cast("long").alias("src")).distinct()
+    out = []
+    for layer, fanout in enumerate(fanouts, start=1):
+        key = (F.lit(layer) * _P2 + F.col("src") * _P3
+               + F.col("dst") * _P1) % _MOD
+        w = Window.partitionBy("src").orderBy(key.asc(), F.col("dst").asc())
+        picked = (
+            F.broadcast(frontier)
+            .join(e, "src")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= fanout)
+            .select(F.lit(layer).cast("long").alias("layer"), "src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        out.append(picked)
+        frontier = picked.select(F.col("dst").alias("src")).distinct()
+    return reduce(lambda a, b: a.unionByName(b), out)
