@@ -1775,6 +1775,13 @@ def q_spam_mass(spark, sf_dir):
 
 SAGE_SEEDS = 32
 SAGE_FANOUTS = (5, 3)
+BPE_MERGES = 12
+
+
+def q_bpe_train(spark, sf_dir):
+    """Learn a 12-rule BPE merge table from the documents corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.bpe_train(docs, merges=BPE_MERGES)
 
 
 def q_sage_sample(spark, sf_dir):
@@ -1873,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence": q_influence,
         "bowtie": q_bowtie,
         "sage_sample": q_sage_sample,
+        "bpe_train": q_bpe_train,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
         "knn_graph": q_knn_graph,
@@ -2710,6 +2718,55 @@ reach(s, d) AS (
 SELECT r1.s AS id, CAST(MIN(r1.d) AS BIGINT) AS component
 FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
 GROUP BY r1.s"""
+
+
+def _bpe_train_sql(merges: int) -> str:
+    """Unrolled BPE training — same word-type histogram, same
+    delimiter-wrapped symbol strings, same plain-string replace merge as
+    pipeline/text.bpe_train; each step is a pairs CTE + 1-row argmax CTE
+    + vocab-replace CTE."""
+    head = """WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS word
+    FROM documents)
+  WHERE NOT contains(word, '|')
+  GROUP BY word
+  ORDER BY freq DESC, word LIMIT 200000
+),
+v0 AS (
+  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|' AS w,
+         freq
+  FROM wf
+)"""
+    parts = []
+    for t in range(1, merges + 1):
+        parts.append(f""",
+p{t} AS (
+  SELECT l[i] AS a, l[i + 1] AS b, SUM(freq) AS c FROM
+    (SELECT string_split(trim(w, '|'), '||') AS l, freq FROM v{t - 1}),
+    UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+m{t} AS MATERIALIZED (
+  SELECT a, b, c FROM p{t} ORDER BY c DESC, a, b LIMIT 1
+),
+v{t} AS (
+  SELECT replace(w,
+                 '|' || (SELECT a FROM m{t}) || '||'
+                     || (SELECT b FROM m{t}) || '|',
+                 '|' || (SELECT a FROM m{t})
+                     || (SELECT b FROM m{t}) || '|') AS w,
+         freq
+  FROM v{t - 1}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, a AS left_sym, b AS right_sym, c FROM m{t}"
+        for t in range(1, merges + 1))
+    return (head + "".join(parts) + f"""
+SELECT CAST(step AS BIGINT) AS step, left_sym AS "left",
+       right_sym AS "right", CAST(c AS BIGINT) AS pair_count
+FROM ({union})""")
 
 
 def _sage_sql(n_seeds: int, fanouts: tuple[int, ...]) -> str:
@@ -4078,6 +4135,7 @@ FROM sp"""
     sqls["scc"] = _scc_sql()
     sqls["bowtie"] = _bowtie_sql()
     sqls["sage_sample"] = _sage_sql(SAGE_SEEDS, SAGE_FANOUTS)
+    sqls["bpe_train"] = _bpe_train_sql(BPE_MERGES)
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
     sqls["link_predict"] = _link_predict_sql(LP_MIN_COMMON)

@@ -140,9 +140,14 @@ def strongly_connected_components(
         out = part if out is None else out.unionByName(part)
     if out is None:
         out = edges.sparkSession.createDataFrame([], "id long, component long")
-    else:
-        out = materialize(out)
-    for part in done_parts + [verts, cur]:
+    # The parts are already-pinned LogicalRDDs, so the union is
+    # lineage-shallow and needs no checkpoint of its own — and
+    # re-checkpointing it trips a Spark 4 constraint-rewrite bug
+    # (UnionBase.rewriteConstraints inside LogicalRDD.fromDataset throws
+    # "key not found: id#N" once the union has >= 2 checkpointed children;
+    # reproduced at 300k+ vertices).  The parts stay persisted because
+    # they back the returned relation; only the loop state is dropped.
+    for part in [verts, cur]:
         try:
             part.unpersist()
         except Exception:

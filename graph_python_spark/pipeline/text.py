@@ -522,3 +522,87 @@ def pmi_topk(docs: DataFrame, k: int = 50, min_count: int = 5) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("bg"))
         .limit(k)
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    merges: int = 12,
+    max_word_types: int = 200_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full byte-pair-encoding merge-table training (Sennrich et al. 2016)
+    — learn the top-``merges`` merge rules from character level up, the
+    canonical tokenizer-training pipeline stage.
+
+    Classic BPE trains on the WORD-TYPE histogram, not the token stream:
+    the corpus collapses to (word, freq) in one groupBy, after which every
+    iteration's cost is independent of corpus size — the 100 TB property.
+    ``max_word_types`` caps the histogram (freq desc, word asc — the
+    standard head-of-Zipf cut) so the loop state is bounded even on
+    open vocabularies.
+
+    Each word is held as delimiter-wrapped symbols ``|h||e||l||l||o|``;
+    a merge of (a, b) is the plain string replace ``|a||b|`` -> ``|ab|``,
+    whose left-to-right non-overlapping semantics are exactly BPE's greedy
+    merge order and are identical in every engine (the DuckDB oracle
+    unrolls the same ``merges`` steps).  Pair counts weight each ADJACENT
+    symbol pair by word freq (overlaps counted, as in the reference
+    algorithm); the winner is (count desc, left asc, right asc) — a pure
+    function of the corpus.  Words containing the delimiter are dropped
+    (precondition: '|' not in the alphabet).
+
+    Per iteration: one vocab-sized explode + groupBy (map-side combine)
+    and a 1-row TakeOrdered — no windows, no global sort; the vocab
+    relation is localCheckpointed every few steps to pin the loop plan.
+
+    Returns (step long, left string, right string, pair_count long),
+    ``merges`` rows in learned order.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .filter(~F.col("word").contains("|"))
+        .groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(max_word_types)
+    )
+    enc = F.concat(
+        F.lit("|"),
+        F.array_join(F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
+                     "||"),
+        F.lit("|"),
+    )
+    vocab = words.select(enc.alias("w"), "freq").localCheckpoint(eager=True)
+
+    out_rows = []
+    for step in range(1, merges + 1):
+        syms = F.split(F.expr("trim(BOTH '|' FROM w)"), r"\|\|")
+        n = F.size(syms)
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                        F.slice(syms, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        out_rows.append((step, a, b, c))
+        new_vocab = vocab.select(
+            F.replace(F.col("w"), F.lit(f"|{a}||{b}|"),
+                      F.lit(f"|{a}{b}|")).alias("w"),
+            "freq",
+        )
+        if step % 4 == 0 or step == merges:
+            new_vocab = new_vocab.localCheckpoint(eager=True)
+        vocab = new_vocab
+    return spark.createDataFrame(
+        out_rows, "step long, left string, right string, pair_count long")

@@ -36,8 +36,8 @@ from contextlib import contextmanager  # noqa: E402
 
 @contextmanager
 def loop_conf(spark: SparkSession):
-    """Disable AQE for the duration of a fixed iterative loop, restoring the
-    previous setting on exit.
+    """Disable AQE and constraint propagation for the duration of a fixed
+    iterative loop, restoring the previous settings on exit.
 
     AQE re-optimizes at every shuffle-stage materialization; in an
     iterative loop the per-round plan is identical every time, so the
@@ -45,15 +45,25 @@ def loop_conf(spark: SparkSession):
     the 20-iteration sf0.1 PageRank headline query.  (The scaling bench
     subprocesses set the same conf statically; this context manager brings
     the win to library callers running inside an AQE-enabled session.)
-    Runtime-settable conf: results are identical either way.
+
+    Constraint propagation is likewise planning-only overhead on pinned
+    per-round plans, and its union rewrite is buggy in Spark 4: checkpoint
+    of a union with >= 2 LogicalRDD children throws "key not found: id#N"
+    in UnionBase.rewriteConstraints (reproduced on the 300k+-vertex SCC
+    accumulator before scc.py stopped re-checkpointing its union; loops
+    that grow a reached-set by union, e.g. bowtie's reach_from, would hit
+    it too).  Runtime-settable confs: results are identical either way.
     """
-    key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
+    keys = ("spark.sql.adaptive.enabled",
+            "spark.sql.constraintPropagation.enabled")
+    olds = {k: spark.conf.get(k, "true") for k in keys}
+    for k in keys:
+        spark.conf.set(k, "false")
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        for k, v in olds.items():
+            spark.conf.set(k, v)
 
 
 @contextmanager
