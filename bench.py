@@ -131,6 +131,11 @@ def run_headlines(spark, results: dict) -> None:
         # pair similarity, fork detection, spam mass
         "hostrank", "landmark_dist", "ppr_batch", "label_spread",
         "simrank", "source_overlap", "spam_mass",
+        # round 3 close: GNN block sampling, tokenizer training (bowtie is
+        # oracled + scale-evidenced but headline-excluded: its cost is
+        # chain-depth rounds on the deliberately thinned structure graph,
+        # not engine throughput)
+        "sage_sample", "bpe_train",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

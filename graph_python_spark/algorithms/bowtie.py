@@ -20,23 +20,29 @@ is the standard structure report for web-scale link graphs, which is this
 engine's tier.
 
 Plan shape: ONE SCC run (forward-backward coloring,
-``algorithms/scc.py``) + FOUR multi-source reachability sweeps, each a
-frontier BFS whose per-round exchange is sized by the frontier, not the
-graph (``new = edges ⋈ frontier`` then anti-join against the reached
-set).  The final labeling is five hash left-joins on the vertex key + one
-CASE — no closure is ever materialized (the DuckDB oracle builds the
+``algorithms/scc.py``) + TWO tagged multi-source reachability loops —
+the forward-from-CORE / backward-from-CORE sweeps advance together in
+one (tag, id)-keyed frontier over a (tag, s, d)-keyed union of the edge
+table and its reverse, and likewise forward-from-IN / backward-from-OUT,
+so the driver pays max(diameters) rounds per loop instead of the sum.
+Each round's exchange is frontier-sized (``tagged edges ⋈ frontier``
+then anti-join against the reached set, held as a lazy union of pinned
+per-round parts — never re-checkpointed, which also sidesteps the
+Spark 4 union-constraint-rewrite bug documented in plans/iterate.py).
+The final labeling is five hash left-joins on the vertex key + one CASE
+— no closure is ever materialized (the DuckDB oracle builds the
 recursive closure instead; fine at sf0.01, impossible at 100 TB).
 
 Scale notes (100 TB): frontier rounds are bounded by the directed
 diameter of each region; on real web graphs the giant CORE makes the
-sweeps converge in tens of rounds.  All four sweeps and the label joins
-shuffle on the vertex id only, so pre-partitioning edges by ``s`` is
-reused across rounds; the reached set grows monotonically and is the only
-cached state (O(V) ids, no payload).
+sweeps converge in tens of rounds.  All sweeps and the label joins
+shuffle on the vertex key only; the reached set grows monotonically and
+its pinned parts total O(V) ids, no payload.
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -47,30 +53,45 @@ from graph_python_spark.plans.iterate import (iterative, loop_shuffle_width,
                                               materialize)
 
 
-def reach_from(edges: DataFrame, seeds: DataFrame,
-               max_rounds: int = 100) -> DataFrame:
-    """Vertices reachable from ``seeds`` (id) along ``edges`` (s, d),
-    seeds included.  Frontier BFS: each round ships only the frontier
-    through the edge join and anti-joins the cumulative reached set, so
-    the exchange is O(frontier-adjacent), not O(V).  Returns (id)."""
-    reached = materialize(seeds.select("id").distinct())
-    frontier = reached
+def _reach_tagged(tagged_edges: DataFrame, tagged_seeds: DataFrame,
+                  max_rounds: int = 100) -> DataFrame:
+    """Per-tag reachability: vertices reachable from that tag's seeds
+    along that tag's edges, seeds included.  ``tagged_edges``:
+    (tag, s, d); ``tagged_seeds``: (tag, id).  All tags advance in ONE
+    frontier relation, so k sweeps cost max (not sum) of their round
+    counts.  Returns (tag, id) as a lazy union of pinned per-round
+    parts."""
+    parts = [materialize(tagged_seeds.select("tag", "id").distinct())]
+    frontier = parts[0]
     for _ in range(max_rounds):
+        reached = reduce(lambda a, b: a.unionByName(b), parts)
         nxt = materialize(
-            edges.join(frontier.withColumnRenamed("id", "s"), "s")
-            .select(F.col("d").alias("id"))
+            tagged_edges.join(frontier.withColumnRenamed("id", "s"),
+                              ["tag", "s"])
+            .select("tag", F.col("d").alias("id"))
             .distinct()
-            .join(reached, "id", "left_anti")
+            .join(reached, ["tag", "id"], "left_anti")
         )
         if nxt.isEmpty():
             nxt.unpersist()
             break
-        new_reached = materialize(reached.unionByName(nxt))
-        reached.unpersist()
-        if frontier is not reached:
-            frontier.unpersist()
-        reached, frontier = new_reached, nxt
-    return reached
+        parts.append(nxt)
+        frontier = nxt
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def reach_from(edges: DataFrame, seeds: DataFrame,
+               max_rounds: int = 100) -> DataFrame:
+    """Vertices reachable from ``seeds`` (id) along ``edges`` (s, d),
+    seeds included.  Frontier BFS: each round ships only the frontier
+    through the edge join; the exchange is O(frontier-adjacent), not
+    O(V).  Returns (id)."""
+    out = _reach_tagged(
+        edges.select(F.lit("f").alias("tag"), "s", "d"),
+        seeds.select(F.lit("f").alias("tag"), "id"),
+        max_rounds,
+    )
+    return out.select("id")
 
 
 @iterative
@@ -91,7 +112,16 @@ def bowtie_decomposition(
     if partitions is not None:
         eb = eb.repartition(partitions, "s")
     eb = materialize(eb)
-    rev = materialize(eb.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # one (tag, s, d) relation: 'f' = forward edges, 'b' = reversed —
+    # pinned (tag, s)-hash-partitioned so every sweep round's
+    # tagged ⋈ frontier join reuses the partitioning (only the
+    # frontier-sized side exchanges per round)
+    tagged = materialize(
+        eb.select(F.lit("f").alias("tag"), "s", "d")
+        .unionByName(eb.select(F.lit("b").alias("tag"),
+                               F.col("d").alias("s"), F.col("s").alias("d")))
+        .repartition("tag", "s")
+    )
     verts = materialize(
         eb.select(F.col("s").alias("id"))
         .unionByName(eb.select(F.col("d").alias("id")))
@@ -110,15 +140,28 @@ def bowtie_decomposition(
            .select("component").first())
     core = materialize(
         labels.filter(F.col("component") == top["component"]).select("id"))
-    labels.unpersist()
 
     with loop_shuffle_width(spark, max(n_verts, 1)):
-        fwd = reach_from(eb, core, max_rounds)     # CORE ∪ OUT ∪ …
-        bwd = reach_from(rev, core, max_rounds)    # CORE ∪ IN ∪ …
+        # sweep pair 1: forward + backward from CORE, one tagged loop
+        r1 = _reach_tagged(
+            tagged,
+            core.select(F.lit("f").alias("tag"), "id")
+            .unionByName(core.select(F.lit("b").alias("tag"), "id")),
+            max_rounds,
+        )
+        fwd = r1.filter(F.col("tag") == "f").select("id")
+        bwd = r1.filter(F.col("tag") == "b").select("id")
         in_ = materialize(bwd.join(core, "id", "left_anti"))
         out = materialize(fwd.join(core, "id", "left_anti"))
-        fin = reach_from(eb, in_, max_rounds)      # reachable from IN
-        bout = reach_from(rev, out, max_rounds)    # reaches OUT
+        # sweep pair 2: forward from IN + backward from OUT, one loop
+        r2 = _reach_tagged(
+            tagged,
+            in_.select(F.lit("f").alias("tag"), "id")
+            .unionByName(out.select(F.lit("b").alias("tag"), "id")),
+            max_rounds,
+        )
+        fin = r2.filter(F.col("tag") == "f").select("id")
+        bout = r2.filter(F.col("tag") == "b").select("id")
 
     def flag(df: DataFrame, name: str) -> DataFrame:
         return df.select("id", F.lit(True).alias(name))
@@ -142,7 +185,7 @@ def bowtie_decomposition(
         .select("id", region.alias("region"))
     )
     res = materialize(res)
-    for df in (eb, rev, verts, core, fwd, bwd, in_, out, fin, bout):
+    for df in (eb, tagged, verts, core, in_, out):
         try:
             df.unpersist()
         except Exception:

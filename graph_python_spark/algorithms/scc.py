@@ -46,12 +46,21 @@ from graph_python_spark.plans.iterate import (iterative, loop_shuffle_width,
 def _min_prop(edges: DataFrame, verts: DataFrame, max_rounds: int) -> DataFrame:
     """Directed min-label fixpoint: f(v) = min id u with u ->* v (u = v
     included) over ``edges`` (s, d), for every vertex of ``verts`` (id).
-    Returns (id, lbl).  One join + partial agg + change-flag action per
-    round."""
+    Returns (id, lbl).
+
+    DELTA propagation: round t joins the edge table only against the rows
+    whose label IMPROVED in round t-1 (round 1: everything) — if none of
+    v's in-neighbors improved, f(v) already reflects them from earlier
+    rounds.  Label fronts on web-shaped graphs die out fast, so the
+    edge-side join volume collapses after the first rounds while the
+    round count is unchanged; only the O(V) state merge + checkpoint
+    remains per round (the delta relation is a filter on the pinned
+    state, no extra checkpoint)."""
     f = materialize(verts.select("id", F.col("id").alias("lbl")))
+    delta = f
     for _ in range(max_rounds):
         nbrmin = (
-            edges.join(f.withColumnRenamed("id", "s"), "s")
+            edges.join(delta.withColumnRenamed("id", "s"), "s")
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("lbl").alias("_nm"))
         )
@@ -64,6 +73,7 @@ def _min_prop(edges: DataFrame, verts: DataFrame, max_rounds: int) -> DataFrame:
         changed = int(new_f.agg(
             F.coalesce(F.max(F.col("_chg").cast("int")), F.lit(0))).first()[0])
         f.unpersist()
+        delta = new_f.filter(F.col("_chg")).select("id", "lbl")
         f = new_f.drop("_chg")
         if changed == 0:
             break
@@ -83,12 +93,15 @@ def strongly_connected_components(
     the SCC (exact, permutation-invariant).
     """
     eb = edges.select(F.col("i").alias("s"), F.col("j").alias("d")) \
-        .filter(F.col("s") != F.col("d"))
+        .filter(F.col("s") != F.col("d")).dropDuplicates(["s", "d"])
+    # pin the edge state s-hash-partitioned so every min-prop round's
+    # edges ⋈ delta join reuses the partitioning (the frontier side is
+    # the only per-round exchange — the pagerank adjacency pattern)
     if partitions is not None:
         eb = eb.repartition(partitions, "s")
     else:
         eb = eb.repartition("s")
-    cur = materialize(eb.dropDuplicates(["s", "d"]))
+    cur = materialize(eb)
     verts = materialize(
         cur.select(F.col("s").alias("id"))
         .unionByName(cur.select(F.col("d").alias("id")))
@@ -98,8 +111,49 @@ def strongly_connected_components(
     done_parts: list[DataFrame] = []
     rounds = 0
 
+    def trim(verts: DataFrame, cur: DataFrame,
+             max_trim: int) -> tuple[DataFrame, DataFrame]:
+        """TRIM phase (Slota/Hong-style FB-Trim hybrid): a vertex with no
+        in-edge or no out-edge in the remaining graph is its own SCC —
+        peel such vertices to fixpoint before paying a coloring round.
+        Tendril/chain mass (most of a web graph outside the giant SCC)
+        resolves here at ~4 cheap jobs per peeled layer instead of a full
+        pair of min-label fixpoints per layer of the FB loop."""
+        for _ in range(max_trim):
+            ends = (
+                cur.select(F.col("s").alias("id"), F.lit(1).alias("o"),
+                           F.lit(0).alias("i"))
+                .unionByName(cur.select(F.col("d").alias("id"),
+                                        F.lit(0).alias("o"),
+                                        F.lit(1).alias("i")))
+            )
+            both = materialize(
+                ends.groupBy("id")
+                .agg(F.max("o").alias("_ho"), F.max("i").alias("_hi"))
+                .filter((F.col("_ho") == 1) & (F.col("_hi") == 1))
+                .select("id")
+            )
+            triv = materialize(verts.join(both, "id", "left_anti"))
+            if triv.isEmpty():
+                triv.unpersist()
+                both.unpersist()
+                break
+            done_parts.append(
+                triv.select("id", F.col("id").alias("component")))
+            new_verts = both
+            new_cur = materialize(
+                cur.join(triv.withColumnRenamed("id", "s"), "s", "left_anti")
+                .join(triv.select(F.col("id").alias("d")), "d", "left_anti")
+                .repartition("s")
+            )
+            verts.unpersist()
+            cur.unpersist()
+            verts, cur = new_verts, new_cur
+        return verts, cur
+
     with loop_shuffle_width(edges.sparkSession, max(n_edges, 1)):
         while rounds < max_outer:
+            verts, cur = trim(verts, cur, max_label_rounds)
             rounds += 1
             if verts.isEmpty():
                 break
@@ -112,6 +166,7 @@ def strongly_connected_components(
                 cur.join(fs, "s").join(fd, "d")
                 .filter(F.col("_cs") == F.col("_cd"))
                 .select(F.col("d").alias("s"), F.col("s").alias("d"))
+                .repartition("s")
             )
             rev = materialize(rev)
             bwd = _min_prop(rev, verts, max_label_rounds)  # (id, g)
@@ -128,6 +183,7 @@ def strongly_connected_components(
             new_cur = materialize(
                 cur.join(gone.withColumnRenamed("id", "s"), "s", "left_anti")
                 .join(gone.withColumnRenamed("id", "d"), "d", "left_anti")
+                .repartition("s")
             )
             fwd.unpersist()
             bwd.unpersist()
