@@ -1809,6 +1809,36 @@ def q_bowtie(spark, sf_dir):
     return out.select("id", "region")
 
 
+CONDENSE_LEVEL_ROUNDS = 32
+HYPERBALL_RADIUS = 3
+HYPERBALL_K = 16
+
+
+def q_harmonic_approx(spark, sf_dir):
+    """HyperBall-style approximate harmonic centrality (KMV ball growth,
+    k=16 — the saturating scale configuration, NOT a large-k exactness
+    trick; the oracle replays the sketch loop digit-for-digit)."""
+    from graph_python_spark.algorithms.anf import hyperball_harmonic
+
+    e = customer_graph(spark, sf_dir)
+    return hyperball_harmonic(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        radius=HYPERBALL_RADIUS, k=HYPERBALL_K, reverse=True)
+
+
+def q_condensation(spark, sf_dir):
+    """SCC quotient DAG of the thinned customer graph: one row per SCC
+    with size, longest-path layer, and quotient out-degree (the dense
+    customer graph is one giant SCC — no DAG to report)."""
+    from graph_python_spark.algorithms.scc import condensation
+    from graph_python_spark.sources.tpch_graph import thinned_customer_graph
+
+    e = thinned_customer_graph(spark, sf_dir)
+    return condensation(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        level_rounds=CONDENSE_LEVEL_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-query correctness window (first 50
     # entries) covers the session-3..10 operators that had only
@@ -1879,6 +1909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "influence": q_influence,
         "bowtie": q_bowtie,
+        "condensation": q_condensation,
+        "harmonic_approx": q_harmonic_approx,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "semdedup": q_semdedup,
@@ -2851,6 +2883,50 @@ LEFT JOIN fin f ON v.id = f.id
 LEFT JOIN bout b ON v.id = b.id"""
 
 
+def _condensation_sql(rounds: int) -> str:
+    """Condensation oracle: SCC labels via the same transitive-closure
+    CTE as _scc_sql, then the quotient's distinct inter-SCC edges, a
+    depth-capped recursive longest-path layering (path lengths <= rounds
+    — exactly the value algorithms/scc.condensation's fixed-round
+    max-plus loop computes), and quotient out-degrees."""
+    from graph_python_spark.sources.tpch_graph import \
+        thinned_customer_graph_sql
+    return f"""WITH RECURSIVE {thinned_customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src AS s, dst AS d FROM tg WHERE src <> dst),
+verts AS (SELECT DISTINCT id FROM (
+  SELECT s AS id FROM eb UNION ALL SELECT d AS id FROM eb)),
+reach(s, d) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN eb e ON e.s = r.d
+),
+scc AS (
+  SELECT r1.s AS id, MIN(r1.d) AS component
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+  GROUP BY r1.s
+),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM scc GROUP BY component),
+qe AS (SELECT DISTINCT ci.component AS i, cj.component AS j
+       FROM eb JOIN scc ci ON ci.id = eb.s JOIN scc cj ON cj.id = eb.d
+       WHERE ci.component <> cj.component),
+lvl(c, l) AS (
+  SELECT component, 0 FROM sizes
+  UNION
+  SELECT qe.j, lvl.l + 1 FROM lvl JOIN qe ON qe.i = lvl.c
+  WHERE lvl.l < {rounds}
+),
+lev AS (SELECT c, MAX(l) AS level FROM lvl GROUP BY c),
+od AS (SELECT i AS component, CAST(COUNT(*) AS BIGINT) AS out_comps
+       FROM qe GROUP BY i)
+SELECT s.component, s.n_members,
+       CAST(COALESCE(lev.level, 0) AS BIGINT) AS level,
+       COALESCE(od.out_comps, 0) AS out_comps
+FROM sizes s
+LEFT JOIN lev ON s.component = lev.c
+LEFT JOIN od ON s.component = od.component"""
+
+
 def _katz_sql(iters: int, alpha: float) -> str:
     """Unrolled Katz: x_{t+1} = 1 + alpha * A^T x_t, x_0 = 1 — mirrors
     algorithms/centrality.katz_fixed."""
@@ -3779,6 +3855,43 @@ SELECT c.r, c.total_micro,
 FROM ({union}) c CROSS JOIN tot{radius} f"""
 
 
+def _hyperball_sql(radius: int, k: int) -> str:
+    """Unrolled HyperBall harmonic — mirrors
+    algorithms/anf.hyperball_harmonic digit-for-digit: in-balls grown
+    along reversed edges as md5-KMV row sets, per-round per-vertex
+    estimates, then the identical left-associated Δ/r accumulation."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+s0 AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts)"""
+    steps, ests = [], []
+    for t in range(1, radius + 1):
+        steps.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT id, h FROM (
+    SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h ASC) AS rn
+    FROM (SELECT id, h FROM s{t - 1}
+          UNION
+          SELECT e.dst AS id, x.h FROM eb e JOIN s{t - 1} x ON e.src = x.id)
+  ) WHERE rn <= {k}
+)""")
+    for t in range(radius + 1):
+        ests.append(f""",
+e{t} AS (
+  SELECT id, CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(k - 1)} /
+                       (CAST(('0x' || substr(MAX(h), 1, 12)) AS BIGINT)
+                        / {float(16 ** 12)}) END AS est
+  FROM s{t} GROUP BY id
+)""")
+    terms = " + ".join(
+        f"(e{t}.est - e{t - 1}.est) / {float(t)}" for t in range(1, radius + 1))
+    joins = "".join(f"\nJOIN e{t} ON e0.id = e{t}.id" for t in range(1, radius + 1))
+    return (head + "".join(steps) + "".join(ests) + f"""
+SELECT e0.id, ROUND(0.0 + {terms}, 6) AS harmonic
+FROM e0{joins}""")
+
+
 def _dag_levels_sql(rounds: int) -> str:
     """Unrolled max-plus longest-path layering of the src < dst DAG —
     mirrors algorithms/traversal.dag_longest_path_levels."""
@@ -4134,6 +4247,8 @@ FROM sp"""
     sqls["msf"] = _msf_sql(MSF_ROUNDS, MSF_JUMPS)
     sqls["scc"] = _scc_sql()
     sqls["bowtie"] = _bowtie_sql()
+    sqls["condensation"] = _condensation_sql(CONDENSE_LEVEL_ROUNDS)
+    sqls["harmonic_approx"] = _hyperball_sql(HYPERBALL_RADIUS, HYPERBALL_K)
     sqls["sage_sample"] = _sage_sql(SAGE_SEEDS, SAGE_FANOUTS)
     sqls["bpe_train"] = _bpe_train_sql(BPE_MERGES)
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)

@@ -186,3 +186,102 @@ def neighborhood_function(
     for t in totals:
         t.unpersist()
     return out
+
+
+@iterative
+def hyperball_harmonic(
+    edges: DataFrame,
+    radius: int = 3,
+    k: int = 16,
+    reverse: bool = True,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """HyperBall-style approximate harmonic centrality (Boldi & Vigna,
+    "In-core computation of geometric centralities with HyperBall",
+    ICDMW'14): H(v) = Σ_u 1/d(u → v), estimated from the per-radius ball
+    growth of the same KMV sketch loop as :func:`anf_sketches` —
+
+        H(v) ≈ Σ_{r=1..radius} (|B(v,r)| − |B(v,r−1)|) / r
+
+    with |B(v,r)| the sketch estimate after round r.  ``reverse=True``
+    (the default, and the centrality's definition) grows balls along
+    REVERSED edges so distances are incoming; ``reverse=False`` gives the
+    out-harmonic.  Truncation at ``radius`` is the standard HyperBall
+    trade: vertices farther than ``radius`` contribute 0 (their weight
+    1/d is the smallest anyway).
+
+    Exactness contract: when a ball stays under k members the estimate is
+    its exact size, so on graphs whose ``radius``-balls fit in k the
+    result is the exact truncated harmonic centrality; the DuckDB oracle
+    replays the identical md5-KMV loop (digit-for-digit: same digests,
+    same (k−1)/U estimator, same left-associated Δ/r accumulation), so
+    the parity check holds even for saturated sketches.
+
+    Scale shape: identical to :func:`anf_sketches` — one edge ⋈ state
+    shuffle per radius over a pinned source-partitioned edge table,
+    O(V·k) state; the per-round (id, est) snapshots are O(V)-thin and
+    only joined once at the end.  No reference counterpart
+    (python-graphblas has no sketches); this is the scale path the exact
+    ``algorithms/centrality.harmonic_sampled`` cannot take past a few
+    thousand sources.
+    """
+    if reverse:
+        e = edges.select(F.col("j").alias("s"), F.col("i").alias("d"))
+    else:
+        e = edges.select(F.col("i").alias("s"), F.col("j").alias("d"))
+    e = e.filter(F.col("s") != F.col("d")).distinct()
+    verts = (e.select(F.col("s").alias("id"))
+             .unionByName(e.select(F.col("d").alias("id"))).distinct())
+    n_verts = verts.count()
+
+    def _est(state: DataFrame) -> DataFrame:
+        kth_frac = (
+            F.conv(F.substring(F.element_at("sketch", k), 1, 12), 16, 10)
+            .cast("double") / F.lit(float(16 ** 12)))
+        n_exact = F.size("sketch")
+        return state.select(
+            "id",
+            F.when(n_exact < k, n_exact.cast("double"))
+            .otherwise(F.lit(float(k - 1)) / kth_frac).alias("est"))
+
+    with loop_shuffle_width(edges.sparkSession, n_verts) as width:
+        e = materialize(e.repartition(partitions or width, "s"))
+        state = materialize(
+            verts.select("id", F.array(F.md5(F.col("id").cast("string"))).alias("sketch")))
+        ests = [materialize(_est(state))]
+        for _ in range(radius):
+            nbr = (
+                e.join(state.select(F.col("id").alias("d"), "sketch"), "d")
+                .groupBy(F.col("s").alias("id"))
+                .agg(F.collect_list("sketch").alias("nbr_sketches"))
+            )
+            new = (
+                state.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    _merge_sketches(
+                        F.concat(F.array(F.col("sketch")),
+                                 F.coalesce(F.col("nbr_sketches"),
+                                            F.array().cast("array<array<string>>"))),
+                        k).alias("sketch"))
+            )
+            prev, state = state, materialize(new)
+            prev.unpersist()
+            ests.append(materialize(_est(state)))
+        state.unpersist()
+        e.unpersist()
+
+    # left-associated Δ/r accumulation — the oracle mirrors this exact
+    # expression tree, so the double arithmetic is engine-bit-identical
+    out = ests[0].select("id", F.col("est").alias("est0"))
+    for r in range(1, radius + 1):
+        out = out.join(
+            ests[r].select("id", F.col("est").alias(f"est{r}")), "id")
+    h = F.lit(0.0)
+    for r in range(1, radius + 1):
+        h = h + (F.col(f"est{r}") - F.col(f"est{r - 1}")) / F.lit(float(r))
+    out = out.select("id", F.round(h, 6).alias("harmonic"))
+    out = out.localCheckpoint(eager=True)
+    for s in ests:
+        s.unpersist()
+    return out
