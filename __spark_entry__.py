@@ -1375,6 +1375,18 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
 
 
+SHARD_DOCS = 256
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic shuffle-then-shard layout: md5 global order cut
+    into 256-document shards (two-phase distributed rank — no global
+    window)."""
+    from graph_python_spark.pipeline.packing import shard_assign
+
+    return shard_assign(_docs(spark, sf_dir), docs_per_shard=SHARD_DOCS)
+
+
 def q_chunk_docs(spark, sf_dir):
     from graph_python_spark.pipeline.packing import chunk_documents
 
@@ -1736,6 +1748,21 @@ def q_pq_adc(spark, sf_dir):
                                   codebook_k=PQ_K, iterations=PQ_ITERS)
 
 
+IVFPQ_CELLS = 16
+IVFPQ_PROBE = 2
+
+
+def q_ivf_pq(spark, sf_dir):
+    """IVF-PQ: coarse inverted cells + ADC over PQ codes — the combined
+    billion-scale ANN index (probed-cells-only compressed scan)."""
+    emb = _emb(spark, sf_dir)
+    qids = [r["vec_id"] for r in
+            emb.select("vec_id").orderBy("vec_id").limit(ADC_QUERIES).collect()]
+    return similarity.ivf_pq_topk(emb, qids, dim=64, k=ADC_TOPK, m=PQ_M,
+                                  codebook_k=PQ_K, iterations=PQ_ITERS,
+                                  n_cells=IVFPQ_CELLS, n_probe=IVFPQ_PROBE)
+
+
 def q_influence(spark, sf_dir):
     """Monte-Carlo IC influence spread from the 3 smallest vertex ids:
     per-sample reach, all samples batched in one (sample, id) frontier."""
@@ -1907,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
+        "ivf_pq": q_ivf_pq,
+        "shard_assign": q_shard_assign,
         "influence": q_influence,
         "bowtie": q_bowtie,
         "condensation": q_condensation,
@@ -5111,6 +5140,15 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
 FROM topk GROUP BY event_type"""
 
     stride = CHUNK_SIZE - CHUNK_OVERLAP
+    sqls["shard_assign"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           - 1 AS rnk
+  FROM documents)
+SELECT doc_id, CAST(rnk // {SHARD_DOCS} AS BIGINT) AS shard,
+       CAST(rnk % {SHARD_DOCS} AS BIGINT) AS pos_in_shard
+FROM r"""
     sqls["pack_sequences"] = f"""
 WITH t AS (
   SELECT doc_id,
@@ -5658,6 +5696,9 @@ ORDER BY pmi DESC, bg LIMIT {PMI_TOPK}"""
     sqls["influence"] = _influence_sql(IC_P, IC_SAMPLES, IC_ROUNDS, IC_SALT)
     sqls["pq_adc"] = _pq_adc_sql(PQ_M, PQ_K, PQ_ITERS, dim=64,
                                  topk=ADC_TOPK, n_queries=ADC_QUERIES)
+    sqls["ivf_pq"] = _ivf_pq_sql(PQ_M, PQ_K, PQ_ITERS, dim=64,
+                                 topk=ADC_TOPK, n_queries=ADC_QUERIES,
+                                 n_cells=IVFPQ_CELLS, n_probe=IVFPQ_PROBE)
 
     return sqls
 
@@ -5783,6 +5824,68 @@ ad AS (
   SELECT d.query_id, co.vec_id, ROUND(SUM(d.d2), 6) AS adist2
   FROM codes co JOIN dt d ON d.sub = co.sub AND d.code = co.code
   WHERE co.vec_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, adist2
+FROM (
+  SELECT query_id, vec_id, adist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist2 ASC, vec_id ASC) AS rn
+  FROM ad
+) WHERE rn <= {topk}"""
+
+
+def _ivf_pq_sql(m: int, k: int, iters: int, dim: int, topk: int,
+                n_queries: int, n_cells: int, n_probe: int) -> str:
+    """IVF-PQ oracle — the _pq_adc_sql ADC scan restricted to the
+    queries' probed cells, with _ivf_topk_sql's md5-sample centroids and
+    dot-affinity routing (mirrors pipeline/similarity.ivf_pq_topk)."""
+    d2 = _D2_SQL
+    return f"""WITH {_pq_ctes(m, k, iters, dim)},
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT p.vec_id, p.sub, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id, p.sub
+                              ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM p JOIN cent{iters} c ON c.sub = p.sub
+  ) WHERE rn = 1
+),
+icents AS (
+  SELECT vec_id AS cell, emb AS cemb FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {n_cells}
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.emb, c.cemb) DESC,
+                                       c.cell ASC) AS rn
+    FROM v CROSS JOIN icents c
+  ) WHERE rn = 1
+),
+qids AS (SELECT vec_id AS id FROM v ORDER BY vec_id LIMIT {n_queries}),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT v.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.emb, c.cemb) DESC,
+                                       c.cell ASC) AS rn
+    FROM v JOIN qids q ON q.id = v.vec_id CROSS JOIN icents c
+  ) WHERE rn <= {n_probe}
+),
+dt AS (
+  SELECT p.vec_id AS query_id, p.sub, c.cid AS code, {d2} AS d2
+  FROM p JOIN qids q ON q.id = p.vec_id
+  JOIN cent{iters} c ON c.sub = p.sub
+),
+ad AS (
+  SELECT d.query_id, co.vec_id, ROUND(SUM(d.d2), 6) AS adist2
+  FROM codes co
+  JOIN assigned a ON a.vec_id = co.vec_id
+  JOIN probes pr ON pr.cell = a.cell
+  JOIN dt d ON d.query_id = pr.query_id
+           AND d.sub = co.sub AND d.code = co.code
+  WHERE co.vec_id <> pr.query_id
   GROUP BY 1, 2
 )
 SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank, adist2

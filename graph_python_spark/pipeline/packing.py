@@ -359,3 +359,46 @@ def chunk_dedup_ratio(
         F.round(F.coalesce(F.col("n_dup_chunks"), F.lit(0)).cast("double")
                 / F.col("n_chunks").cast("double"), 6).alias("dup_ratio"),
     )
+
+
+def shard_assign(docs: DataFrame, docs_per_shard: int,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic pre-training shard layout: globally shuffle the
+    corpus by md5(id) — the engine-replayable pseudo-random order every
+    packing op here uses — and cut the shuffled sequence into shards of
+    exactly ``docs_per_shard`` consecutive documents (the last shard is
+    ragged).  This is the "shuffle then shard" step a training job runs
+    once so that every fixed-size shard is an unbiased sample of the
+    corpus and any prefix of shards is too (curriculum-safe resharding).
+
+    Returns (doc_id, shard, pos_in_shard): shard = global_rank //
+    docs_per_shard, pos_in_shard = global_rank % docs_per_shard, where
+    global_rank is the document's 0-based position in md5 order.
+
+    Plan: the same two-phase distributed rank as ``pack_sequences`` — a
+    per-bucket partitioned window (bucket = leading md5 hex byte, so
+    bucket-major order IS the global order) plus one 256-row offsets
+    relation broadcast back.  No global window, one narrow shuffle of
+    (id, hash) pairs — holds at any corpus size.
+    """
+    if docs_per_shard <= 0:
+        raise ValueError("docs_per_shard must be positive")
+    base = (
+        docs.select(id_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .withColumn("_b", F.conv(F.substring("_h", 1, 2), 16, 10).cast("long"))
+    )
+    w_local = Window.partitionBy("_b").orderBy("_h", id_col)
+    local = base.withColumn("_rn", F.row_number().over(w_local).cast("long"))
+    totals = local.groupBy("_b").agg(F.count(F.lit(1)).alias("_tot"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"))
+    rank = (F.col("_off") + F.col("_rn") - 1)
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .select(
+            id_col,
+            F.floor(rank / docs_per_shard).cast("long").alias("shard"),
+            (rank % docs_per_shard).cast("long").alias("pos_in_shard"))
+    )

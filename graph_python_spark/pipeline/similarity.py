@@ -1023,3 +1023,101 @@ def save_lsh_index(emb: DataFrame, path: str, dim: int, planes: int = 8,
 def load_lsh_index(spark, path: str) -> DataFrame:
     """Load a persisted LSH index; filters on ``bucket`` prune at scan."""
     return spark.read.parquet(path)
+
+
+def ivf_pq_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
+                m: int = 4, codebook_k: int = 16, iterations: int = 2,
+                n_cells: int = 16, n_probe: int = 2,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN index shape (Jegou et al.
+    TPAMI'11 §V — coarse inverted lists + product-quantized codes).
+    Combines the two halves this module already ships: vectors are routed
+    to their nearest IVF cell (:func:`ivf_topk`'s deterministic
+    md5-sample centroids, dot-affinity routing) and encoded as PQ codes
+    (:func:`pq_train`); a query probes its ``n_probe`` top cells and
+    ADC-scans ONLY the codes in those cells.  This variant encodes raw
+    vectors, not cell residuals (FAISS's ``by_residual=false``), keeping
+    one global codebook — the codes are cell-independent, so re-probing
+    never re-encodes.
+
+    Scale shape: the ADC distance table (|Q|·m·codebook_k rows) and the
+    probe map (|Q|·n_probe rows) are both broadcast; the code relation
+    joins them map-side, so the only O(n) exchanges are the one
+    vec_id-keyed codes ⋈ cell-assignment join and the final
+    (query_id, vec_id) partial-agg sum — and only codes in probed cells
+    (~n·n_probe/n_cells of the corpus) survive into that shuffle.  The
+    float vectors are touched once at build time, never at query time —
+    the compressed scan is the 100 TB point of the structure.
+
+    Returns (query_id, neighbor_id, rank, adist2), rank by
+    (round(adist2, 6) asc, vec_id asc) — the pq_adc_topk contract.
+    """
+    codes, cents = pq_train(emb, dim, m, codebook_k, iterations,
+                            vec_col, id_col)
+    icents = (
+        emb.orderBy(F.md5(F.col(id_col).cast("string")).asc(),
+                    F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_c"))
+    )
+    routed = (
+        emb.crossJoin(F.broadcast(icents))
+        .select(id_col, "cell",
+                _dot(F.col(vec_col), F.col("_c")).alias("_aff"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_aff").desc(),
+                                           F.col("cell").asc())
+    assigned = (routed.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(F.col(id_col).alias("vec_id"), "cell"))
+    qprobe = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .crossJoin(F.broadcast(icents))
+        .select(F.col(id_col).alias("query_id"), "cell",
+                _dot(F.col(vec_col), F.col("_c")).alias("_aff"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_aff").desc(),
+                                                F.col("cell").asc())
+    probes = (qprobe.withColumn("_rn", F.row_number().over(wq))
+              .filter(F.col("_rn") <= n_probe)
+              .select("query_id", "cell"))
+    sub_len = dim // m
+    qs = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(j).cast("long").alias("sub"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * sub_len + 1, sub_len),
+                            lambda x: x.cast("double")).alias("v"),
+                    )
+                    for j in range(m)
+                ])).alias("_s"))
+        .select("query_id", F.col("_s.sub").alias("sub"),
+                F.col("_s.v").alias("_qv"))
+    )
+    dtable = (
+        qs.join(cents, "sub")
+        .select("query_id", "sub", F.col("cid").alias("code"),
+                (_dot(F.col("_qv"), F.col("_qv"))
+                 - F.lit(2.0) * _dot(F.col("_qv"), F.col("_c"))
+                 + _dot(F.col("_c"), F.col("_c"))).alias("_d2"))
+    )
+    scored = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("adist2").asc(),
+                                                F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("long").alias("rank"), "adist2")
+    )

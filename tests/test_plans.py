@@ -31,6 +31,7 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_ALLOW = {
     "ann_cosine_topk": (1, "brute-force baseline: broadcast query set scans all vectors"),
     "ivf_topk": (2, "centroid routing + probe: broadcast centroid array, by design"),
+    "ivf_pq": (2, "IVF routing + probe: broadcast centroid array, by design"),
     "kronecker": (1, "operator semantics ARE the pairwise product; small side broadcast"),
     "outer_product": (1, "u⊗v semantics; one side broadcast"),
     "ewise_add_vector": (1, "broadcast 1-row dense-extent aggregate"),
@@ -58,6 +59,7 @@ SP_ALLOW = {
     "degree_quantiles": (1, "quantile merge over a ≤256-row per-partition sketch"),
     "powerlaw_alpha": (1, "1-row Hill-estimator fold"),
     "pack_sequences": (1, "two-phase prefix sum: ≤256-row partition-offset relation"),
+    "shard_assign": (1, "two-phase rank: ≤256-row partition-offset relation"),
     "pipeline_pack": (1, "same prefix-sum offsets inside the e2e composite"),
     "bm25": (1, "1-row corpus-stats fold"),
     "centroid_classify": (1, "1-row centroid-array fold"),

@@ -1,13 +1,17 @@
 """Round-3 session-13 operators: SCC condensation DAG and HyperBall
 harmonic centrality — seeded-random differentials vs networkx."""
 
+import hashlib
 import random
 
 import networkx as nx
+import numpy as np
 import pytest
 
 from graph_python_spark.algorithms.anf import hyperball_harmonic
 from graph_python_spark.algorithms.scc import condensation
+from graph_python_spark.pipeline.packing import shard_assign
+from graph_python_spark.pipeline.similarity import ivf_pq_topk, pq_adc_topk
 
 
 def edge_df(spark, pairs):
@@ -91,3 +95,68 @@ def test_hyperball_saturated_is_partitioning_invariant(spark):
          for r in hyperball_harmonic(e2, radius=2, k=8).collect()}
     assert a == b
     assert all(v >= 0 for v in a.values())
+
+
+def _emb_df(spark, n=48, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_pq_single_cell_equals_full_adc(spark):
+    """With one cell and one probe the IVF restriction is vacuous — the
+    result must equal the full compressed scan."""
+    emb = _emb_df(spark)
+    qids = [0, 1, 2]
+    a = sorted(map(tuple, ivf_pq_topk(
+        emb, qids, dim=8, k=4, m=2, codebook_k=4, iterations=1,
+        n_cells=1, n_probe=1).collect()))
+    b = sorted(map(tuple, pq_adc_topk(
+        emb, qids, dim=8, k=4, m=2, codebook_k=4,
+        iterations=1).collect()))
+    assert a == b
+
+
+def test_ivf_pq_respects_probed_cells(spark):
+    """Every returned neighbor must live in one of its query's probed
+    cells, and per-query ranks must be contiguous from 1."""
+    emb = _emb_df(spark, n=60)
+    qids = [0, 1, 2, 3]
+    out = ivf_pq_topk(emb, qids, dim=8, k=5, m=2, codebook_k=4,
+                      iterations=1, n_cells=6, n_probe=2).collect()
+    # recompute routing/probing with the same public building blocks
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from graph_python_spark.pipeline.similarity import _dot
+    cents = (emb.orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                         F.col("vec_id").asc()).limit(6)
+             .select(F.col("vec_id").alias("cell"),
+                     F.col("embedding").alias("_c")))
+    routed = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", _dot(F.col("embedding"), F.col("_c")).alias("a"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("a").desc(),
+                                             F.col("cell").asc())
+    cell_of = {r["vec_id"]: r["cell"] for r in
+               routed.withColumn("rn", F.row_number().over(w))
+               .filter("rn = 1").collect()}
+    probes = {(r["vec_id"], r["cell"]) for r in
+              routed.filter(F.col("vec_id").isin(qids))
+              .withColumn("rn", F.row_number().over(w))
+              .filter("rn <= 2").collect()}
+    by_q = {}
+    for r in out:
+        assert (r["query_id"], cell_of[r["neighbor_id"]]) in probes
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_shard_assign_matches_local_replay(spark):
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(1000)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+           for r in shard_assign(docs, docs_per_shard=64).collect()}
+    order = sorted(range(1000),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = {doc: (rank // 64, rank % 64) for rank, doc in enumerate(order)}
+    assert got == want
