@@ -1839,6 +1839,24 @@ def q_bowtie(spark, sf_dir):
 CONDENSE_LEVEL_ROUNDS = 32
 HYPERBALL_RADIUS = 3
 HYPERBALL_K = 16
+DENSEST_EPS = (0, 1)   # ε = 0 — peel ≤-average vertices (2-approx); the
+                       # TPC-H graphs are near-regular, so any ε > 0
+                       # peels everything in one round
+DENSEST_ROUNDS = 16
+
+
+def q_densest(spark, sf_dir):
+    """Bahmani et al. greedy-peeling densest-subgraph approximation:
+    per-round (V, E, density) summary with the best round flagged."""
+    from fractions import Fraction
+
+    from graph_python_spark.algorithms.densest import densest_subgraph
+
+    e = customer_graph(spark, sf_dir)
+    summary, _members = densest_subgraph(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        epsilon=Fraction(*DENSEST_EPS), max_rounds=DENSEST_ROUNDS)
+    return summary
 
 
 def q_harmonic_approx(spark, sf_dir):
@@ -1940,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "condensation": q_condensation,
         "harmonic_approx": q_harmonic_approx,
+        "densest": q_densest,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "semdedup": q_semdedup,
@@ -2910,6 +2929,43 @@ LEFT JOIN inn i ON v.id = i.id
 LEFT JOIN outt o ON v.id = o.id
 LEFT JOIN fin f ON v.id = f.id
 LEFT JOIN bout b ON v.id = b.id"""
+
+
+def _densest_sql(p: int, q: int, rounds: int) -> str:
+    """Unrolled Bahmani greedy peeling — mirrors
+    algorithms/densest.densest_subgraph: symmetric live relation, 1-row
+    count folds, the integer peel predicate deg·V·q > 2E·(p+q), and the
+    best-round flag by (unrounded density desc, round asc)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+sym AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM eg WHERE src <> dst),
+l0 AS (SELECT a AS s, b AS d FROM sym UNION ALL SELECT b, a FROM sym),
+c0 AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS e,
+              CAST(COUNT(DISTINCT s) AS BIGINT) AS v FROM l0)"""
+    steps = []
+    for t in range(1, rounds):
+        steps.append(f""",
+k{t - 1} AS (
+  SELECT s FROM l{t - 1} GROUP BY s
+  HAVING COUNT(*) * (SELECT v FROM c{t - 1}) * {q}
+         > 2 * (SELECT e FROM c{t - 1}) * {p + q}
+),
+l{t} AS MATERIALIZED (
+  SELECT l.s, l.d FROM l{t - 1} l
+  JOIN k{t - 1} x ON l.s = x.s JOIN k{t - 1} y ON l.d = y.s
+),
+c{t} AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS e,
+                CAST(COUNT(DISTINCT s) AS BIGINT) AS v FROM l{t})""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, v AS n_vertices, e AS n_edges,"
+        f" CAST(e AS DOUBLE) / v AS dd FROM c{t} WHERE v > 0"
+        for t in range(rounds))
+    return head + "".join(steps) + f""",
+su AS ({union})
+SELECT round, n_vertices, n_edges, ROUND(dd, 6) AS density,
+       CAST(CASE WHEN row_number() OVER (ORDER BY dd DESC, round ASC) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM su"""
 
 
 def _condensation_sql(rounds: int) -> str:
@@ -4278,6 +4334,7 @@ FROM sp"""
     sqls["bowtie"] = _bowtie_sql()
     sqls["condensation"] = _condensation_sql(CONDENSE_LEVEL_ROUNDS)
     sqls["harmonic_approx"] = _hyperball_sql(HYPERBALL_RADIUS, HYPERBALL_K)
+    sqls["densest"] = _densest_sql(*DENSEST_EPS, DENSEST_ROUNDS)
     sqls["sage_sample"] = _sage_sql(SAGE_SEEDS, SAGE_FANOUTS)
     sqls["bpe_train"] = _bpe_train_sql(BPE_MERGES)
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)

@@ -136,6 +136,10 @@ def run_headlines(spark, results: dict) -> None:
         # chain-depth rounds on the deliberately thinned structure graph,
         # not engine throughput)
         "sage_sample", "bpe_train",
+        # round 3 session 13: sketched harmonic centrality, the combined
+        # IVF-PQ compressed scan, shard layout (condensation is
+        # headline-excluded for the same chain-depth reason as bowtie)
+        "harmonic_approx", "ivf_pq", "shard_assign",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays

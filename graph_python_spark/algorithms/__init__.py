@@ -48,8 +48,10 @@ from graph_python_spark.algorithms.bowtie import bowtie_decomposition, reach_fro
 from graph_python_spark.algorithms.walks import (deterministic_walks,
                                                  neighbor_sample,
                                                  ranked_adjacency)
-from graph_python_spark.algorithms.anf import anf_sketches
+from graph_python_spark.algorithms.anf import anf_sketches, hyperball_harmonic
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
+from graph_python_spark.algorithms.scc import condensation
+from graph_python_spark.algorithms.densest import densest_subgraph
 
 __all__ = [
     "pagerank",
@@ -102,5 +104,8 @@ __all__ = [
     "spam_mass",
     "influence_spread",
     "bowtie_decomposition",
+    "condensation",
+    "densest_subgraph",
+    "hyperball_harmonic",
     "reach_from",
 ]

@@ -160,3 +160,41 @@ def test_shard_assign_matches_local_replay(spark):
                    key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     want = {doc: (rank // 64, rank % 64) for rank, doc in enumerate(order)}
     assert got == want
+
+
+def test_densest_subgraph_matches_local_replay(spark):
+    from fractions import Fraction
+
+    from graph_python_spark.algorithms.densest import densest_subgraph
+
+    pairs = random_digraph(21, n=50, m=200)
+    summary, members = densest_subgraph(
+        edge_df(spark, pairs), epsilon=Fraction(0, 1), max_rounds=12)
+    got = [(r["round"], r["n_vertices"], r["n_edges"],
+            r["density"], r["is_best"]) for r in
+           sorted(summary.collect(), key=lambda r: r["round"])]
+    got_members = {r["id"] for r in members.collect()}
+
+    # local replay of the integer-threshold peel
+    und = {frozenset((a, b)) for a, b in pairs if a != b}
+    live = {tuple(sorted(e)) for e in und}
+    rows, best = [], None
+    snapshots = []
+    for r in range(12):
+        verts = {v for e in live for v in e}
+        if not verts:
+            break
+        ne, nv = len(live), len(verts)
+        rows.append((r, nv, ne, round(ne / nv, 6)))
+        snapshots.append(verts)
+        if best is None or Fraction(ne, nv) > best[1]:
+            best = (r, Fraction(ne, nv))
+        deg = {}
+        for a, b in live:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v in verts if deg[v] * nv > 2 * ne}
+        live = {e for e in live if e[0] in keep and e[1] in keep}
+    want = [(r, v, e, d, 1 if r == best[0] else 0) for r, v, e, d in rows]
+    assert got == want
+    assert got_members == snapshots[best[0]]
