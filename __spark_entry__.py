@@ -3943,12 +3943,14 @@ FROM ({union}) c CROSS JOIN tot{radius} f"""
 def _hyperball_sql(radius: int, k: int) -> str:
     """Unrolled HyperBall harmonic — mirrors
     algorithms/anf.hyperball_harmonic digit-for-digit: in-balls grown
-    along reversed edges as md5-KMV row sets, per-round per-vertex
-    estimates, then the identical left-associated Δ/r accumulation."""
+    along reversed edges as KMV row sets of int64 digests (first 15 md5
+    hex chars), per-round per-vertex estimates, then the identical
+    left-associated Δ/r accumulation."""
     head = f"""WITH {customer_graph_sql().strip()},
 eb AS (SELECT DISTINCT src, dst FROM eg WHERE src <> dst),
 verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
-s0 AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts)"""
+s0 AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h FROM verts)"""
     steps, ests = [], []
     for t in range(1, radius + 1):
         steps.append(f""",
@@ -3965,8 +3967,7 @@ s{t} AS MATERIALIZED (
 e{t} AS (
   SELECT id, CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
                   ELSE {float(k - 1)} /
-                       (CAST(('0x' || substr(MAX(h), 1, 12)) AS BIGINT)
-                        / {float(16 ** 12)}) END AS est
+                       (CAST(MAX(h) AS DOUBLE) / {float(16 ** 15)}) END AS est
   FROM s{t} GROUP BY id
 )""")
     terms = " + ".join(

@@ -213,9 +213,17 @@ def hyperball_harmonic(
     Exactness contract: when a ball stays under k members the estimate is
     its exact size, so on graphs whose ``radius``-balls fit in k the
     result is the exact truncated harmonic centrality; the DuckDB oracle
-    replays the identical md5-KMV loop (digit-for-digit: same digests,
-    same (k−1)/U estimator, same left-associated Δ/r accumulation), so
-    the parity check holds even for saturated sketches.
+    replays the identical KMV loop (digit-for-digit: same digests, same
+    (k−1)/U estimator, same left-associated Δ/r accumulation), so the
+    parity check holds even for saturated sketches.
+
+    Digests are the first 15 hex chars of md5(id) as int64 (60 bits) —
+    NOT the 33-byte hex strings anf_sketches carries: at 4M vertices the
+    per-round sketch exchange drops ~5× (16·8B longs vs 16·33B strings)
+    and the merge sorts machine ints, while lexicographic order of the
+    fixed-width lowercase-hex prefix equals numeric order, so the SQL
+    replay stays exact (prefix collisions fold identically in both
+    engines).
 
     Scale shape: identical to :func:`anf_sketches` — one edge ⋈ state
     shuffle per radius over a pinned source-partitioned edge table,
@@ -235,19 +243,21 @@ def hyperball_harmonic(
     n_verts = verts.count()
 
     def _est(state: DataFrame) -> DataFrame:
-        kth_frac = (
-            F.conv(F.substring(F.element_at("sketch", k), 1, 12), 16, 10)
-            .cast("double") / F.lit(float(16 ** 12)))
+        kth_frac = (F.element_at("sketch", k).cast("double")
+                    / F.lit(float(16 ** 15)))
         n_exact = F.size("sketch")
         return state.select(
             "id",
             F.when(n_exact < k, n_exact.cast("double"))
             .otherwise(F.lit(float(k - 1)) / kth_frac).alias("est"))
 
+    digest = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     with loop_shuffle_width(edges.sparkSession, n_verts) as width:
         e = materialize(e.repartition(partitions or width, "s"))
         state = materialize(
-            verts.select("id", F.array(F.md5(F.col("id").cast("string"))).alias("sketch")))
+            verts.select("id", F.array(digest).alias("sketch")))
         ests = [materialize(_est(state))]
         for _ in range(radius):
             nbr = (
@@ -262,7 +272,7 @@ def hyperball_harmonic(
                     _merge_sketches(
                         F.concat(F.array(F.col("sketch")),
                                  F.coalesce(F.col("nbr_sketches"),
-                                            F.array().cast("array<array<string>>"))),
+                                            F.array().cast("array<array<long>>"))),
                         k).alias("sketch"))
             )
             prev, state = state, materialize(new)
