@@ -1376,6 +1376,16 @@ def q_pack_sequences(spark, sf_dir):
 
 
 SHARD_DOCS = 256
+HH_K = 30
+HH_CAP = 256
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (count·capacity > N) via the Misra-Gries
+    pruning pass + survivor-only recount — vocabulary never shuffled."""
+    from graph_python_spark.pipeline.sketches import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), k=HH_K, capacity=HH_CAP)
 
 
 def q_shard_assign(spark, sf_dir):
@@ -1811,6 +1821,13 @@ def q_bpe_train(spark, sf_dir):
     return text.bpe_train(docs, merges=BPE_MERGES)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Train the 12-rule merge table and APPLY it: per-document BPE
+    symbol counts (the tokenizer-application half of the pipeline)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.bpe_encode(docs, merges=BPE_MERGES)
+
+
 def q_sage_sample(spark, sf_dir):
     """GraphSAGE minibatch-block sampling: deterministic layered neighbor
     sample (fanouts 5, 3) from the 32 smallest customer-graph vertices."""
@@ -1954,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "ivf_pq": q_ivf_pq,
         "shard_assign": q_shard_assign,
+        "heavy_hitters": q_heavy_hitters,
         "influence": q_influence,
         "bowtie": q_bowtie,
         "condensation": q_condensation,
@@ -1961,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest": q_densest,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "semdedup": q_semdedup,
         "centroid_classify": q_centroid_classify,
         "knn_graph": q_knn_graph,
@@ -2800,12 +2819,12 @@ FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
 GROUP BY r1.s"""
 
 
-def _bpe_train_sql(merges: int) -> str:
-    """Unrolled BPE training — same word-type histogram, same
-    delimiter-wrapped symbol strings, same plain-string replace merge as
-    pipeline/text.bpe_train; each step is a pairs CTE + 1-row argmax CTE
-    + vocab-replace CTE."""
-    head = """WITH wf AS (
+def _bpe_ctes(merges: int) -> str:
+    """Shared WITH-body for the BPE oracles: word-type histogram ``wf``,
+    char-split vocab ``v0``, and per-step pairs/argmax/replace CTEs
+    ending in ``v{merges}`` and ``m1..m{merges}`` — mirrors
+    pipeline/text.bpe_train."""
+    head = """wf AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
            AS word
@@ -2840,13 +2859,65 @@ v{t} AS (
          freq
   FROM v{t - 1}
 )""")
+    return head + "".join(parts)
+
+
+def _bpe_train_sql(merges: int) -> str:
+    """Unrolled BPE training — each step is a pairs CTE + 1-row argmax
+    CTE + vocab-replace CTE (see _bpe_ctes)."""
     union = "\nUNION ALL\n".join(
         f"SELECT {t} AS step, a AS left_sym, b AS right_sym, c FROM m{t}"
         for t in range(1, merges + 1))
-    return (head + "".join(parts) + f"""
+    return (f"WITH {_bpe_ctes(merges)}" + f"""
 SELECT CAST(step AS BIGINT) AS step, left_sym AS "left",
        right_sym AS "right", CAST(c AS BIGINT) AS pair_count
 FROM ({union})""")
+
+
+def _bpe_encode_sql(merges: int) -> str:
+    """Train (shared _bpe_ctes) then APPLY the merge table to every word
+    type and roll per-document symbol counts — mirrors
+    pipeline/text.bpe_encode ('|'-containing words fall back to their
+    character count)."""
+    parts = [f"""WITH {_bpe_ctes(merges)},
+dw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS word
+    FROM documents)
+  GROUP BY doc_id, word
+),
+wt AS (SELECT DISTINCT word FROM dw),
+enc0 AS (
+  SELECT word,
+         '|' || array_to_string(string_split(word, ''), '||') || '|' AS w
+  FROM wt WHERE NOT contains(word, '|')
+)"""]
+    for t in range(1, merges + 1):
+        parts.append(f""",
+enc{t} AS (
+  SELECT word, replace(w,
+                 '|' || (SELECT a FROM m{t}) || '||'
+                     || (SELECT b FROM m{t}) || '|',
+                 '|' || (SELECT a FROM m{t})
+                     || (SELECT b FROM m{t}) || '|') AS w
+  FROM enc{t - 1}
+)""")
+    parts.append(f""",
+nsym AS (
+  SELECT word, CAST(len(string_split(trim(w, '|'), '||')) AS BIGINT) AS ns
+  FROM enc{merges}
+  UNION ALL
+  SELECT word, CAST(length(word) AS BIGINT) AS ns
+  FROM wt WHERE contains(word, '|')
+)
+SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.c * n.ns) AS BIGINT) AS n_bpe,
+       ROUND(CAST(SUM(d.c * n.ns) AS DOUBLE) / SUM(d.c), 6) AS ratio
+FROM dw d JOIN nsym n ON n.word = d.word
+GROUP BY d.doc_id""")
+    return "".join(parts)
 
 
 def _sage_sql(n_seeds: int, fanouts: tuple[int, ...]) -> str:
@@ -4338,6 +4409,7 @@ FROM sp"""
     sqls["densest"] = _densest_sql(*DENSEST_EPS, DENSEST_ROUNDS)
     sqls["sage_sample"] = _sage_sql(SAGE_SEEDS, SAGE_FANOUTS)
     sqls["bpe_train"] = _bpe_train_sql(BPE_MERGES)
+    sqls["bpe_encode"] = _bpe_encode_sql(BPE_MERGES)
     sqls["degree_hist"] = _degree_hist_sql(DEGREE_HIST_BUCKETS)
     sqls["jaccard_neighbors"] = _jaccard_sql(JACCARD_MIN_SIM)
     sqls["link_predict"] = _link_predict_sql(LP_MIN_COMMON)
@@ -5198,6 +5270,17 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
 FROM topk GROUP BY event_type"""
 
     stride = CHUNK_SIZE - CHUNK_OVERLAP
+    sqls["heavy_hitters"] = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+         AS token
+  FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token)
+SELECT token, n,
+       ROUND(CAST(n AS DOUBLE) / (SELECT n FROM tot), 6) AS share
+FROM c WHERE n * {HH_CAP} > (SELECT n FROM tot)
+ORDER BY n DESC, token ASC LIMIT {HH_K}"""
     sqls["shard_assign"] = f"""
 WITH r AS (
   SELECT doc_id,

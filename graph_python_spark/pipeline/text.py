@@ -606,3 +606,61 @@ def bpe_train(
         vocab = new_vocab
     return spark.createDataFrame(
         out_rows, "step long, left string, right string, pair_count long")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: int = 12,
+    max_word_types: int = 200_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a BPE merge table (:func:`bpe_train`) and APPLY it to the
+    corpus — the tokenizer-application half of the pipeline: every word
+    is character-split, the learned merges are replayed in order, and the
+    per-document symbol counts report the achieved compression.
+
+    Returns (doc_id, n_tokens, n_bpe, ratio) for every document with at
+    least one token: n_tokens = whitespace tokens, n_bpe = total BPE
+    symbols after the merges, ratio = round(n_bpe / n_tokens, 6) (mean
+    symbols per word; 1.0 would mean every word became one symbol).
+    Words containing the delimiter '|' (excluded from training) fall back
+    to their character count.
+
+    Scale shape: encoding happens on the WORD-TYPE relation (distinct
+    words — vocabulary-sized, corpus-size-independent, same argument as
+    training), as one nested chain of ``merges`` string replaces in a
+    single JVM projection; the only corpus-sized exchanges are the
+    (doc_id, word) count groupBy and the word-keyed join back.  The
+    merge table itself is ``merges`` rows collected once (the bounded
+    driver collect the loop-control precedent allows).
+    """
+    table = bpe_train(docs, merges=merges, max_word_types=max_word_types,
+                      text_col=text_col).collect()
+    dw = (
+        docs.select("doc_id", F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = dw.select("word").distinct()
+    enc = F.concat(
+        F.lit("|"),
+        F.array_join(F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
+                     "||"),
+        F.lit("|"))
+    for r in table:
+        a, b = r["left"], r["right"]
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    n_syms = F.when(
+        F.col("word").contains("|"), F.length("word").cast("long")
+    ).otherwise(F.size(F.split(F.expr("trim(BOTH '|' FROM _enc)"),
+                               r"\|\|")).cast("long"))
+    encoded = wt.select("word", enc.alias("_enc")).select(
+        "word", n_syms.alias("_ns"))
+    return (
+        dw.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_tokens"),
+             F.sum(F.col("c") * F.col("_ns")).cast("long").alias("n_bpe"))
+        .select("doc_id", "n_tokens", "n_bpe",
+                F.round(F.col("n_bpe").cast("double") / F.col("n_tokens"), 6)
+                .alias("ratio"))
+    )

@@ -33,6 +33,7 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "20g")
 
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
     from pyspark.sql import functions as F
 
@@ -44,6 +45,8 @@ def main() -> None:
     sc = spark.sparkContext
 
     def timed(name, fn):
+        if only is not None and name not in only:
+            return
         sc.setJobGroup(name, name)
         t0 = time.time()
         out = fn()
@@ -93,6 +96,11 @@ def main() -> None:
                     "_", F.col("id").cast("string"), F.lit(c))), 1, 8),
                     16, 10).cast("double") / F.lit(float(16 ** 8)) - 0.5)
                 for c in range(dim)]).alias("embedding"))
+        # pin the generated fixture so the index build pays corpus
+        # GENERATION once, not once per Lloyd/routing stage (the md5
+        # component expressions are ~10x the cost of reading a parquet
+        # column — a real corpus would be a one-scan parquet read)
+        emb = emb.localCheckpoint(eager=True)
         qids = list(range(16))
         out = ivf_pq_topk(emb, qids, dim=dim, k=10, m=4, codebook_k=16,
                           iterations=2, n_cells=64, n_probe=4)

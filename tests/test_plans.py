@@ -46,6 +46,7 @@ BNLJ_ALLOW = {
     "attr_assortativity": (1, "broadcast 1-row moment fold"),
     "degree_drift": (3, "two snapshot 1-row mass folds + TV-distance merge"),
     "pmi_topk": (1, "broadcast 1-row total-bigram-count fold"),
+    "heavy_hitters": (1, "broadcast 1-row total-token-count fold"),
 }
 
 # name -> (max Exchange SinglePartition, reason)

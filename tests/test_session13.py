@@ -198,3 +198,75 @@ def test_densest_subgraph_matches_local_replay(spark):
     want = [(r, v, e, d, 1 if r == best[0] else 0) for r, v, e, d in rows]
     assert got == want
     assert got_members == snapshots[best[0]]
+
+
+def test_heavy_hitters_exact_under_tiny_capacity(spark):
+    """Zipf-ish corpus, capacity far below the vocabulary, adversarial
+    partitioning — the MG pruning pass must never lose a reportable
+    token, so the output equals the exact local computation."""
+    from graph_python_spark.pipeline.sketches import heavy_hitters
+
+    rng = random.Random(5)
+    words = []
+    for w in range(200):
+        words += [f"w{w:03d}"] * (1000 // (w + 1))
+    rng.shuffle(words)
+    docs = [(i, " ".join(words[i * 20:(i + 1) * 20]))
+            for i in range((len(words) + 19) // 20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(13)
+    got = [(r["token"], r["n"], r["share"]) for r in
+           heavy_hitters(df, k=10, capacity=16).collect()]
+
+    from collections import Counter
+    c = Counter(words)
+    n = len(words)
+    want = sorted(((t, m) for t, m in c.items() if m * 16 > n),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    want = [(t, m, round(m / n, 6)) for t, m in want]
+    assert got == want
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """Train-and-apply must equal a pure-Python BPE replay (same word
+    histogram cap, same greedy merge order, same string-replace
+    non-overlap semantics)."""
+    from collections import Counter
+
+    from graph_python_spark.pipeline.text import bpe_encode
+
+    texts = ["the cat sat on the mat", "the bat and the cat",
+             "a mat and a hat", "the the the cat cat", "hat bat mat sat"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_bpe"], r["ratio"])
+           for r in bpe_encode(docs, merges=6).collect()}
+
+    words = [w for t in texts for w in t.split() if w]
+    wf = Counter(words)
+    vocab = {("|" + "||".join(w) + "|"): c for w, c in wf.items()}
+    merge_list = []
+    for _ in range(6):
+        pc = Counter()
+        for w, c in vocab.items():
+            syms = w.strip("|").split("||")
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), _c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merge_list.append((a, b))
+        vocab = {w.replace(f"|{a}||{b}|", f"|{a}{b}|"): c
+                 for w, c in vocab.items()}
+
+    def enc_len(w):
+        s = "|" + "||".join(w) + "|"
+        for a, b in merge_list:
+            s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+        return len(s.strip("|").split("||"))
+
+    want = {}
+    for d, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        nb = sum(enc_len(w) for w in ws)
+        want[d] = (len(ws), nb, round(nb / len(ws), 6))
+    assert got == want
