@@ -1862,6 +1862,22 @@ DENSEST_EPS = (0, 1)   # ε = 0 — peel ≤-average vertices (2-approx); the
 DENSEST_ROUNDS = 16
 
 
+PARTITION_K = 8
+PARTITION_ROUNDS = 4
+
+
+def q_partition_graph(spark, sf_dir):
+    """Spinner-style balanced LPA partitioning (k=8, 4 synchronous
+    rounds) + per-part quality report (sizes, internal vs cut edges)."""
+    from graph_python_spark.algorithms.partition import (partition_assign,
+                                                         partition_quality)
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    assign = partition_assign(e, k=PARTITION_K, rounds=PARTITION_ROUNDS)
+    return partition_quality(e, assign)
+
+
 def q_densest(spark, sf_dir):
     """Bahmani et al. greedy-peeling densest-subgraph approximation:
     per-round (V, E, density) summary with the best round flagged."""
@@ -1977,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation": q_condensation,
         "harmonic_approx": q_harmonic_approx,
         "densest": q_densest,
+        "partition_graph": q_partition_graph,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -3000,6 +3017,73 @@ LEFT JOIN inn i ON v.id = i.id
 LEFT JOIN outt o ON v.id = o.id
 LEFT JOIN fin f ON v.id = f.id
 LEFT JOIN bout b ON v.id = b.id"""
+
+
+def _partition_sql(k: int, rounds: int) -> str:
+    """Unrolled deterministic Spinner LPA — mirrors
+    algorithms/partition.partition_assign (integer score cnt·V − load,
+    (score desc, part asc) tie-break, per-part capacity quota
+    21V/(20k) + 1 on migrations, synchronous moves)
+    + partition_quality's per-part report."""
+    head = f"""WITH {customer_graph_sql().strip()},
+sym AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM eg WHERE src <> dst),
+bo AS (SELECT a AS s, b AS d FROM sym UNION ALL SELECT b, a FROM sym),
+verts AS (SELECT DISTINCT s AS id FROM bo),
+nvert AS (SELECT COUNT(*) AS n,
+                 (COUNT(*) * 21) // (20 * {k}) + 1 AS cap FROM verts),
+s0 AS (SELECT id, CAST(id % {k} AS BIGINT) AS part FROM verts)"""
+    steps = []
+    for t in range(rounds):
+        steps.append(f""",
+ld{t} AS (SELECT part, COUNT(*) AS ld FROM s{t} GROUP BY part),
+cnt{t} AS (SELECT e.s AS id, x.part, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bo e JOIN s{t} x ON e.d = x.id GROUP BY 1, 2),
+cand{t} AS (SELECT id, part, MAX(c) AS c FROM (
+  SELECT id, part, c FROM cnt{t}
+  UNION ALL SELECT id, part, 0 FROM s{t}) GROUP BY 1, 2),
+des{t} AS (
+  SELECT id, part, score FROM (
+    SELECT c.id, c.part,
+           (c.c * (SELECT n FROM nvert) - COALESCE(l.ld, 0)) AS score,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY (c.c * (SELECT n FROM nvert)
+                       - COALESCE(l.ld, 0)) DESC, c.part ASC) AS rn
+    FROM cand{t} c LEFT JOIN ld{t} l ON c.part = l.part
+  ) WHERE rn = 1
+),
+win{t} AS (
+  SELECT id, part FROM (
+    SELECT id, part,
+           row_number() OVER (PARTITION BY part
+                              ORDER BY score DESC, id ASC) AS qr
+    FROM des{t}
+  ) WHERE qr <= (SELECT cap FROM nvert)
+),
+s{t + 1} AS MATERIALIZED (
+  SELECT s.id, COALESCE(w.part, s.part) AS part
+  FROM s{t} s LEFT JOIN win{t} w ON w.id = s.id
+)""")
+    return head + "".join(steps) + f""",
+fin AS (SELECT * FROM s{rounds}),
+tagged AS (
+  SELECT pa.part AS _pa, pb.part AS _pb
+  FROM sym JOIN fin pa ON pa.id = sym.a JOIN fin pb ON pb.id = sym.b
+),
+internal AS (SELECT _pa AS part, CAST(COUNT(*) AS BIGINT) AS internal_edges
+             FROM tagged WHERE _pa = _pb GROUP BY 1),
+cut AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM (
+  SELECT _pa AS part FROM tagged WHERE _pa <> _pb
+  UNION ALL SELECT _pb FROM tagged WHERE _pa <> _pb) GROUP BY part),
+sizes AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_vertices
+          FROM fin GROUP BY part)
+SELECT s.part, s.n_vertices,
+       COALESCE(i.internal_edges, 0) AS internal_edges,
+       COALESCE(c.cut_edges, 0) AS cut_edges
+FROM sizes s
+LEFT JOIN internal i ON s.part = i.part
+LEFT JOIN cut c ON s.part = c.part"""
 
 
 def _densest_sql(p: int, q: int, rounds: int) -> str:
@@ -4407,6 +4491,7 @@ FROM sp"""
     sqls["condensation"] = _condensation_sql(CONDENSE_LEVEL_ROUNDS)
     sqls["harmonic_approx"] = _hyperball_sql(HYPERBALL_RADIUS, HYPERBALL_K)
     sqls["densest"] = _densest_sql(*DENSEST_EPS, DENSEST_ROUNDS)
+    sqls["partition_graph"] = _partition_sql(PARTITION_K, PARTITION_ROUNDS)
     sqls["sage_sample"] = _sage_sql(SAGE_SEEDS, SAGE_FANOUTS)
     sqls["bpe_train"] = _bpe_train_sql(BPE_MERGES)
     sqls["bpe_encode"] = _bpe_encode_sql(BPE_MERGES)

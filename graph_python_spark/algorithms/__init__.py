@@ -52,6 +52,7 @@ from graph_python_spark.algorithms.anf import anf_sketches, hyperball_harmonic
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
 from graph_python_spark.algorithms.scc import condensation
 from graph_python_spark.algorithms.densest import densest_subgraph
+from graph_python_spark.algorithms.partition import partition_assign, partition_quality
 
 __all__ = [
     "pagerank",
@@ -106,6 +107,8 @@ __all__ = [
     "bowtie_decomposition",
     "condensation",
     "densest_subgraph",
+    "partition_assign",
+    "partition_quality",
     "hyperball_harmonic",
     "reach_from",
 ]

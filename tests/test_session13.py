@@ -270,3 +270,53 @@ def test_bpe_encode_matches_python_replay(spark):
         nb = sum(enc_len(w) for w in ws)
         want[d] = (len(ws), nb, round(nb / len(ws), 6))
     assert got == want
+
+
+def test_partition_assign_matches_local_replay(spark):
+    from graph_python_spark.algorithms.partition import (partition_assign,
+                                                         partition_quality)
+
+    pairs = random_digraph(31, n=60, m=200)
+    k, rounds = 4, 3
+    e = edge_df(spark, pairs)
+    assign = partition_assign(e, k=k, rounds=rounds)
+    got = {r["id"]: r["part"] for r in assign.collect()}
+
+    und = {tuple(sorted((a, b))) for a, b in pairs if a != b}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    verts = sorted(nbrs)
+    nv = len(verts)
+    cap = (21 * nv) // (20 * k) + 1
+    part = {v: v % k for v in verts}
+    for _ in range(rounds):
+        load = {}
+        for v in verts:
+            load[part[v]] = load.get(part[v], 0) + 1
+        desired = {}
+        for v in verts:
+            cand = {part[v]: 0}
+            for u in nbrs[v]:
+                cand[part[u]] = cand.get(part[u], 0) + 1
+            best = min(cand,
+                       key=lambda p: (-(cand[p] * nv - load.get(p, 0)), p))
+            desired[v] = (best, cand[best] * nv - load.get(best, 0))
+        new = dict(part)
+        by_part = {}
+        for v, (p, sc) in desired.items():
+            by_part.setdefault(p, []).append((v, sc))
+        for p, vs in by_part.items():
+            vs.sort(key=lambda t: (-t[1], t[0]))
+            for v, _sc in vs[:cap]:
+                new[v] = p
+        part = new
+    assert got == part
+
+    q = {r["part"]: (r["n_vertices"], r["internal_edges"], r["cut_edges"])
+         for r in partition_quality(e, assign).collect()}
+    assert sum(v for v, _i, _c in q.values()) == nv
+    internal = sum(i for _v, i, _c in q.values())
+    cut2 = sum(c for _v, _i, c in q.values())
+    assert internal + cut2 // 2 == len(und) and cut2 % 2 == 0
