@@ -1864,6 +1864,25 @@ DENSEST_ROUNDS = 16
 
 PARTITION_K = 8
 PARTITION_ROUNDS = 4
+LOGREG_DIM = 32
+LOGREG_STEPS = 3
+LOGREG_LR = 1.0
+
+
+def q_quality_classifier(spark, sf_dir):
+    """CCNet-style discriminator: full-batch logistic regression over
+    hashed token features (label: lang == 'en'), quantized-gradient
+    determinism; returns the learned weight vector as rows."""
+    from graph_python_spark.pipeline.features import logreg_classifier
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("long").alias("label"))
+    w = logreg_classifier(docs, label_col="label", dim=LOGREG_DIM,
+                          steps=LOGREG_STEPS, lr=LOGREG_LR)
+    return spark.createDataFrame(
+        [(j, round(v, 6)) for j, v in enumerate(w)],
+        "feature long, weight double")
 
 
 def q_partition_graph(spark, sf_dir):
@@ -1994,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_approx": q_harmonic_approx,
         "densest": q_densest,
         "partition_graph": q_partition_graph,
+        "quality_classifier": q_quality_classifier,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -3017,6 +3037,55 @@ LEFT JOIN inn i ON v.id = i.id
 LEFT JOIN outt o ON v.id = o.id
 LEFT JOIN fin f ON v.id = f.id
 LEFT JOIN bout b ON v.id = b.id"""
+
+
+def _logreg_sql(dim: int, steps: int, lr: float) -> str:
+    """Unrolled quantized-gradient logistic regression — mirrors
+    pipeline/features.logreg_classifier: md5-bucket features + bias,
+    BIGINT-quantized logits (1e9) and gradients (1e6), sigmoid rounded
+    9 dp, identical update expression tree."""
+    head = f"""WITH feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {dim} AS j,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+nt AS (SELECT doc_id, SUM(c) AS n FROM feat GROUP BY 1),
+x AS (
+  SELECT f.doc_id, f.j, CAST(f.c AS DOUBLE) / n.n AS x
+  FROM feat f JOIN nt n USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {dim}, 1.0 FROM nt
+),
+yl AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       FROM documents),
+nd AS (SELECT COUNT(*) AS n FROM nt),
+w0 AS (SELECT unnest(generate_series(0, {dim})) AS j, 0.0 AS w)"""
+    steps_sql = []
+    for t in range(steps):
+        steps_sql.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT x.doc_id,
+         ROUND(1.0 / (1.0 + exp(-(SUM(CAST(ROUND(w.w * x.x * 1e9, 0)
+                                          AS BIGINT)) / 1e9))), 9) AS p
+  FROM x JOIN w{t} w USING (j) GROUP BY x.doc_id
+),
+g{t} AS (
+  SELECT x.j, SUM(CAST(ROUND((p.p - yl.y) * x.x * 1e6, 0) AS BIGINT)) AS gq
+  FROM x JOIN p{t} p USING (doc_id) JOIN yl USING (doc_id)
+  GROUP BY x.j
+),
+w{t + 1} AS MATERIALIZED (
+  SELECT w.j, w.w - {lr} * (COALESCE(g.gq, 0) / 1e6)
+                    / (SELECT n FROM nd) AS w
+  FROM w{t} w LEFT JOIN g{t} g USING (j)
+)""")
+    return (head + "".join(steps_sql) + f"""
+SELECT CAST(j AS BIGINT) AS feature, ROUND(w, 6) AS weight FROM w{steps}""")
 
 
 def _partition_sql(k: int, rounds: int) -> str:
@@ -4492,6 +4561,8 @@ FROM sp"""
     sqls["harmonic_approx"] = _hyperball_sql(HYPERBALL_RADIUS, HYPERBALL_K)
     sqls["densest"] = _densest_sql(*DENSEST_EPS, DENSEST_ROUNDS)
     sqls["partition_graph"] = _partition_sql(PARTITION_K, PARTITION_ROUNDS)
+    sqls["quality_classifier"] = _logreg_sql(LOGREG_DIM, LOGREG_STEPS,
+                                             LOGREG_LR)
     sqls["sage_sample"] = _sage_sql(SAGE_SEEDS, SAGE_FANOUTS)
     sqls["bpe_train"] = _bpe_train_sql(BPE_MERGES)
     sqls["bpe_encode"] = _bpe_encode_sql(BPE_MERGES)

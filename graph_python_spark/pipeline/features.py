@@ -182,3 +182,130 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
         F.round(F.sqrt(F.col("_c2")), 6).alias("centroid_norm"),
         F.round(F.col("_en2") - F.col("_c2"), 6).alias("mean_sq_dist"),
     )
+
+
+def logreg_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    dim: int = 64,
+    steps: int = 4,
+    lr: float = 1.0,
+    text_col: str = "text",
+) -> list[float]:
+    """Train a CCNet-style quality/source discriminator: full-batch
+    logistic regression over hashed bag-of-token features — the
+    "fastText classifier" stage of LLM data curation (Wenzek et al.,
+    CCNet, LREC 2020 train a wiki-vs-crawl LM/classifier and keep the
+    wiki-like tail; this is that shape on engine-replayable arithmetic).
+
+    Features: token t → bucket md5(t) mod ``dim`` (engine-replayable
+    hash), value = bucket_count / n_tokens, plus a constant bias feature
+    at index ``dim``.  ``label_col`` must be 0/1.
+
+    Determinism contract (the kmeans/centroid precedent, applied to GD):
+    every float reduction is quantized to integer units BEFORE the sum —
+    per-doc logits are Σ round(w_j·x_ij·1e9) (BIGINT), per-feature
+    gradients Σ round((p_i−y_i)·x_ij·1e6) (BIGINT) — so partial-agg
+    order can't skew them; the sigmoid is rounded to 9 dp to absorb any
+    cross-engine exp() ulp.  The weight vector (≤ dim+1 doubles) lives
+    driver-side across the ``steps`` iterations — the same bounded
+    collect the BPE merge table uses; each step is two O(tokens)
+    aggregations, nothing vocabulary- or corpus-sized ever reaches the
+    driver.
+
+    Returns the learned weights as a Python list of dim+1 floats
+    (index ``dim`` = bias).  Use :func:`logreg_score` to apply them.
+    """
+    feat = (
+        docs.select("doc_id",
+                    F.explode(F.filter(F.split(F.col(text_col), " "),
+                                       lambda t: t != "")).alias("tok"))
+        .select("doc_id",
+                (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                 .cast("long") % dim).alias("j"))
+        .groupBy("doc_id", "j").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ntok = feat.groupBy("doc_id").agg(F.sum("_c").alias("_n"))
+    x = (
+        feat.join(ntok, "doc_id")
+        .select("doc_id", "j",
+                (F.col("_c").cast("double") / F.col("_n")).alias("x"))
+        .unionByName(
+            ntok.select("doc_id", F.lit(dim).cast("long").alias("j"),
+                        F.lit(1.0).alias("x")))
+    )
+    y = docs.select("doc_id", F.col(label_col).cast("double").alias("y"))
+    xy = x.join(y, "doc_id").localCheckpoint(eager=True)
+    n_docs = xy.select("doc_id").distinct().count()
+
+    w = [0.0] * (dim + 1)
+    for _ in range(steps):
+        warr = F.array(*[F.lit(float(v)) for v in w])
+        zq = (F.element_at(warr, (F.col("j") + 1).cast("int")) * F.col("x")
+              * F.lit(1e9))
+        logits = (
+            xy.groupBy("doc_id")
+            .agg(F.sum(F.round(zq, 0).cast("long")).alias("_zq"),
+                 F.first("y").alias("y"))
+            .select("doc_id", "y",
+                    F.round(
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.col("_zq") / F.lit(1e9)))),
+                        9).alias("p"))
+        )
+        gq = (
+            xy.join(logits.select("doc_id", "p", F.col("y").alias("_y")),
+                    "doc_id")
+            .groupBy("j")
+            .agg(F.sum(
+                F.round((F.col("p") - F.col("_y")) * F.col("x") * F.lit(1e6),
+                        0).cast("long")).alias("_gq"))
+            .collect()
+        )
+        grad = {int(r["j"]): int(r["_gq"]) for r in gq}
+        w = [w[j] - lr * (grad.get(j, 0) / 1e6) / n_docs
+             for j in range(dim + 1)]
+    xy.unpersist()
+    return w
+
+
+def logreg_score(
+    docs: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with :func:`logreg_classifier` weights: returns
+    (doc_id, score) with score = round(σ(w·x), 6), the keep-probability
+    the CCNet-style gate thresholds.  Same quantized-logit contract as
+    training; map-side except one (doc_id, j) count aggregation."""
+    dim = len(weights) - 1
+    feat = (
+        docs.select("doc_id",
+                    F.explode(F.filter(F.split(F.col(text_col), " "),
+                                       lambda t: t != "")).alias("tok"))
+        .select("doc_id",
+                (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                 .cast("long") % dim).alias("j"))
+        .groupBy("doc_id", "j").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ntok = feat.groupBy("doc_id").agg(F.sum("_c").alias("_n"))
+    x = (
+        feat.join(ntok, "doc_id")
+        .select("doc_id", "j",
+                (F.col("_c").cast("double") / F.col("_n")).alias("x"))
+        .unionByName(
+            ntok.select("doc_id", F.lit(dim).cast("long").alias("j"),
+                        F.lit(1.0).alias("x")))
+    )
+    warr = F.array(*[F.lit(float(v)) for v in weights])
+    zq = (F.element_at(warr, (F.col("j") + 1).cast("int")) * F.col("x")
+          * F.lit(1e9))
+    return (
+        x.groupBy("doc_id")
+        .agg(F.sum(F.round(zq, 0).cast("long")).alias("_zq"))
+        .select("doc_id",
+                F.round(
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.col("_zq") / F.lit(1e9)))),
+                    6).alias("score"))
+    )

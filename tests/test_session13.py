@@ -320,3 +320,57 @@ def test_partition_assign_matches_local_replay(spark):
     internal = sum(i for _v, i, _c in q.values())
     cut2 = sum(c for _v, _i, c in q.values())
     assert internal + cut2 // 2 == len(und) and cut2 % 2 == 0
+
+
+def test_logreg_classifier_matches_numpy_replay_and_separates(spark):
+    from graph_python_spark.pipeline.features import (logreg_classifier,
+                                                      logreg_score)
+
+    rng = random.Random(9)
+    pos_vocab = [f"p{i}" for i in range(8)]
+    neg_vocab = [f"n{i}" for i in range(8)]
+    rows = []
+    for d in range(80):
+        label = d % 2
+        vocab = pos_vocab if label else neg_vocab
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(12)), label))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label long")
+    dim, steps, lr = 16, 3, 1.0
+    w = logreg_classifier(docs, dim=dim, steps=steps, lr=lr)
+
+    # numpy replay with the identical quantization contract
+    feats = {}
+    for d, text, label in rows:
+        toks = [t for t in text.split(" ") if t]
+        cnt = {}
+        for t in toks:
+            j = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+            cnt[j] = cnt.get(j, 0) + 1
+        xs = {j: c / len(toks) for j, c in cnt.items()}
+        xs[dim] = 1.0
+        feats[d] = (xs, float(label))
+    import math
+
+    def rnd(v):
+        # Spark/DuckDB ROUND is half-away-from-zero, not Python's half-even
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    wv = [0.0] * (dim + 1)
+    n = len(rows)
+    for _ in range(steps):
+        grads = {}
+        for d, (xs, yv) in feats.items():
+            zq = sum(rnd(wv[j] * x * 1e9) for j, x in xs.items())
+            p = round(1.0 / (1.0 + math.exp(-(zq / 1e9))), 9)
+            for j, x in xs.items():
+                grads[j] = grads.get(j, 0) + rnd((p - yv) * x * 1e6)
+        wv = [wv[j] - lr * (grads.get(j, 0) / 1e6) / n
+              for j in range(dim + 1)]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(w, wv))
+
+    # and it must actually separate the two vocabularies
+    scores = {r["doc_id"]: r["score"]
+              for r in logreg_score(docs, w).collect()}
+    pos = [scores[d] for d, _t, l in rows if l == 1]
+    neg = [scores[d] for d, _t, l in rows if l == 0]
+    assert min(pos) > max(neg)
