@@ -1867,6 +1867,19 @@ PARTITION_ROUNDS = 4
 LOGREG_DIM = 32
 LOGREG_STEPS = 3
 LOGREG_LR = 1.0
+TRI_INCR_MOD = 10   # old snapshot = edges with (src+dst) % 10 != 0
+
+
+def q_triangles_incr(spark, sf_dir):
+    """Δ-triangle count for the growing-crawl split: triangles using at
+    least one added edge, seeded by the added edges only (cost
+    O(|added|·deg), never a full re-enumeration)."""
+    from graph_python_spark.algorithms.triangles import triangles_incremental
+
+    e = customer_graph(spark, sf_dir).select(
+        F.col("src").alias("i"), F.col("dst").alias("j"))
+    old = e.filter((F.col("i") + F.col("j")) % TRI_INCR_MOD != 0)
+    return triangles_incremental(old, e)
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -2014,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest": q_densest,
         "partition_graph": q_partition_graph,
         "quality_classifier": q_quality_classifier,
+        "triangles_incr": q_triangles_incr,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -4563,6 +4577,25 @@ FROM sp"""
     sqls["partition_graph"] = _partition_sql(PARTITION_K, PARTITION_ROUNDS)
     sqls["quality_classifier"] = _logreg_sql(LOGREG_DIM, LOGREG_STEPS,
                                              LOGREG_LR)
+    sqls["triangles_incr"] = f"""WITH {eg},
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM eg WHERE src <> dst
+),
+uo AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM eg WHERE src <> dst AND (src + dst) % {TRI_INCR_MOD} <> 0
+),
+ta AS (SELECT COUNT(*) AS n FROM ue e1
+       JOIN ue e2 ON e1.b = e2.a
+       JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+tb AS (SELECT COUNT(*) AS n FROM uo e1
+       JOIN uo e2 ON e1.b = e2.a
+       JOIN uo e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST((SELECT COUNT(*) FROM ue) - (SELECT COUNT(*) FROM uo)
+            AS BIGINT) AS n_added_edges,
+       CAST((SELECT n FROM ta) - (SELECT n FROM tb)
+            AS BIGINT) AS n_new_triangles"""
     sqls["sage_sample"] = _sage_sql(SAGE_SEEDS, SAGE_FANOUTS)
     sqls["bpe_train"] = _bpe_train_sql(BPE_MERGES)
     sqls["bpe_encode"] = _bpe_encode_sql(BPE_MERGES)

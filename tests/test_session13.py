@@ -374,3 +374,19 @@ def test_logreg_classifier_matches_numpy_replay_and_separates(spark):
     pos = [scores[d] for d, _t, l in rows if l == 1]
     neg = [scores[d] for d, _t, l in rows if l == 0]
     assert min(pos) > max(neg)
+
+
+def test_triangles_incremental_matches_full_difference(spark):
+    from graph_python_spark.algorithms.triangles import (triangle_count,
+                                                         triangles_incremental)
+
+    pairs = list(random_digraph(41, n=40, m=260))
+    old = [(a, b) for a, b in pairs if (a + b) % 4 != 0]
+    e_all, e_old = edge_df(spark, pairs), edge_df(spark, old)
+    row = triangles_incremental(e_old, e_all).first()
+    t_all = triangle_count(e_all)
+    t_old = triangle_count(e_old)
+    assert row["n_new_triangles"] == t_all - t_old
+    und_all = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    und_old = {tuple(sorted(p)) for p in old if p[0] != p[1]}
+    assert row["n_added_edges"] == len(und_all - und_old)
