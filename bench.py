@@ -140,6 +140,11 @@ def run_headlines(spark, results: dict) -> None:
         # IVF-PQ compressed scan, shard layout (condensation is
         # headline-excluded for the same chain-depth reason as bowtie)
         "harmonic_approx", "ivf_pq", "shard_assign",
+        # round 3 session 14: balanced LPA partitioning, vocabulary-free
+        # heavy hitters, tokenizer apply, in-engine GD classifier,
+        # greedy-peel densest core, incremental triangles
+        "partition_graph", "heavy_hitters", "bpe_encode",
+        "quality_classifier", "densest", "triangles_incr",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays
