@@ -1868,6 +1868,19 @@ LOGREG_DIM = 32
 LOGREG_STEPS = 3
 LOGREG_LR = 1.0
 TRI_INCR_MOD = 10   # old snapshot = edges with (src+dst) % 10 != 0
+EFFDIAM_Q = 0.9
+EFFDIAM_RADIUS = 4
+
+
+def q_eff_diameter(spark, sf_dir):
+    """Interpolated effective diameter at q=0.9 from the ANF
+    neighborhood-function curve (Palmer KDD'02 read-off)."""
+    from graph_python_spark.algorithms.anf import effective_diameter
+
+    e = customer_graph(spark, sf_dir)
+    return effective_diameter(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        q=EFFDIAM_Q, radius=EFFDIAM_RADIUS, k=NF_K)
 
 
 def q_triangles_incr(spark, sf_dir):
@@ -2028,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_graph": q_partition_graph,
         "quality_classifier": q_quality_classifier,
         "triangles_incr": q_triangles_incr,
+        "eff_diameter": q_eff_diameter,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -4178,6 +4192,53 @@ SELECT c.r, c.total_micro,
 FROM ({union}) c CROSS JOIN tot{radius} f"""
 
 
+def _effdiam_sql(q: float, radius: int, k: int) -> str:
+    """Interpolated effective diameter — the _nf_sql sketch loop plus
+    the ANF read-off (mirrors algorithms/anf.effective_diameter)."""
+    head = f"""WITH {customer_graph_sql().strip()},
+eb AS (SELECT DISTINCT src, dst FROM eg),
+verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
+s0 AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts)"""
+    steps, tots = [], []
+    for t in range(1, radius + 1):
+        steps.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT id, h FROM (
+    SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h ASC) AS rn
+    FROM (SELECT id, h FROM s{t - 1}
+          UNION
+          SELECT e.src AS id, x.h FROM eb e JOIN s{t - 1} x ON e.dst = x.id)
+  ) WHERE rn <= {k}
+)""")
+    for t in range(radius + 1):
+        tots.append(f""",
+tot{t} AS (
+  SELECT CAST({t} AS BIGINT) AS r,
+         CAST(SUM(CAST(ROUND(est * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS total_micro
+  FROM (
+    SELECT id, CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE {float(k - 1)} /
+                         (CAST(('0x' || substr(MAX(h), 1, 12)) AS BIGINT)
+                          / {float(16 ** 12)}) END AS est
+    FROM s{t} GROUP BY id)
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM tot{t}"
+                               for t in range(radius + 1))
+    return head + "".join(steps) + "".join(tots) + f""",
+curve AS (SELECT c.r, c.total_micro, f.total_micro AS tm
+          FROM ({union}) c CROSS JOIN tot{radius} f),
+prv AS (SELECT r + 1 AS r, total_micro AS prev FROM curve)
+SELECT ROUND(CASE WHEN c.r = 0 THEN 0.0
+             ELSE (c.r - 1) + ({q} * c.tm - CAST(p.prev AS DOUBLE))
+                  / CAST(c.total_micro - p.prev AS DOUBLE) END,
+             6) AS eff_diameter,
+       c.r,
+       ROUND(CAST(c.total_micro AS DOUBLE) / c.tm, 6) AS frac
+FROM curve c LEFT JOIN prv p ON p.r = c.r
+WHERE CAST(c.total_micro AS DOUBLE) >= {q} * c.tm
+ORDER BY c.r LIMIT 1"""
+
+
 def _hyperball_sql(radius: int, k: int) -> str:
     """Unrolled HyperBall harmonic — mirrors
     algorithms/anf.hyperball_harmonic digit-for-digit: in-balls grown
@@ -5026,6 +5087,7 @@ FROM events GROUP BY 1, 2"""
 
     sqls["anf_reach"] = _anf_sql(ANF_RADIUS, ANF_K)
     sqls["neighborhood_fn"] = _nf_sql(NF_RADIUS, NF_K)
+    sqls["eff_diameter"] = _effdiam_sql(EFFDIAM_Q, EFFDIAM_RADIUS, NF_K)
     sqls["dag_levels"] = _dag_levels_sql(DAG_ROUNDS)
 
     sqls["reciprocity"] = f"""WITH {eg},

@@ -295,3 +295,56 @@ def hyperball_harmonic(
     for s in ests:
         s.unpersist()
     return out
+
+
+def effective_diameter(
+    edges: DataFrame,
+    q: float = 0.9,
+    radius: int = 8,
+    k: int = 16,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Interpolated effective diameter at quantile ``q`` (ANF's canonical
+    read-off — Palmer et al. KDD'02 §4.1): the smallest (fractional)
+    radius r such that N(r) ≥ q·N(radius), linearly interpolated between
+    the two bracketing integer radii:
+
+        eff = (r−1) + (q·N(R) − N(r−1)) / (N(r) − N(r−1))
+
+    computed from the :func:`neighborhood_function` curve (the quantized
+    ``total_micro`` values, so the interpolation arithmetic is
+    engine-identical).  Returns ONE row: (eff_diameter double, r long,
+    frac double) where r is the bracketing integer radius and frac its
+    curve value.  If N(0) already meets the target (degenerate graphs),
+    eff_diameter = 0.
+
+    Cost: the NF sketch loop itself — one SpMV-shaped shuffle per radius;
+    the read-off folds a ≤ radius+1-row relation.
+    """
+    curve = neighborhood_function(edges, radius=radius, k=k,
+                                  partitions=partitions)
+    total = curve.filter(F.col("r") == radius).select(
+        F.col("total_micro").alias("_tm"))
+    w = curve.crossJoin(F.broadcast(total))
+    # prev derives from the (checkpointed) curve, NOT from w — deriving it
+    # from w would plant the 1-row cross join twice in the plan
+    prev = curve.select((F.col("r") + 1).alias("r"),
+                        F.col("total_micro").alias("_prev"))
+    hit = (
+        w.join(prev, "r", "left")
+        .filter(F.col("total_micro").cast("double")
+                >= F.lit(q) * F.col("_tm"))
+        .orderBy("r").limit(1)
+        .select(
+            "r", "frac",
+            F.when(F.col("r") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("r") - 1)
+                + (F.lit(q) * F.col("_tm")
+                   - F.col("_prev").cast("double"))
+                / (F.col("total_micro") - F.col("_prev")).cast("double"))
+            .alias("_eff"))
+    )
+    out = hit.select(F.round("_eff", 6).alias("eff_diameter"), "r", "frac")
+    curve.unpersist()
+    return out

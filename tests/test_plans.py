@@ -47,6 +47,7 @@ BNLJ_ALLOW = {
     "degree_drift": (3, "two snapshot 1-row mass folds + TV-distance merge"),
     "pmi_topk": (1, "broadcast 1-row total-bigram-count fold"),
     "heavy_hitters": (1, "broadcast 1-row total-token-count fold"),
+    "eff_diameter": (1, "broadcast 1-row N(radius) fold from the NF curve"),
 }
 
 # name -> (max Exchange SinglePartition, reason)
@@ -74,6 +75,8 @@ SP_ALLOW = {
     "degree_relabel": (1, "two-phase rank: ≤256-row partition-offset relation"),
     "relabel_locality": (3, "rank offsets (×2 mapping reuse) + 1-row gap fold"),
     "pmi_topk": (1, "1-row total-bigram-count fold"),
+    "heavy_hitters": (1, "1-row total-token-count fold"),
+    "triangles_incr": (1, "the operator RETURNS a 1-row delta count"),
 }
 
 

@@ -390,3 +390,33 @@ def test_triangles_incremental_matches_full_difference(spark):
     und_all = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
     und_old = {tuple(sorted(p)) for p in old if p[0] != p[1]}
     assert row["n_added_edges"] == len(und_all - und_old)
+
+
+def test_effective_diameter_exact_when_unsaturated(spark):
+    from graph_python_spark.algorithms.anf import effective_diameter
+
+    pairs = random_digraph(51, n=30, m=70)
+    radius, qq = 4, 0.9
+    row = effective_diameter(edge_df(spark, pairs), q=qq, radius=radius,
+                             k=512).first()
+
+    G = nx.DiGraph()
+    G.add_edges_from((a, b) for a, b in pairs if a != b)
+    totals = []
+    for r in range(radius + 1):
+        t = 0
+        for v in G.nodes:
+            t += len(nx.single_source_shortest_path_length(G, v, cutoff=r))
+        totals.append(t * 1_000_000)  # micro-units, exact ints
+    tm = totals[radius]
+    for r, cur in enumerate(totals):
+        if float(cur) >= qq * tm:
+            if r == 0:
+                eff = 0.0
+            else:
+                eff = (r - 1) + (qq * tm - float(totals[r - 1])) \
+                    / float(cur - totals[r - 1])
+            assert row["r"] == r
+            assert row["eff_diameter"] == pytest.approx(round(eff, 6),
+                                                        abs=1e-9)
+            break
