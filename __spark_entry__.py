@@ -1870,6 +1870,19 @@ LOGREG_LR = 1.0
 TRI_INCR_MOD = 10   # old snapshot = edges with (src+dst) % 10 != 0
 EFFDIAM_Q = 0.9
 EFFDIAM_RADIUS = 4
+WMATCH_ROUNDS = 6
+
+
+def q_weighted_matching(spark, sf_dir):
+    """Dominant-edge greedy weighted matching (Preis ½-approx): each
+    round keeps edges that are the locally-heaviest at both endpoints."""
+    from graph_python_spark.algorithms.matching import weighted_matching
+
+    e = customer_graph(spark, sf_dir)
+    return weighted_matching(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j"),
+                 F.col("w").alias("v")),
+        rounds=WMATCH_ROUNDS)
 
 
 def q_eff_diameter(spark, sf_dir):
@@ -2042,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "triangles_incr": q_triangles_incr,
         "eff_diameter": q_eff_diameter,
+        "weighted_matching": q_weighted_matching,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -4192,6 +4206,46 @@ SELECT c.r, c.total_micro,
 FROM ({union}) c CROSS JOIN tot{radius} f"""
 
 
+def _wmatch_sql(rounds: int) -> str:
+    """Unrolled dominant-edge weighted matching — mirrors
+    algorithms/matching.weighted_matching: per-endpoint argmax under
+    (w desc, a asc, b asc), strict-win at both endpoints, anti-join
+    shrink; rounds past the fixpoint are identity."""
+    head = f"""WITH {customer_graph_sql().strip()},
+al1 AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(w) AS w
+  FROM eg WHERE src <> dst GROUP BY 1, 2
+)"""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+bv{r} AS (
+  SELECT v, a, b FROM (
+    SELECT v, a, b,
+           row_number() OVER (PARTITION BY v
+                              ORDER BY w DESC, a ASC, b ASC) AS rn
+    FROM (SELECT a AS v, w, a, b FROM al{r}
+          UNION ALL SELECT b AS v, w, a, b FROM al{r})
+  ) WHERE rn = 1
+),
+win{r} AS MATERIALIZED (
+  SELECT al.a, al.b, al.w FROM al{r} al
+  JOIN bv{r} xa ON xa.v = al.a AND xa.a = al.a AND xa.b = al.b
+  JOIN bv{r} xb ON xb.v = al.b AND xb.a = al.a AND xb.b = al.b
+),
+al{r + 1} AS MATERIALIZED (
+  SELECT al.a, al.b, al.w FROM al{r} al
+  WHERE NOT EXISTS (SELECT 1 FROM win{r} w
+                    WHERE w.a = al.a OR w.b = al.a
+                       OR w.a = al.b OR w.b = al.b)
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT a, b, w, CAST({r} AS BIGINT) AS round FROM win{r}"
+        for r in range(1, rounds + 1))
+    return head + "".join(parts) + f"""
+SELECT a, b, w, round FROM ({union})"""
+
+
 def _effdiam_sql(q: float, radius: int, k: int) -> str:
     """Interpolated effective diameter — the _nf_sql sketch loop plus
     the ANF read-off (mirrors algorithms/anf.effective_diameter)."""
@@ -5088,6 +5142,7 @@ FROM events GROUP BY 1, 2"""
     sqls["anf_reach"] = _anf_sql(ANF_RADIUS, ANF_K)
     sqls["neighborhood_fn"] = _nf_sql(NF_RADIUS, NF_K)
     sqls["eff_diameter"] = _effdiam_sql(EFFDIAM_Q, EFFDIAM_RADIUS, NF_K)
+    sqls["weighted_matching"] = _wmatch_sql(WMATCH_ROUNDS)
     sqls["dag_levels"] = _dag_levels_sql(DAG_ROUNDS)
 
     sqls["reciprocity"] = f"""WITH {eg},

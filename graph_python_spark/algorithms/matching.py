@@ -110,3 +110,74 @@ def residual_alive_edges(edges: DataFrame, matched: DataFrame) -> DataFrame:
         .join(used.select(F.col("v").alias("a")), "a", "left_anti")
         .join(used.select(F.col("v").alias("b")), "b", "left_anti")
     )
+
+
+def weighted_matching(edges: DataFrame, rounds: int = 6,
+                      weight: str = "v") -> DataFrame:
+    """Distributed greedy WEIGHTED matching — the dominant-edge /
+    locally-heaviest-edge algorithm (Preis STACS'99; Manne &
+    Bisseling's parallel form): each round, an alive edge joins the
+    matching iff it is the strict maximum at BOTH endpoints under the
+    total order (weight desc, a asc, b asc); matched endpoints leave.
+    The fixpoint is a ½-approximation of the maximum-weight matching —
+    the standard distributed guarantee.
+
+    Multi-edges collapse to their max weight first (dup_op=max), so the
+    order is total and the result is a pure function of the input (the
+    fixed-unroll SQL oracle replays it; rounds past the fixpoint are
+    identity).  Returns (a, b, w, round) with a < b; no two rows share a
+    vertex.
+
+    Spark shape: identical to :func:`maximal_matching` — per round one
+    endpoint-keyed argmax aggregate (map-side partials over the
+    endpoint-exploded relation), two joins back, one anti-join shrink of
+    the alive state.  The struct-max aggregate carries (w, -a, -b) so
+    the per-endpoint argmax needs no window.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    alive = (
+        edges.select(
+            F.least(F.col("i"), F.col("j")).alias("a"),
+            F.greatest(F.col("i"), F.col("j")).alias("b"),
+            F.col(weight).cast("double").alias("w"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b").agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    matched_parts = []
+    for r in range(1, rounds + 1):
+        # best incident edge per endpoint under (w desc, a asc, b asc):
+        # struct max over (w, -a, -b) — no window, pure partial agg
+        key = F.struct(F.col("w"), (-F.col("a")).alias("_na"),
+                       (-F.col("b")).alias("_nb"))
+        byv = (
+            alive.select(F.col("a").alias("v"), key.alias("_k"))
+            .unionByName(alive.select(F.col("b").alias("v"), key.alias("_k")))
+            .groupBy("v").agg(F.max("_k").alias("_mx"))
+        )
+        wins = (
+            alive.withColumn("_k", key)
+            .join(byv.select(F.col("v").alias("a"), F.col("_mx").alias("_xa")), "a")
+            .join(byv.select(F.col("v").alias("b"), F.col("_mx").alias("_xb")), "b")
+            .filter((F.col("_k") == F.col("_xa")) & (F.col("_k") == F.col("_xb")))
+            .select("a", "b", "w")
+            .localCheckpoint(eager=True)
+        )
+        matched_parts.append(
+            wins.select("a", "b", "w", F.lit(r).cast("long").alias("round")))
+        dead = (wins.select(F.col("a").alias("v"))
+                .unionByName(wins.select(F.col("b").alias("v"))))
+        nxt = (
+            alive.join(dead.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(dead.select(F.col("v").alias("b")), "b", "left_anti")
+            .select("a", "b", "w")
+            .localCheckpoint(eager=True)
+        )
+        alive.unpersist()
+        alive = nxt
+    alive.unpersist()
+    out = matched_parts[0]
+    for p in matched_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -420,3 +420,54 @@ def test_effective_diameter_exact_when_unsaturated(spark):
             assert row["eff_diameter"] == pytest.approx(round(eff, 6),
                                                         abs=1e-9)
             break
+
+
+def test_weighted_matching_valid_and_half_approx(spark):
+    """Valid matching (no shared vertices), matches the local
+    dominant-edge replay, and achieves >= 1/2 of the max-weight matching
+    at the fixpoint (checked vs networkx on a small graph)."""
+    from graph_python_spark.algorithms.matching import weighted_matching
+
+    rng = random.Random(61)
+    pairs = {}
+    for _ in range(120):
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b:
+            key = tuple(sorted((a, b)))
+            w = round(rng.uniform(0.1, 10.0), 3)
+            pairs[key] = max(pairs.get(key, 0.0), w)
+    rows = [(a, b, w) for (a, b), w in pairs.items()]
+    e = spark.createDataFrame(rows, "i long, j long, v double")
+    got = [(r["a"], r["b"], r["w"]) for r in
+           weighted_matching(e, rounds=8).collect()]
+
+    used = set()
+    for a, b, _w in got:
+        assert a not in used and b not in used
+        used.update((a, b))
+
+    # local dominant-edge replay
+    alive = dict(pairs)
+    matched = []
+    for _ in range(8):
+        best = {}
+        for (a, b), w in alive.items():
+            for v in (a, b):
+                k = (w, -a, -b)
+                if v not in best or k > best[v][0]:
+                    best[v] = (k, (a, b))
+        wins = [(a, b) for (a, b) in alive
+                if best[a][1] == (a, b) and best[b][1] == (a, b)]
+        for a, b in wins:
+            matched.append((a, b, alive[(a, b)]))
+        dead = {v for ab in wins for v in ab}
+        alive = {ab: w for ab, w in alive.items()
+                 if ab[0] not in dead and ab[1] not in dead}
+    assert sorted(got) == sorted(matched)
+
+    G = nx.Graph()
+    for (a, b), w in pairs.items():
+        G.add_edge(a, b, weight=w)
+    opt = sum(G[a][b]["weight"]
+              for a, b in nx.max_weight_matching(G))
+    assert sum(w for _a, _b, w in got) >= 0.5 * opt
