@@ -4,6 +4,7 @@ from graph_python_spark.algorithms.labelprop import label_propagation
 from graph_python_spark.algorithms.triangles import (
     clustering_coefficients,
     triangle_count,
+    triangles_incremental,
     triangles_per_vertex,
 )
 from graph_python_spark.algorithms.traversal import bfs_levels, bfs_parents, sssp
@@ -15,6 +16,8 @@ from graph_python_spark.algorithms.louvain import (
 from graph_python_spark.algorithms.kcore import coreness_rounds, kcore
 from graph_python_spark.algorithms.ktruss import ktruss
 from graph_python_spark.algorithms.mis import maximal_independent_set
+from graph_python_spark.algorithms.matching import (maximal_matching,
+                                                    weighted_matching)
 from graph_python_spark.algorithms.centrality import (
     betweenness_sources,
     harmonic_centrality,
@@ -48,7 +51,8 @@ from graph_python_spark.algorithms.bowtie import bowtie_decomposition, reach_fro
 from graph_python_spark.algorithms.walks import (deterministic_walks,
                                                  neighbor_sample,
                                                  ranked_adjacency)
-from graph_python_spark.algorithms.anf import anf_sketches, hyperball_harmonic
+from graph_python_spark.algorithms.anf import (anf_sketches, effective_diameter,
+                                               hyperball_harmonic)
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
 from graph_python_spark.algorithms.scc import condensation
 from graph_python_spark.algorithms.densest import densest_subgraph
@@ -61,7 +65,10 @@ __all__ = [
     "cc_fixed_rounds",
     "label_propagation",
     "triangle_count",
+    "triangles_incremental",
     "triangles_per_vertex",
+    "effective_diameter",
+    "weighted_matching",
     "clustering_coefficients",
     "bfs_levels",
     "bfs_parents",
