@@ -1873,6 +1873,23 @@ EFFDIAM_RADIUS = 4
 WMATCH_ROUNDS = 6
 
 
+def q_nmi(spark, sf_dir):
+    """NMI between the customer→nation and customer→region labelings
+    (nation refines region, so MI = H(region) — a fully-determined
+    check of the community-comparison metric)."""
+    from graph_python_spark.algorithms.metrics import \
+        normalized_mutual_information
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    a = cust.select(F.col("c_custkey").alias("id"),
+                    F.col("c_nationkey").alias("label"))
+    b = (cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+         .select(F.col("c_custkey").alias("id"),
+                 F.col("n_regionkey").alias("label")))
+    return normalized_mutual_information(a, b)
+
+
 def q_weighted_matching(spark, sf_dir):
     """Dominant-edge greedy weighted matching (Preis ½-approx): each
     round keeps edges that are the locally-heaviest at both endpoints."""
@@ -2056,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_incr": q_triangles_incr,
         "eff_diameter": q_eff_diameter,
         "weighted_matching": q_weighted_matching,
+        "nmi": q_nmi,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -5145,6 +5163,27 @@ FROM events GROUP BY 1, 2"""
     sqls["neighborhood_fn"] = _nf_sql(NF_RADIUS, NF_K)
     sqls["eff_diameter"] = _effdiam_sql(EFFDIAM_Q, EFFDIAM_RADIUS, NF_K)
     sqls["weighted_matching"] = _wmatch_sql(WMATCH_ROUNDS)
+    sqls["nmi"] = """
+WITH j AS (
+  SELECT c.c_custkey AS id, c.c_nationkey AS a, n.n_regionkey AS b
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+joint AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab FROM j GROUP BY 1, 2),
+ma AS (SELECT a, SUM(nab) AS na FROM joint GROUP BY a),
+mb AS (SELECT b, SUM(nab) AS nb FROM joint GROUP BY b),
+nn AS (SELECT SUM(nab) AS n FROM joint),
+ha AS (SELECT SUM(CAST(ROUND(-(na / n) * ln(na / n) * 1e9, 0) AS BIGINT))
+              / 1e9 AS h FROM ma, nn),
+hb AS (SELECT SUM(CAST(ROUND(-(nb / n) * ln(nb / n) * 1e9, 0) AS BIGINT))
+              / 1e9 AS h FROM mb, nn),
+mim AS (SELECT SUM(CAST(ROUND((nab / n)
+                              * ln((n * nab) / (na * nb)) * 1e9, 0)
+                        AS BIGINT)) / 1e9 AS mi
+        FROM joint JOIN ma USING (a) JOIN mb USING (b), nn)
+SELECT CAST(nn.n AS BIGINT) AS n, ROUND(ha.h, 6) AS h_a,
+       ROUND(hb.h, 6) AS h_b, ROUND(mim.mi, 6) AS mi,
+       ROUND(CASE WHEN ha.h + hb.h > 0
+                  THEN 2.0 * mim.mi / (ha.h + hb.h) ELSE 0.0 END, 6) AS nmi
+FROM nn, ha, hb, mim"""
     sqls["dag_levels"] = _dag_levels_sql(DAG_ROUNDS)
 
     sqls["reciprocity"] = f"""WITH {eg},

@@ -516,3 +516,69 @@ def degree_drift(e_old: DataFrame, e_new: DataFrame,
         F.round("_pn", 6).alias("p_new"),
         F.col("_tv").alias("tv_distance"),
     )
+
+
+def normalized_mutual_information(labels_a: DataFrame,
+                                  labels_b: DataFrame) -> DataFrame:
+    """NMI between two labelings of the same id set — the standard
+    community-detection evaluation metric (compare Louvain vs label
+    propagation vs a partitioner, or a labeling vs ground truth):
+
+        NMI = 2·I(A;B) / (H(A) + H(B))
+
+    over the inner-joined ids, with I and H from the joint contingency
+    counts (MLE).  Inputs: (id, label) each; ids missing from either
+    side are ignored (inner join).  Returns ONE row:
+    (n, h_a, h_b, mi, nmi), entropies in nats, all rounded 1e-6;
+    nmi = 0 when both labelings are single-cluster (H_A = H_B = 0).
+
+    Determinism contract: every Σ p·ln(…) term is quantized to integer
+    nano-units BEFORE the sum (`sum(round(term·1e9))` as BIGINT — the
+    kmeans/NF precedent), so partial-agg order cannot skew the result
+    and the DuckDB oracle replays it exactly.
+
+    Scale shape: one (id)-keyed inner join, one (a, b) contingency
+    groupBy with map-side partials (output bounded by |labels_A|·
+    |labels_B| OBSERVED pairs, not ids), two marginal groupBys riding on
+    the contingency relation, three 1-row folds.  Nothing id-sized ever
+    reaches the driver.
+    """
+    j = (labels_a.select("id", F.col("label").alias("_a"))
+         .join(labels_b.select("id", F.col("label").alias("_b")), "id"))
+    joint = j.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_nab"))
+    ma = joint.groupBy("_a").agg(F.sum("_nab").alias("_na"))
+    mb = joint.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
+    n = joint.agg(F.sum("_nab").alias("_n"))
+
+    def _ent(m: DataFrame, cnt: str) -> DataFrame:
+        # H = -Σ (c/n)·ln(c/n), nano-quantized per term
+        t = m.crossJoin(F.broadcast(n))
+        term = -(F.col(cnt) / F.col("_n")) * F.log(F.col(cnt) / F.col("_n"))
+        return t.agg((F.sum(F.round(term * 1e9, 0).cast("long"))
+                      / F.lit(1e9)).alias("h"))
+
+    ha = _ent(ma, "_na")
+    hb = _ent(mb, "_nb")
+    mit = (
+        joint.join(F.broadcast(ma), "_a").join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(n))
+        .select(((F.col("_nab") / F.col("_n"))
+                 * F.log((F.col("_n") * F.col("_nab"))
+                         / (F.col("_na") * F.col("_nb")))).alias("_t"))
+        .agg((F.sum(F.round(F.col("_t") * 1e9, 0).cast("long"))
+              / F.lit(1e9)).alias("mi"))
+    )
+    return (
+        n.crossJoin(F.broadcast(ha.select(F.col("h").alias("_ha"))))
+        .crossJoin(F.broadcast(hb.select(F.col("h").alias("_hb"))))
+        .crossJoin(F.broadcast(mit))
+        .select(
+            F.col("_n").cast("long").alias("n"),
+            F.round("_ha", 6).alias("h_a"),
+            F.round("_hb", 6).alias("h_b"),
+            F.round("mi", 6).alias("mi"),
+            F.round(
+                F.when(F.col("_ha") + F.col("_hb") > 0,
+                       2.0 * F.col("mi") / (F.col("_ha") + F.col("_hb")))
+                .otherwise(F.lit(0.0)), 6).alias("nmi"))
+    )

@@ -471,3 +471,39 @@ def test_weighted_matching_valid_and_half_approx(spark):
     opt = sum(G[a][b]["weight"]
               for a, b in nx.max_weight_matching(G))
     assert sum(w for _a, _b, w in got) >= 0.5 * opt
+
+
+def test_nmi_matches_python_replay_and_identities(spark):
+    import math
+
+    from graph_python_spark.algorithms.metrics import \
+        normalized_mutual_information
+
+    def rnd(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    rng = random.Random(71)
+    rows = [(i, rng.randrange(5), rng.randrange(3)) for i in range(400)]
+    a = spark.createDataFrame([(i, x) for i, x, _ in rows],
+                              "id long, label long")
+    b = spark.createDataFrame([(i, y) for i, _, y in rows],
+                              "id long, label long")
+    got = normalized_mutual_information(a, b).first()
+
+    from collections import Counter
+    nab = Counter((x, y) for _, x, y in rows)
+    na = Counter(x for _, x, _ in rows)
+    nb = Counter(y for _, _, y in rows)
+    n = len(rows)
+    ha = sum(rnd(-(c / n) * math.log(c / n) * 1e9) for c in na.values()) / 1e9
+    hb = sum(rnd(-(c / n) * math.log(c / n) * 1e9) for c in nb.values()) / 1e9
+    mi = sum(rnd((c / n) * math.log((n * c) / (na[x] * nb[y])) * 1e9)
+             for (x, y), c in nab.items()) / 1e9
+    assert got["h_a"] == round(ha, 6)
+    assert got["h_b"] == round(hb, 6)
+    assert got["mi"] == round(mi, 6)
+    assert got["nmi"] == round(2.0 * mi / (ha + hb), 6)
+
+    # identity: NMI(A, A) == 1 for a non-trivial labeling
+    same = normalized_mutual_information(a, a).first()
+    assert same["nmi"] == pytest.approx(1.0, abs=1e-6)
