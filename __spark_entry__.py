@@ -1873,6 +1873,21 @@ EFFDIAM_RADIUS = 4
 WMATCH_ROUNDS = 6
 
 
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation between customer account balance and
+    total lifetime order value (two-phase permutation ranks, exact
+    integer Σd²)."""
+    from graph_python_spark.algorithms.metrics import spearman_correlation
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = cust.select(F.col("c_custkey").alias("id"),
+                    F.col("c_acctbal").cast("double").alias("score"))
+    b = (orders.groupBy(F.col("o_custkey").alias("id"))
+         .agg(F.sum("o_totalprice").cast("double").alias("score")))
+    return spearman_correlation(a, b)
+
+
 def q_nmi(spark, sf_dir):
     """NMI between the customer→nation and customer→region labelings
     (nation refines region, so MI = H(region) — a fully-determined
@@ -2074,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eff_diameter": q_eff_diameter,
         "weighted_matching": q_weighted_matching,
         "nmi": q_nmi,
+        "spearman": q_spearman,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -5163,6 +5179,24 @@ FROM events GROUP BY 1, 2"""
     sqls["neighborhood_fn"] = _nf_sql(NF_RADIUS, NF_K)
     sqls["eff_diameter"] = _effdiam_sql(EFFDIAM_Q, EFFDIAM_RADIUS, NF_K)
     sqls["weighted_matching"] = _wmatch_sql(WMATCH_ROUNDS)
+    sqls["spearman"] = """
+WITH a AS (SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS sa
+           FROM customer),
+b AS (SELECT o_custkey AS id, CAST(SUM(o_totalprice) AS DOUBLE) AS sb
+      FROM orders GROUP BY 1),
+j AS (SELECT a.id, a.sa, b.sb FROM a JOIN b USING (id)),
+ra AS (SELECT id, row_number() OVER (ORDER BY sa DESC, id ASC) - 1 AS r
+       FROM j),
+rb AS (SELECT id, row_number() OVER (ORDER BY sb DESC, id ASC) - 1 AS r
+       FROM j),
+d AS (SELECT CAST((ra.r - rb.r) * (ra.r - rb.r) AS BIGINT) AS d2
+      FROM ra JOIN rb USING (id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d2) AS BIGINT) AS sum_d2,
+       ROUND(CASE WHEN COUNT(*) < 2 THEN 1.0
+             ELSE 1.0 - (6.0 * SUM(d2))
+                  / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+             END, 6) AS spearman
+FROM d"""
     sqls["nmi"] = """
 WITH j AS (
   SELECT c.c_custkey AS id, c.c_nationkey AS a, n.n_regionkey AS b
@@ -5171,19 +5205,20 @@ joint AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab FROM j GROUP BY 1, 2),
 ma AS (SELECT a, SUM(nab) AS na FROM joint GROUP BY a),
 mb AS (SELECT b, SUM(nab) AS nb FROM joint GROUP BY b),
 nn AS (SELECT SUM(nab) AS n FROM joint),
-ha AS (SELECT SUM(CAST(ROUND(-(na / n) * ln(na / n) * 1e9, 0) AS BIGINT))
-              / 1e9 AS h FROM ma, nn),
-hb AS (SELECT SUM(CAST(ROUND(-(nb / n) * ln(nb / n) * 1e9, 0) AS BIGINT))
-              / 1e9 AS h FROM mb, nn),
-mim AS (SELECT SUM(CAST(ROUND((nab / n)
-                              * ln((n * nab) / (na * nb)) * 1e9, 0)
-                        AS BIGINT)) / 1e9 AS mi
-        FROM joint JOIN ma USING (a) JOIN mb USING (b), nn)
-SELECT CAST(nn.n AS BIGINT) AS n, ROUND(ha.h, 6) AS h_a,
-       ROUND(hb.h, 6) AS h_b, ROUND(mim.mi, 6) AS mi,
-       ROUND(CASE WHEN ha.h + hb.h > 0
-                  THEN 2.0 * mim.mi / (ha.h + hb.h) ELSE 0.0 END, 6) AS nmi
-FROM nn, ha, hb, mim"""
+ag AS (
+  SELECT FIRST(n) AS n,
+         SUM(CAST(ROUND(-(nab / n) * ln(na / n) * 1e9, 0) AS BIGINT))
+           / 1e9 AS ha,
+         SUM(CAST(ROUND(-(nab / n) * ln(nb / n) * 1e9, 0) AS BIGINT))
+           / 1e9 AS hb,
+         SUM(CAST(ROUND((nab / n) * ln((n * nab) / (na * nb)) * 1e9, 0)
+                  AS BIGINT)) / 1e9 AS mi
+  FROM joint JOIN ma USING (a) JOIN mb USING (b), nn)
+SELECT CAST(n AS BIGINT) AS n, ROUND(ha, 6) AS h_a, ROUND(hb, 6) AS h_b,
+       ROUND(mi, 6) AS mi,
+       ROUND(CASE WHEN ha + hb > 0
+                  THEN 2.0 * mi / (ha + hb) ELSE 0.0 END, 6) AS nmi
+FROM ag"""
     sqls["dag_levels"] = _dag_levels_sql(DAG_ROUNDS)
 
     sqls["reciprocity"] = f"""WITH {eg},

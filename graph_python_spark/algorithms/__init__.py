@@ -16,7 +16,8 @@ from graph_python_spark.algorithms.louvain import (
 from graph_python_spark.algorithms.kcore import coreness_rounds, kcore
 from graph_python_spark.algorithms.ktruss import ktruss
 from graph_python_spark.algorithms.mis import maximal_independent_set
-from graph_python_spark.algorithms.metrics import normalized_mutual_information
+from graph_python_spark.algorithms.metrics import (
+    normalized_mutual_information, spearman_correlation)
 from graph_python_spark.algorithms.matching import (maximal_matching,
                                                     weighted_matching)
 from graph_python_spark.algorithms.centrality import (
@@ -71,6 +72,7 @@ __all__ = [
     "effective_diameter",
     "weighted_matching",
     "normalized_mutual_information",
+    "spearman_correlation",
     "clustering_coefficients",
     "bfs_levels",
     "bfs_parents",

@@ -13,7 +13,7 @@ aggregate.  Nothing here is iterative and nothing leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -540,45 +540,104 @@ def normalized_mutual_information(labels_a: DataFrame,
     Scale shape: one (id)-keyed inner join, one (a, b) contingency
     groupBy with map-side partials (output bounded by |labels_A|·
     |labels_B| OBSERVED pairs, not ids), two marginal groupBys riding on
-    the contingency relation, three 1-row folds.  Nothing id-sized ever
-    reaches the driver.
+    the contingency relation, then ONE global fold computing all three
+    sums over the same joined cells (H_A = -Σ_cells (n_ab/n)·ln(n_a/n)
+    since Σ_b n_ab = n_a).  Nothing id-sized ever reaches the driver.
     """
     j = (labels_a.select("id", F.col("label").alias("_a"))
          .join(labels_b.select("id", F.col("label").alias("_b")), "id"))
-    joint = j.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_nab"))
+    joint = (j.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_nab"))
+             .localCheckpoint(eager=True))
     ma = joint.groupBy("_a").agg(F.sum("_nab").alias("_na"))
     mb = joint.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
     n = joint.agg(F.sum("_nab").alias("_n"))
 
-    def _ent(m: DataFrame, cnt: str) -> DataFrame:
-        # H = -Σ (c/n)·ln(c/n), nano-quantized per term
-        t = m.crossJoin(F.broadcast(n))
-        term = -(F.col(cnt) / F.col("_n")) * F.log(F.col(cnt) / F.col("_n"))
-        return t.agg((F.sum(F.round(term * 1e9, 0).cast("long"))
-                      / F.lit(1e9)).alias("h"))
+    # every sum is taken over the SAME joint relation (Σ_b nab = na folds
+    # the marginal entropies into per-cell terms), so the whole metric is
+    # one join pass + ONE global fold
+    p = F.col("_nab") / F.col("_n")
+    t_ha = -p * F.log(F.col("_na") / F.col("_n"))
+    t_hb = -p * F.log(F.col("_nb") / F.col("_n"))
+    t_mi = p * F.log((F.col("_n") * F.col("_nab"))
+                     / (F.col("_na") * F.col("_nb")))
 
-    ha = _ent(ma, "_na")
-    hb = _ent(mb, "_nb")
-    mit = (
+    def q9(col):
+        return F.sum(F.round(col * 1e9, 0).cast("long")) / F.lit(1e9)
+
+    agg = (
         joint.join(F.broadcast(ma), "_a").join(F.broadcast(mb), "_b")
         .crossJoin(F.broadcast(n))
-        .select(((F.col("_nab") / F.col("_n"))
-                 * F.log((F.col("_n") * F.col("_nab"))
-                         / (F.col("_na") * F.col("_nb")))).alias("_t"))
-        .agg((F.sum(F.round(F.col("_t") * 1e9, 0).cast("long"))
-              / F.lit(1e9)).alias("mi"))
+        .agg(F.first("_n").alias("_n"), q9(t_ha).alias("_ha"),
+             q9(t_hb).alias("_hb"), q9(t_mi).alias("_mi"))
     )
-    return (
-        n.crossJoin(F.broadcast(ha.select(F.col("h").alias("_ha"))))
-        .crossJoin(F.broadcast(hb.select(F.col("h").alias("_hb"))))
-        .crossJoin(F.broadcast(mit))
-        .select(
-            F.col("_n").cast("long").alias("n"),
-            F.round("_ha", 6).alias("h_a"),
-            F.round("_hb", 6).alias("h_b"),
-            F.round("mi", 6).alias("mi"),
-            F.round(
-                F.when(F.col("_ha") + F.col("_hb") > 0,
-                       2.0 * F.col("mi") / (F.col("_ha") + F.col("_hb")))
-                .otherwise(F.lit(0.0)), 6).alias("nmi"))
-    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_ha", 6).alias("h_a"),
+        F.round("_hb", 6).alias("h_b"),
+        F.round("_mi", 6).alias("mi"),
+        F.round(
+            F.when(F.col("_ha") + F.col("_hb") > 0,
+                   2.0 * F.col("_mi") / (F.col("_ha") + F.col("_hb")))
+            .otherwise(F.lit(0.0)), 6).alias("nmi"))
+
+
+def spearman_correlation(scores_a: DataFrame,
+                         scores_b: DataFrame) -> DataFrame:
+    """Spearman rank correlation between two score vectors over the same
+    id set — the ranking-comparison twin of
+    :func:`normalized_mutual_information` (compare PageRank vs harmonic
+    orderings, a centrality vs ground truth, or two model scores):
+
+        ρ = 1 − 6·Σd² / (n·(n² − 1))
+
+    with d = rank_A(id) − rank_B(id) and ranks the 0-based PERMUTATION
+    positions under (score desc, id asc) — the deterministic tie-break
+    makes ranks a pure function of the input (no averaged tie ranks), so
+    Σd² is an exact integer and the DuckDB oracle reproduces it bit-for-
+    bit.  Inputs (id, score); ids missing from either side are ignored.
+    Returns ONE row: (n, sum_d2, spearman), ρ rounded 1e-6 (ρ = 1.0 for
+    n < 2 by convention).
+
+    Scale shape: one id-keyed inner join, then each side ranks through
+    the two-phase range-partition rank (``degree_relabel``'s plan — a
+    per-partition window plus an O(P)-row broadcast offset relation, no
+    global window), one id-keyed join of the two rank relations, one
+    1-row fold.  Σd² is summed as BIGINT — exact while n ≲ 3·10⁶ (worst
+    case Σd² = n(n²−1)/3); beyond that the fold must move to quantized
+    doubles, noted here rather than silently.
+    """
+    j = (scores_a.select("id", F.col("score").alias("_sa"))
+         .join(scores_b.select("id", F.col("score").alias("_sb")), "id")
+         .localCheckpoint(eager=True))
+
+    def _rank(col: str, out: str) -> DataFrame:
+        order = [F.col(col).desc(), F.col("id").asc()]
+        rp = (j.select("id", col).repartitionByRange(*order)
+              .withColumn("_pid", F.spark_partition_id()))
+        counts = rp.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+        woff = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+            .alias("_off"))
+        wloc = Window.partitionBy("_pid").orderBy(*order)
+        return (rp.join(F.broadcast(offsets), "_pid")
+                .select("id", (F.row_number().over(wloc) + F.col("_off") - 1)
+                        .cast("long").alias(out)))
+
+    ra = _rank("_sa", "_ra")
+    rb = _rank("_sb", "_rb")
+    d = ra.join(rb, "id").select(
+        ((F.col("_ra") - F.col("_rb"))
+         * (F.col("_ra") - F.col("_rb"))).alias("_d2"))
+    out = d.agg(F.count(F.lit(1)).alias("_n"),
+                F.coalesce(F.sum("_d2"), F.lit(0)).alias("_sd2")).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_sd2").cast("long").alias("sum_d2"),
+        F.round(
+            F.when(F.col("_n") < 2, F.lit(1.0))
+            .otherwise(1.0 - (6.0 * F.col("_sd2"))
+                       / (F.col("_n")
+                          * (F.col("_n") * F.col("_n") - 1))), 6)
+        .alias("spearman"))
+    return out

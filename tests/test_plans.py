@@ -48,6 +48,7 @@ BNLJ_ALLOW = {
     "pmi_topk": (1, "broadcast 1-row total-bigram-count fold"),
     "heavy_hitters": (1, "broadcast 1-row total-token-count fold"),
     "eff_diameter": (1, "broadcast 1-row N(radius) fold from the NF curve"),
+    "nmi": (1, "broadcast 1-row total-count fold"),
 }
 
 # name -> (max Exchange SinglePartition, reason)
@@ -77,6 +78,8 @@ SP_ALLOW = {
     "pmi_topk": (1, "1-row total-bigram-count fold"),
     "heavy_hitters": (1, "1-row total-token-count fold"),
     "triangles_incr": (1, "the operator RETURNS a 1-row delta count"),
+    "nmi": (2, "1-row total fold + single global metric fold"),
+    "spearman": (3, "two ≤P-row rank-offset relations + 1-row fold"),
 }
 
 

@@ -495,8 +495,11 @@ def test_nmi_matches_python_replay_and_identities(spark):
     na = Counter(x for _, x, _ in rows)
     nb = Counter(y for _, _, y in rows)
     n = len(rows)
-    ha = sum(rnd(-(c / n) * math.log(c / n) * 1e9) for c in na.values()) / 1e9
-    hb = sum(rnd(-(c / n) * math.log(c / n) * 1e9) for c in nb.values()) / 1e9
+    # cell-level quantization — each sum ranges over the joint cells
+    ha = sum(rnd(-(c / n) * math.log(na[x] / n) * 1e9)
+             for (x, y), c in nab.items()) / 1e9
+    hb = sum(rnd(-(c / n) * math.log(nb[y] / n) * 1e9)
+             for (x, y), c in nab.items()) / 1e9
     mi = sum(rnd((c / n) * math.log((n * c) / (na[x] * nb[y])) * 1e9)
              for (x, y), c in nab.items()) / 1e9
     assert got["h_a"] == round(ha, 6)
@@ -507,3 +510,31 @@ def test_nmi_matches_python_replay_and_identities(spark):
     # identity: NMI(A, A) == 1 for a non-trivial labeling
     same = normalized_mutual_information(a, a).first()
     assert same["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_spearman_matches_scipy_free_replay(spark):
+    from graph_python_spark.algorithms.metrics import spearman_correlation
+
+    rng = random.Random(81)
+    rows = [(i, rng.uniform(0, 100), rng.uniform(0, 100) + 0.3 * i)
+            for i in range(300)]
+    a = spark.createDataFrame([(i, x) for i, x, _ in rows],
+                              "id long, score double")
+    b = spark.createDataFrame([(i, y) for i, _, y in rows],
+                              "id long, score double")
+    got = spearman_correlation(a, b).first()
+
+    def ranks(key):
+        order = sorted(rows, key=key)
+        return {i: r for r, (i, _x, _y) in enumerate(order)}
+    ra = ranks(lambda t: (-t[1], t[0]))
+    rb = ranks(lambda t: (-t[2], t[0]))
+    sd2 = sum((ra[i] - rb[i]) ** 2 for i, _x, _y in rows)
+    n = len(rows)
+    rho = 1.0 - (6.0 * sd2) / (n * (n * n - 1))
+    assert got["n"] == n and got["sum_d2"] == sd2
+    assert got["spearman"] == round(rho, 6)
+
+    # identity: perfectly concordant scores -> rho = 1
+    same = spearman_correlation(a, a).first()
+    assert same["spearman"] == 1.0
