@@ -1873,6 +1873,20 @@ EFFDIAM_RADIUS = 4
 WMATCH_ROUNDS = 6
 
 
+SPECTRAL_ITERS = 6
+
+
+def q_spectral_gap(spark, sf_dir):
+    """|λ₂| of the normalized adjacency via deflated power iteration —
+    the mixing-time / expander diagnostic of the link graph."""
+    from graph_python_spark.algorithms.spectral import spectral_gap
+
+    e = customer_graph(spark, sf_dir)
+    return spectral_gap(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        iterations=SPECTRAL_ITERS)
+
+
 def q_spearman(spark, sf_dir):
     """Spearman rank correlation between customer account balance and
     total lifetime order value (two-phase permutation ranks, exact
@@ -2090,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_matching": q_weighted_matching,
         "nmi": q_nmi,
         "spearman": q_spearman,
+        "spectral_gap": q_spectral_gap,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -4241,6 +4256,52 @@ SELECT c.r, c.total_micro,
 FROM ({union}) c CROSS JOIN tot{radius} f"""
 
 
+def _spectral_sql(iters: int) -> str:
+    """Unrolled deflated power iteration — mirrors
+    algorithms/spectral.spectral_gap: md5-seeded start vector, quantized
+    SpMV contributions, deflation against v1 ∝ √deg, nano-quantized
+    folds, identical normalization expression tree."""
+    head = f"""WITH {customer_graph_sql().strip()},
+sym AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM eg WHERE src <> dst),
+bo AS (SELECT a AS s, b AS d FROM sym UNION ALL SELECT b, a FROM sym),
+deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS d FROM bo GROUP BY s),
+base AS (SELECT id, d,
+                sqrt(CAST(d AS DOUBLE))
+                  / sqrt(CAST((SELECT COUNT(*) FROM bo) AS DOUBLE)) AS v1
+         FROM deg),
+x0 AS (SELECT id,
+              CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                   AS BIGINT) / {float(16 ** 15)} - 0.5 AS x
+       FROM base)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+y{t} AS MATERIALIZED (
+  SELECT b.id, b.d, b.v1,
+         COALESCE(c.s, 0.0) / sqrt(CAST(b.d AS DOUBLE)) AS y
+  FROM base b LEFT JOIN (
+    SELECT e.s AS id,
+           SUM(CAST(ROUND(x.x / sqrt(CAST(bd.d AS DOUBLE)) * 1e9, 0)
+                    AS BIGINT)) / 1e9 AS s
+    FROM bo e JOIN x{t - 1} x ON x.id = e.d JOIN base bd ON bd.id = e.d
+    GROUP BY e.s) c ON c.id = b.id
+),
+c{t} AS (SELECT SUM(CAST(ROUND(v1 * y * 1e9, 0) AS BIGINT)) / 1e9 AS c
+         FROM y{t}),
+z{t} AS (SELECT id, v1, y - (SELECT c FROM c{t}) * v1 AS z FROM y{t}),
+n{t} AS (SELECT SUM(CAST(ROUND(z * z * 1e9, 0) AS BIGINT)) / 1e9 AS n2
+         FROM z{t}),
+x{t} AS MATERIALIZED (
+  SELECT id, z / sqrt((SELECT n2 FROM n{t})) AS x FROM z{t}
+)""")
+    return head + "".join(steps) + f"""
+SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_vertices,
+       CAST({iters} AS BIGINT) AS iterations,
+       ROUND(sqrt((SELECT n2 FROM n{iters})), 6) AS lambda2_abs,
+       ROUND(1.0 - sqrt((SELECT n2 FROM n{iters})), 6) AS spectral_gap"""
+
+
 def _wmatch_sql(rounds: int) -> str:
     """Unrolled dominant-edge weighted matching — mirrors
     algorithms/matching.weighted_matching: per-endpoint argmax under
@@ -5179,6 +5240,7 @@ FROM events GROUP BY 1, 2"""
     sqls["neighborhood_fn"] = _nf_sql(NF_RADIUS, NF_K)
     sqls["eff_diameter"] = _effdiam_sql(EFFDIAM_Q, EFFDIAM_RADIUS, NF_K)
     sqls["weighted_matching"] = _wmatch_sql(WMATCH_ROUNDS)
+    sqls["spectral_gap"] = _spectral_sql(SPECTRAL_ITERS)
     sqls["spearman"] = """
 WITH a AS (SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS sa
            FROM customer),

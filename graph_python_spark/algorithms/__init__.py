@@ -58,6 +58,7 @@ from graph_python_spark.algorithms.anf import (anf_sketches, effective_diameter,
 from graph_python_spark.algorithms.traversal import dag_longest_path_levels
 from graph_python_spark.algorithms.scc import condensation
 from graph_python_spark.algorithms.densest import densest_subgraph
+from graph_python_spark.algorithms.spectral import spectral_gap
 from graph_python_spark.algorithms.partition import partition_assign, partition_quality
 
 __all__ = [
@@ -73,6 +74,7 @@ __all__ = [
     "weighted_matching",
     "normalized_mutual_information",
     "spearman_correlation",
+    "spectral_gap",
     "clustering_coefficients",
     "bfs_levels",
     "bfs_parents",

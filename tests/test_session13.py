@@ -538,3 +538,35 @@ def test_spearman_matches_scipy_free_replay(spark):
     # identity: perfectly concordant scores -> rho = 1
     same = spearman_correlation(a, a).first()
     assert same["spearman"] == 1.0
+
+
+def test_spectral_gap_matches_numpy_eigen(spark):
+    from graph_python_spark.algorithms.spectral import spectral_gap
+
+    pairs = list({tuple(sorted((a, b)))
+                  for a, b in random_digraph(91, n=24, m=90) if a != b})
+    e = edge_df(spark, pairs)
+    row = spectral_gap(e, iterations=40).first()
+
+    ids = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    d = A.sum(axis=1)
+    P = A / np.sqrt(np.outer(d, d))
+    ev = np.sort(np.linalg.eigvalsh(P))
+    lam2 = max(abs(ev[0]), abs(ev[-2]))  # largest |λ| excluding λ1 = 1
+    assert row["lambda2_abs"] == pytest.approx(lam2, abs=1e-3)
+
+
+def test_spectral_gap_zero_on_disconnected(spark):
+    from graph_python_spark.algorithms.spectral import spectral_gap
+
+    cl1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    cl2 = [(a + 10, b + 10) for a in range(5) for b in range(a + 1, 5)]
+    e = edge_df(spark, cl1 + cl2)
+    row = spectral_gap(e, iterations=30).first()
+    assert row["lambda2_abs"] == pytest.approx(1.0, abs=1e-6)
+    assert row["spectral_gap"] == pytest.approx(0.0, abs=1e-6)
