@@ -1874,6 +1874,20 @@ WMATCH_ROUNDS = 6
 
 
 SPECTRAL_ITERS = 6
+SCORE_S = 15.0
+SCORE_ROUNDS = 12   # SQL unroll; peeling is idempotent past the fixpoint
+
+
+def q_s_core(spark, sf_dir):
+    """Weighted s-core at s=15: maximal subgraph where every vertex's
+    weighted degree stays >= s (micro-quantized integer peel)."""
+    from graph_python_spark.algorithms.kcore import s_core
+
+    e = customer_graph(spark, sf_dir)
+    return s_core(
+        e.select(F.col("src").alias("i"), F.col("dst").alias("j"),
+                 F.col("w").alias("v")),
+        s=SCORE_S)
 
 
 def q_spectral_gap(spark, sf_dir):
@@ -2105,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nmi": q_nmi,
         "spearman": q_spearman,
         "spectral_gap": q_spectral_gap,
+        "s_core": q_s_core,
         "sage_sample": q_sage_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -4256,6 +4271,32 @@ SELECT c.r, c.total_micro,
 FROM ({union}) c CROSS JOIN tot{radius} f"""
 
 
+def _score_sql(s: float, rounds: int) -> str:
+    """Unrolled weighted s-core peeling — mirrors
+    algorithms/kcore.s_core: micro-quantized weights, integer peel
+    predicate, idempotent past the fixpoint."""
+    sm = int(round(s * 1e6))
+    head = f"""WITH {customer_graph_sql().strip()},
+und AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MAX(CAST(ROUND(w * 1e6, 0) AS BIGINT)) AS wm
+  FROM eg WHERE src <> dst GROUP BY 1, 2
+),
+sy0 AS (SELECT a AS s, b AS d, wm FROM und
+        UNION ALL SELECT b, a, wm FROM und)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f""",
+k{t} AS (SELECT s FROM sy{t - 1} GROUP BY s HAVING SUM(wm) >= {sm}),
+sy{t} AS MATERIALIZED (
+  SELECT e.s, e.d, e.wm FROM sy{t - 1} e
+  JOIN k{t} x ON e.s = x.s JOIN k{t} y ON e.d = y.s
+)""")
+    return head + "".join(steps) + f"""
+SELECT s AS id, ROUND(CAST(SUM(wm) AS DOUBLE) / 1e6, 6) AS wdeg
+FROM sy{rounds} GROUP BY s HAVING SUM(wm) >= {sm}"""
+
+
 def _spectral_sql(iters: int) -> str:
     """Unrolled deflated power iteration — mirrors
     algorithms/spectral.spectral_gap: md5-seeded start vector, quantized
@@ -5241,6 +5282,7 @@ FROM events GROUP BY 1, 2"""
     sqls["eff_diameter"] = _effdiam_sql(EFFDIAM_Q, EFFDIAM_RADIUS, NF_K)
     sqls["weighted_matching"] = _wmatch_sql(WMATCH_ROUNDS)
     sqls["spectral_gap"] = _spectral_sql(SPECTRAL_ITERS)
+    sqls["s_core"] = _score_sql(SCORE_S, SCORE_ROUNDS)
     sqls["spearman"] = """
 WITH a AS (SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS sa
            FROM customer),

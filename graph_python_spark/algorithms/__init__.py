@@ -13,7 +13,7 @@ from graph_python_spark.algorithms.louvain import (
     louvain_sweeps,
     modularity,
 )
-from graph_python_spark.algorithms.kcore import coreness_rounds, kcore
+from graph_python_spark.algorithms.kcore import coreness_rounds, kcore, s_core
 from graph_python_spark.algorithms.ktruss import ktruss
 from graph_python_spark.algorithms.mis import maximal_independent_set
 from graph_python_spark.algorithms.metrics import (
@@ -75,6 +75,7 @@ __all__ = [
     "normalized_mutual_information",
     "spearman_correlation",
     "spectral_gap",
+    "s_core",
     "clustering_coefficients",
     "bfs_levels",
     "bfs_parents",

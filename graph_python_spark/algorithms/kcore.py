@@ -197,3 +197,65 @@ def coreness_rounds(edges: DataFrame, rounds: int = 8,
     c.unpersist()
     sym.unpersist()
     return out
+
+
+@iterative
+def s_core(
+    edges: DataFrame,
+    s: float,
+    max_rounds: int = 50,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Weighted s-core (generalized core decomposition — Eidsaa & Almaas,
+    "s-core network decomposition", PRE 2013): the maximal subgraph in
+    which every vertex's weighted degree (sum of incident edge weights,
+    multi-edges collapsed with dup_op=max) is >= ``s``; repeatedly peel
+    below-``s`` vertices until the fixpoint, which is unique by
+    monotonicity — so extra rounds are identity and a fixed-unroll SQL
+    oracle checks the run-to-convergence loop.
+
+    Engine-parity contract: weights are quantized to micro-units ONCE at
+    ingest (round(w·1e6) as BIGINT), so every weighted degree is an exact
+    integer sum and the peel predicate has no float boundary to disagree
+    across engines.  Returns surviving vertices (id, wdeg) with wdeg the
+    fixpoint weighted degree (micro-units / 1e6, exact).
+
+    Scale shape: the :func:`kcore` story — the iterated state is the
+    shrinking edge relation, pinned hash-partitioned on ``s`` so each
+    round's degree groupBy is exchange-free; removal is two semi-joins
+    against the surviving-vertex relation; convergence = stable edge
+    count (one bounded driver scalar per round).
+    """
+    s_micro = int(round(s * 1e6))
+    fwd = edges.select(F.least("i", "j").alias("a"),
+                       F.greatest("i", "j").alias("b"),
+                       F.round(F.col("v") * 1e6, 0).cast("long").alias("_w"))
+    und = (fwd.filter(F.col("a") != F.col("b"))
+           .groupBy("a", "b").agg(F.max("_w").alias("_w")))
+    sym = (und.select(F.col("a").alias("s"), F.col("b").alias("d"), "_w")
+           .unionByName(und.select(F.col("b").alias("s"),
+                                   F.col("a").alias("d"), "_w")))
+    spark = edges.sparkSession
+    with loop_shuffle_width(spark, max(sym.count(), 1)) as width:
+        cur = materialize(sym.repartition(partitions or width, "s"))
+        n_prev = cur.count()
+        for _ in range(max_rounds):
+            wdeg = cur.groupBy("s").agg(F.sum("_w").alias("_wd"))
+            keep = wdeg.filter(F.col("_wd") >= s_micro).select("s")
+            new = materialize(
+                cur.join(keep, "s", "left_semi")
+                .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+                .repartition(partitions or width, "s"))
+            n_new = new.count()
+            cur.unpersist()
+            cur = new
+            if n_new == n_prev or n_new == 0:
+                break
+            n_prev = n_new
+        out = (cur.groupBy(F.col("s").alias("id"))
+               .agg((F.sum("_w").cast("double") / 1e6).alias("wdeg"))
+               .filter(F.col("wdeg") * 1e6 >= s_micro)
+               .select("id", F.round("wdeg", 6).alias("wdeg"))
+               .localCheckpoint(eager=True))
+        cur.unpersist()
+    return out

@@ -570,3 +570,40 @@ def test_spectral_gap_zero_on_disconnected(spark):
     row = spectral_gap(e, iterations=30).first()
     assert row["lambda2_abs"] == pytest.approx(1.0, abs=1e-6)
     assert row["spectral_gap"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_s_core_matches_local_replay(spark):
+    from graph_python_spark.algorithms.kcore import s_core
+
+    rng = random.Random(97)
+    und = {}
+    for _ in range(180):
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            k = tuple(sorted((a, b)))
+            und[k] = max(und.get(k, 0), round(rng.uniform(0.5, 3.0), 3))
+    rows = [(a, b, w) for (a, b), w in und.items()]
+    e = spark.createDataFrame(rows, "i long, j long, v double")
+    sval = 6.0
+    got = {r["id"]: r["wdeg"] for r in s_core(e, s=sval).collect()}
+
+    wm = {k: round(w * 1e6) for k, w in und.items()}
+    sm = round(sval * 1e6)
+    live = dict(wm)
+    while True:
+        wd = {}
+        for (a, b), w in live.items():
+            wd[a] = wd.get(a, 0) + w
+            wd[b] = wd.get(b, 0) + w
+        keep = {v for v, w in wd.items() if w >= sm}
+        new = {k: w for k, w in live.items()
+               if k[0] in keep and k[1] in keep}
+        if len(new) == len(live):
+            break
+        live = new
+    wd = {}
+    for (a, b), w in live.items():
+        wd[a] = wd.get(a, 0) + w
+        wd[b] = wd.get(b, 0) + w
+    want = {v: round(w / 1e6, 6) for v, w in wd.items() if w >= sm}
+    assert got == want
