@@ -75,6 +75,21 @@ def main() -> None:
                 "spearman": float(row["spearman"])}
     timed("spearman", run_spearman)
 
+    def run_s_core():
+        from graph_python_spark.algorithms.kcore import s_core
+        edges = (scale_fixture_edges(spark, n_vertices, 1)
+                 .select(F.col("src").alias("i"), F.col("dst").alias("j"))
+                 .withColumn("v", (F.abs(F.xxhash64("i", "j", F.lit(3)))
+                                   / F.lit(9.223372036854776e18)) * 2.0)
+                 .localCheckpoint(eager=True))
+        out = s_core(edges, s=4.0)
+        stats = out.agg(F.count(F.lit(1)).alias("n"),
+                        F.round(F.min("wdeg"), 3).alias("minw")).first()
+        return {"s": 4.0, "surviving_vertices": int(stats["n"] or 0),
+                "min_wdeg": float(stats["minw"]) if stats["minw"] is not None
+                else None}
+    timed("s_core", run_s_core)
+
     def run_spectral():
         from graph_python_spark.algorithms.spectral import spectral_gap
         edges = (scale_fixture_edges(spark, n_vertices, 1)
