@@ -78,12 +78,14 @@ def densest_subgraph(
         live = materialize(both.repartition(partitions or width, "s"))
         rounds_rows = []
         best = None          # (round, density_fraction, state)
+        peeled_dry = False   # loop reached the empty graph (true fixpoint)
         for r in range(max_rounds):
             counts = live.agg(
                 (F.count(F.lit(1)) / 2).cast("long").alias("_e"),
                 F.count_distinct("s").alias("_v")).first()
             n_e, n_v = int(counts["_e"]), int(counts["_v"])
             if n_v == 0:
+                peeled_dry = True
                 break
             rounds_rows.append((r, n_v, n_e, round(n_e / n_v, 6)))
             # exact-rational best comparison; keep at most ONE snapshot
@@ -105,6 +107,18 @@ def densest_subgraph(
                 live.unpersist()
             live = new_live
 
+        if not peeled_dry:
+            # ε = 0 needs O(V) rounds, not O(log V): an exhausted
+            # max_rounds means the 2(1+ε) guarantee only covers the
+            # rounds actually executed — surface it, don't truncate
+            # silently (the summary/best-round schema is unchanged)
+            import warnings
+            warnings.warn(
+                f"densest_subgraph stopped after max_rounds={max_rounds} "
+                f"with live edges remaining (epsilon={eps}); the returned "
+                "best round is the best of the executed rounds only — "
+                "raise max_rounds or use epsilon > 0 for O(log V) rounds",
+                RuntimeWarning, stacklevel=2)
         best_r = best[0] if best else 0
         summary = spark.createDataFrame(
             [(r, v, e, d, 1 if r == best_r else 0)

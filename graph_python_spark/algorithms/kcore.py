@@ -162,12 +162,27 @@ def coreness_rounds(edges: DataFrame, rounds: int = 8,
     idempotent-past-fixpoint trick the k-core/k-truss oracles use.
 
     Per round: ONE join of the O(V) estimate vector to the pinned
-    symmetric edge state (exchange-free on the edge side) and one
-    per-vertex window over neighbor estimates (partition-parallel; each
-    vertex's frame is its degree — the same bounded-hub caveat as every
-    per-neighbor aggregate).  h = MAX(LEAST(rank, c_u)) over the
-    descending-sorted frame, which is order-independent under ties, so
-    any engine computes the identical value.
+    symmetric edge state (exchange-free on the edge side), a hash
+    aggregate onto the (vertex, estimate-value) HISTOGRAM, and a
+    cumulative count over the per-vertex distinct values:
+
+        h(v) = MAX over distinct values x of LEAST(x, N_{>=x}(v))
+
+    where N_{>=x}(v) = #neighbors of v with estimate >= x (the running
+    sum of histogram counts in descending value order).  This is the
+    textbook sorted-rank h-index identity with equal values grouped —
+    within a value-x group the best LEAST(rank, value) is attained at
+    the group's last rank, which IS the cumulative count — so the value
+    is bit-identical to the rank formulation while the window frame
+    shrinks from deg(v) rows to the number of DISTINCT neighbor
+    estimates.  That count is globally bounded by the number of
+    distinct live estimate values (at round 0, distinct degrees —
+    O(sqrt E) on any graph since k distinct degrees force >= k(k+1)/2
+    edge endpoints), so a 10^8-degree hub contributes a ~10^4-row frame
+    instead of a 10^8-row single-task sort.  Order-independent, so any
+    engine computes the identical value (the r3 row_number formulation
+    sorted the full E-sized neighbor relation every round — the 1.71x
+    regression this replaces).
 
     Returns (id, coreness).  Unlike :func:`kcore` (one k, shrinking
     state), the state here is a dense O(V) vector and the edge relation
@@ -180,13 +195,14 @@ def coreness_rounds(edges: DataFrame, rounds: int = 8,
     c = materialize(
         sym.groupBy(F.col("s").alias("id"))
         .agg(F.count("*").cast("long").alias("c")))
-    w = Window.partitionBy("s").orderBy(F.desc("cu"), F.asc("d"))
+    w = Window.partitionBy("s").orderBy(F.desc("cu"))
     for _ in range(rounds):
         nb = sym.join(c.select(F.col("id").alias("d"),
                                F.col("c").alias("cu")), "d")
+        hist = nb.groupBy("s", "cu").agg(F.count(F.lit(1)).alias("_n"))
         nxt = (
-            nb.select("s", "cu", F.row_number().over(w).alias("_rn"))
-            .select("s", F.least(F.col("_rn").cast("long"), F.col("cu")).alias("_h"))
+            hist.select("s", "cu", F.sum("_n").over(w).alias("_ge"))
+            .select("s", F.least(F.col("cu"), F.col("_ge")).alias("_h"))
             .groupBy(F.col("s").alias("id"))
             .agg(F.max("_h").alias("c"))
         )
@@ -252,10 +268,15 @@ def s_core(
             if n_new == n_prev or n_new == 0:
                 break
             n_prev = n_new
+        # keep-filter on the exact BIGINT micro-sum (the peel predicate's
+        # own arithmetic) — dividing first and comparing wdeg*1e6 >= s
+        # in floating point can round one ulp below the integer sum for
+        # ~2^50-micro-unit degrees and wrongly drop a boundary vertex
         out = (cur.groupBy(F.col("s").alias("id"))
-               .agg((F.sum("_w").cast("double") / 1e6).alias("wdeg"))
-               .filter(F.col("wdeg") * 1e6 >= s_micro)
-               .select("id", F.round("wdeg", 6).alias("wdeg"))
+               .agg(F.sum("_w").alias("_wm"))
+               .filter(F.col("_wm") >= s_micro)
+               .select("id", F.round(F.col("_wm").cast("double") / 1e6,
+                                     6).alias("wdeg"))
                .localCheckpoint(eager=True))
         cur.unpersist()
     return out

@@ -570,11 +570,14 @@ def normalized_mutual_information(labels_a: DataFrame,
         .agg(F.first("_n").alias("_n"), q9(t_ha).alias("_ha"),
              q9(t_hb).alias("_hb"), q9(t_mi).alias("_mi"))
     )
+    # empty id intersection: every aggregate above is over an empty
+    # relation and returns NULL — coalesce to the defined n=0 answer
+    # (n=0, entropies/MI/NMI all 0) instead of a row of NULLs
     return agg.select(
-        F.col("_n").cast("long").alias("n"),
-        F.round("_ha", 6).alias("h_a"),
-        F.round("_hb", 6).alias("h_b"),
-        F.round("_mi", 6).alias("mi"),
+        F.coalesce(F.col("_n").cast("long"), F.lit(0)).alias("n"),
+        F.round(F.coalesce("_ha", F.lit(0.0)), 6).alias("h_a"),
+        F.round(F.coalesce("_hb", F.lit(0.0)), 6).alias("h_b"),
+        F.round(F.coalesce("_mi", F.lit(0.0)), 6).alias("mi"),
         F.round(
             F.when(F.col("_ha") + F.col("_hb") > 0,
                    2.0 * F.col("_mi") / (F.col("_ha") + F.col("_hb")))

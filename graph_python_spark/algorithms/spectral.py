@@ -74,6 +74,14 @@ def spectral_gap(
         F.count(F.lit(1)).alias("_d"))
     spark = edges.sparkSession
     n_verts = deg.count()
+    if n_verts == 0:
+        # edgeless input: the 1-row folds below would aggregate empty
+        # relations to NULL and float(None) raises — return the defined
+        # degenerate answer instead (no second eigenvalue, gap 1)
+        return spark.createDataFrame(
+            [(0, iterations, 0.0, 1.0)],
+            "n_vertices long, iterations long, lambda2_abs double, "
+            "spectral_gap double")
     m2 = int(both.count())          # Σ deg = 2E, exact
     s2e = math.sqrt(float(m2))
 

@@ -1,0 +1,77 @@
+"""Degenerate-input contracts (round-4 advice closures): edgeless /
+disjoint inputs return defined rows instead of NULLs or TypeErrors, and
+a truncated densest-subgraph peel warns instead of silently stopping."""
+
+import warnings
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_python_spark.algorithms.densest import densest_subgraph
+from graph_python_spark.algorithms.kcore import s_core
+from graph_python_spark.algorithms.metrics import \
+    normalized_mutual_information
+from graph_python_spark.algorithms.spectral import spectral_gap
+
+
+def test_spectral_gap_edgeless(spark):
+    e = spark.createDataFrame([], "i long, j long")
+    row = spectral_gap(e, iterations=3).first()
+    assert row["n_vertices"] == 0
+    assert row["lambda2_abs"] == 0.0
+    assert row["spectral_gap"] == 1.0
+
+
+def test_spectral_gap_self_loops_only(spark):
+    # self-loops are dropped, so this is edgeless after normalization
+    e = spark.createDataFrame([(1, 1), (2, 2)], "i long, j long")
+    row = spectral_gap(e, iterations=3).first()
+    assert row["n_vertices"] == 0 and row["spectral_gap"] == 1.0
+
+
+def test_nmi_disjoint_ids(spark):
+    a = spark.createDataFrame([(1, 10), (2, 10)], "id long, label long")
+    b = spark.createDataFrame([(7, 20), (8, 21)], "id long, label long")
+    row = normalized_mutual_information(a, b).first()
+    assert row["n"] == 0
+    assert row["h_a"] == 0.0 and row["h_b"] == 0.0
+    assert row["mi"] == 0.0 and row["nmi"] == 0.0
+
+
+def test_densest_warns_on_truncated_peel(spark):
+    # a 6-cycle with epsilon=0 peels one degree class per round; one
+    # round cannot exhaust it -> the guarantee no longer covers the
+    # full graph and the loop must say so
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    e = spark.createDataFrame(cyc, "i long, j long")
+    with pytest.warns(RuntimeWarning, match="max_rounds"):
+        summary, members = densest_subgraph(
+            e, epsilon=Fraction(0), max_rounds=1)
+    assert summary.count() == 1
+
+
+def test_densest_no_warning_when_dry(spark):
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    e = spark.createDataFrame(cyc, "i long, j long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        summary, members = densest_subgraph(
+            e, epsilon=Fraction(1, 2), max_rounds=16)
+    # the best round on a 2-regular graph is the full cycle
+    assert members.count() == 6
+
+
+def test_s_core_boundary_kept_exact(spark):
+    # vertex weighted degrees: a=3.0 (exactly s), b=3.0, c=2.0+1.0 --
+    # triangle with weights 2,1,1: wdeg(a)=3, wdeg(b)=3, wdeg(c)=2;
+    # at s=3 vertex c peels, then a-b survive iff w(a,b)>=3
+    tri = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0)]
+    e = spark.createDataFrame(tri, "i long, j long, v double")
+    out = s_core(e, s=3.0).orderBy("id").collect()
+    # after peeling c=3: only edge (1,2,w=2) remains, wdeg=2 < 3 -> empty
+    assert out == []
+    out2 = {r["id"]: r["wdeg"] for r in s_core(e, s=2.0).collect()}
+    # at s=2: c has wdeg 2 == s exactly and MUST be kept (integer
+    # boundary, the advice case), fixpoint is the whole triangle
+    assert out2 == {1: 3.0, 2: 3.0, 3: 2.0}
