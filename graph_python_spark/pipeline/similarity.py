@@ -650,6 +650,20 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
     Returns (vec_id, cluster, dist2) for every vector: the assignment
     under the FINAL centroids, dist2 rounded 1e-6.
     """
+    final, _cents = kmeans_train(emb, k, iterations, vec_col, id_col)
+    return final
+
+
+def kmeans_train(emb: DataFrame, k: int = 8, iterations: int = 2,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> tuple[DataFrame, DataFrame]:
+    """:func:`kmeans_fixed` with the trained centroids exposed: returns
+    (assign, cents) where assign is the (vec_id, cluster, dist2) final
+    assignment and cents is (cid, _c) — the k centroid vectors as double
+    arrays (clusters that lose all members drop out, the kmeans_fixed /
+    DuckDB-oracle convention).  The centroid frame is what IVF-style
+    consumers (residual IVF-PQ's Lloyd-refined coarse quantizer) need
+    alongside the assignment."""
     pts = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     pts = pts.withColumn("_pp", _dot(F.col("_v"), F.col("_v")))
     # init: the k smallest-digest vectors via a distributed TakeOrdered
@@ -708,8 +722,9 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
         cents = cents.localCheckpoint(eager=True)
 
     final = assign(cents)
-    return final.select("vec_id", F.col("cid").alias("cluster"),
-                        F.round("_d2", 6).alias("dist2"))
+    return (final.select("vec_id", F.col("cid").alias("cluster"),
+                         F.round("_d2", 6).alias("dist2")),
+            cents)
 
 
 def centroid_classify(emb: DataFrame,
@@ -1028,6 +1043,7 @@ def load_lsh_index(spark, path: str) -> DataFrame:
 def ivf_pq_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
                 m: int = 4, codebook_k: int = 16, iterations: int = 2,
                 n_cells: int = 16, n_probe: int = 2,
+                by_residual: bool = False, coarse_iters: int = 0,
                 vec_col: str = "embedding",
                 id_col: str = "vec_id") -> DataFrame:
     """IVF-PQ: the full billion-scale ANN index shape (Jegou et al.
@@ -1036,46 +1052,103 @@ def ivf_pq_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
     to their nearest IVF cell (:func:`ivf_topk`'s deterministic
     md5-sample centroids, dot-affinity routing) and encoded as PQ codes
     (:func:`pq_train`); a query probes its ``n_probe`` top cells and
-    ADC-scans ONLY the codes in those cells.  This variant encodes raw
-    vectors, not cell residuals (FAISS's ``by_residual=false``), keeping
-    one global codebook — the codes are cell-independent, so re-probing
-    never re-encodes.
+    ADC-scans ONLY the codes in those cells.
 
-    Scale shape: the ADC distance table (|Q|·m·codebook_k rows) and the
-    probe map (|Q|·n_probe rows) are both broadcast; the code relation
-    joins them map-side, so the only O(n) exchanges are the one
-    vec_id-keyed codes ⋈ cell-assignment join and the final
+    ``by_residual=False`` encodes raw vectors with one global codebook
+    (FAISS ``by_residual=false``) — codes are cell-independent, so
+    re-probing never re-encodes.  ``by_residual=True`` is the FAISS
+    DEFAULT: each vector is encoded as its RESIDUAL x − c(cell(x)), and
+    the (shared) codebook is trained on residuals — residuals concentrate
+    near the origin, so the same m·log2(k) code bits resolve finer
+    within-cell structure (better recall at the same budget); the cost is
+    a per-(query, probed-cell) distance table (|Q|·n_probe·m·k rows —
+    still broadcast) because the query must be re-expressed relative to
+    every probed cell's centroid.
+
+    ``coarse_iters > 0`` Lloyd-refines the md5-sampled cell centroids
+    with :func:`kmeans_train` (FAISS trains its IVF level the same way)
+    and switches routing to squared-L2 — the precondition for residual
+    coding to win: with raw sampled unit-norm centroids the residuals are
+    LARGER than the vectors (‖x−c‖ ≈ √2) and by_residual measurably
+    loses; with refined centroids it beats the global codebook on both
+    recall@k and mean ADC error (see tests/test_ivfpq_residual.py).
+
+    Scale shape: the ADC distance table and the probe map are broadcast;
+    the code relation joins them map-side, so the only O(n) exchanges are
+    the one vec_id-keyed codes ⋈ cell-assignment join and the final
     (query_id, vec_id) partial-agg sum — and only codes in probed cells
     (~n·n_probe/n_cells of the corpus) survive into that shuffle.  The
     float vectors are touched once at build time, never at query time —
-    the compressed scan is the 100 TB point of the structure.
+    the compressed scan is the 100 TB point of the structure.  Cell
+    assignment is a max_by aggregate (no per-vector window sort).
 
     Returns (query_id, neighbor_id, rank, adist2), rank by
     (round(adist2, 6) asc, vec_id asc) — the pq_adc_topk contract.
     """
-    codes, cents = pq_train(emb, dim, m, codebook_k, iterations,
-                            vec_col, id_col)
-    icents = (
-        emb.orderBy(F.md5(F.col(id_col).cast("string")).asc(),
-                    F.col(id_col).asc())
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_c"))
-    )
-    routed = (
-        emb.crossJoin(F.broadcast(icents))
-        .select(id_col, "cell",
-                _dot(F.col(vec_col), F.col("_c")).alias("_aff"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_aff").desc(),
-                                           F.col("cell").asc())
-    assigned = (routed.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(F.col(id_col).alias("vec_id"), "cell"))
+    # routing affinity: raw-vector mode keeps the historical dot-product
+    # routing; residual / refined-coarse mode routes by NEGATED squared
+    # L2 (the FAISS coarse-quantizer metric) — residual coding only pays
+    # off when c(cell(x)) is the L2-nearest centroid, so ||x − c|| is
+    # minimal.  The expression is the exact IEEE negation of the oracle's
+    # d2 tree ((pp − 2pc) + cc), so max-affinity == min-d2 bit-for-bit.
+    l2_route = by_residual or coarse_iters > 0
+
+    def affinity(vec: Column, cent: Column) -> Column:
+        if l2_route:
+            return -(_dot(vec, vec) - F.lit(2.0) * _dot(vec, cent)
+                     + _dot(cent, cent))
+        return _dot(vec, cent)
+
+    if coarse_iters > 0:
+        # Lloyd-refined coarse quantizer (FAISS trains the IVF level):
+        # kmeans_train's deterministic quantized-mean loop; the final
+        # assignment comes free from its last map-side fold
+        casg, ccents = kmeans_train(emb, k=n_cells,
+                                    iterations=coarse_iters,
+                                    vec_col=vec_col, id_col=id_col)
+        icents = ccents.select(F.col("cid").alias("cell"), F.col("_c"))
+        assigned = casg.select("vec_id", F.col("cluster").alias("cell"))
+    else:
+        icents = (
+            emb.orderBy(F.md5(F.col(id_col).cast("string")).asc(),
+                        F.col(id_col).asc())
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_c"))
+        )
+        routed = (
+            emb.crossJoin(F.broadcast(icents))
+            .select(id_col, "cell",
+                    affinity(F.col(vec_col), F.col("_c")).alias("_aff"))
+        )
+        # argmax cell per vector as a hash aggregate (max affinity, ties
+        # to the smallest cell id via the negated struct field) — one
+        # map-side combinable pass, no per-vector row_number sort
+        assigned = (
+            routed.groupBy(id_col)
+            .agg(F.max_by("cell", F.struct(F.col("_aff").alias("a"),
+                                           (-F.col("cell")).alias("b")))
+                 .alias("cell"))
+            .select(F.col(id_col).alias("vec_id"), "cell"))
+    if by_residual:
+        remb = (
+            emb.join(assigned.withColumnRenamed("vec_id", "__rid"),
+                     F.col(id_col) == F.col("__rid"))
+            .join(F.broadcast(icents.select(
+                "cell", F.col("_c").alias("_cc"))), "cell")
+            .select(F.col(id_col),
+                    F.zip_with(F.col(vec_col), F.col("_cc"),
+                               lambda a, b: a.cast("double")
+                               - b.cast("double")).alias(vec_col)))
+        codes, cents = pq_train(remb, dim, m, codebook_k, iterations,
+                                vec_col, id_col)
+    else:
+        codes, cents = pq_train(emb, dim, m, codebook_k, iterations,
+                                vec_col, id_col)
     qprobe = (
         emb.filter(F.col(id_col).isin(query_ids))
         .crossJoin(F.broadcast(icents))
         .select(F.col(id_col).alias("query_id"), "cell",
-                _dot(F.col(vec_col), F.col("_c")).alias("_aff"))
+                affinity(F.col(vec_col), F.col("_c")).alias("_aff"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_aff").desc(),
                                                 F.col("cell").asc())
@@ -1083,36 +1156,73 @@ def ivf_pq_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
               .filter(F.col("_rn") <= n_probe)
               .select("query_id", "cell"))
     sub_len = dim // m
-    qs = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"),
-                F.explode(F.array(*[
-                    F.struct(
-                        F.lit(j).cast("long").alias("sub"),
-                        F.transform(
-                            F.slice(F.col(vec_col), j * sub_len + 1, sub_len),
-                            lambda x: x.cast("double")).alias("v"),
-                    )
-                    for j in range(m)
-                ])).alias("_s"))
-        .select("query_id", F.col("_s.sub").alias("sub"),
-                F.col("_s.v").alias("_qv"))
-    )
-    dtable = (
-        qs.join(cents, "sub")
-        .select("query_id", "sub", F.col("cid").alias("code"),
-                (_dot(F.col("_qv"), F.col("_qv"))
-                 - F.lit(2.0) * _dot(F.col("_qv"), F.col("_c"))
-                 + _dot(F.col("_c"), F.col("_c"))).alias("_d2"))
-    )
-    scored = (
-        codes.join(assigned, "vec_id")
-        .join(F.broadcast(probes), "cell")
-        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
-    )
+
+    def sliced(vec: Column) -> Column:
+        return F.explode(F.array(*[
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                F.transform(
+                    F.slice(vec, j * sub_len + 1, sub_len),
+                    lambda x: x.cast("double")).alias("v"),
+            )
+            for j in range(m)
+        ]))
+
+    if by_residual:
+        # query re-expressed relative to EVERY probed cell's centroid:
+        # the distance table is keyed (query_id, cell, sub, code) and
+        # already encodes the probe restriction
+        qres = (
+            probes.join(
+                emb.filter(F.col(id_col).isin(query_ids))
+                .select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qf")), "query_id")
+            .join(F.broadcast(icents.select(
+                "cell", F.col("_c").alias("_cc"))), "cell")
+            .select("query_id", "cell",
+                    F.zip_with(F.col("_qf"), F.col("_cc"),
+                               lambda a, b: a.cast("double")
+                               - b.cast("double")).alias("_rf")))
+        qs = (qres.select("query_id", "cell", sliced(F.col("_rf")).alias("_s"))
+              .select("query_id", "cell", F.col("_s.sub").alias("sub"),
+                      F.col("_s.v").alias("_qv")))
+        dtable = (
+            qs.join(cents, "sub")
+            .select("query_id", "cell", "sub", F.col("cid").alias("code"),
+                    (_dot(F.col("_qv"), F.col("_qv"))
+                     - F.lit(2.0) * _dot(F.col("_qv"), F.col("_c"))
+                     + _dot(F.col("_c"), F.col("_c"))).alias("_d2"))
+        )
+        scored = (
+            codes.join(assigned, "vec_id")
+            .join(F.broadcast(dtable), ["cell", "sub", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
+        )
+    else:
+        qs = (
+            emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"),
+                    sliced(F.col(vec_col)).alias("_s"))
+            .select("query_id", F.col("_s.sub").alias("sub"),
+                    F.col("_s.v").alias("_qv"))
+        )
+        dtable = (
+            qs.join(cents, "sub")
+            .select("query_id", "sub", F.col("cid").alias("code"),
+                    (_dot(F.col("_qv"), F.col("_qv"))
+                     - F.lit(2.0) * _dot(F.col("_qv"), F.col("_c"))
+                     + _dot(F.col("_c"), F.col("_c"))).alias("_d2"))
+        )
+        scored = (
+            codes.join(assigned, "vec_id")
+            .join(F.broadcast(probes), "cell")
+            .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
+        )
     wr = Window.partitionBy("query_id").orderBy(F.col("adist2").asc(),
                                                 F.col("vec_id").asc())
     return (
