@@ -34,7 +34,9 @@ class _Namespace(SimpleNamespace):
     def __contains__(self, name: str) -> bool:
         return hasattr(self, name)
 
-    def register(self, name: str, fn=None, *, np_fn=None, dtype: str = "double"):
+    def register(self, name: str, fn=None, *, np_fn=None,
+                 dtype: str = "double", parameterized: bool = False,
+                 arity: int = 1, samples=((),)):
         """User-defined op registration (reference ``UnaryOp.register_new`` /
         ``BinaryOp.register_new``, core/operator/unary.py:207-260 and
         binary.py:440-520).  Dotted names create nested namespaces, matching
@@ -46,10 +48,22 @@ class _Namespace(SimpleNamespace):
         Python kernel; it is wrapped as an Arrow-batched pandas UDF
         returning ``dtype`` — the slow path, mirroring the reference's
         numba-jitted UDFs.
+
+        ``parameterized=True`` registers a PARAMETERIZED op (reference
+        ``ParameterizedUnaryOp``/``ParameterizedBinaryOp``,
+        core/operator/unary.py:178-260): ``fn``/``np_fn`` is then a
+        FACTORY taking the op's parameters and returning the concrete
+        builder/kernel — ``ns.name(params...)`` instantiates the op.
+        ``arity`` (operand count of the instantiated op) and ``samples``
+        (example parameter tuples) are metadata the registry-driven
+        opcatalog sweep uses to exercise the op automatically.
         """
         if fn is None and np_fn is None:
             raise ValueError("register needs fn (Column builder) or np_fn")
-        if fn is None:
+        if parameterized:
+            fn = ParameterizedOp(fn, np_factory=np_fn, dtype=dtype,
+                                 name=name, arity=arity, samples=samples)
+        elif fn is None:
             fn = _np_kernel_op(np_fn, dtype)
         ns = self
         parts = name.split(".")
@@ -62,14 +76,58 @@ class _Namespace(SimpleNamespace):
         setattr(ns, parts[-1], fn)
         return fn
 
-    def register_anonymous(self, fn=None, *, np_fn=None, dtype: str = "double"):
+    def register_anonymous(self, fn=None, *, np_fn=None,
+                           dtype: str = "double",
+                           parameterized: bool = False,
+                           arity: int = 1, samples=((),)):
         """Unregistered op (reference ``register_anonymous``): returns the
         callable without binding a name."""
+        if parameterized:
+            if fn is None and np_fn is None:
+                raise ValueError("register_anonymous needs fn or np_fn")
+            return ParameterizedOp(fn, np_factory=np_fn, dtype=dtype,
+                                   arity=arity, samples=samples)
         if fn is not None:
             return fn
         if np_fn is None:
             raise ValueError("register_anonymous needs fn or np_fn")
         return _np_kernel_op(np_fn, dtype)
+
+
+class ParameterizedOp:
+    """A parameterized operator (reference ``ParameterizedUnaryOp`` /
+    ``ParameterizedBinaryOp``, core/operator/unary.py:178-260): holds a
+    factory over the op's parameters; calling the registered object with
+    parameters returns the concrete Column-expression builder::
+
+        op = binary.isclose(rel_tol=1e-4)      # instantiate
+        df.select(op(F.col("x"), F.col("y")))  # apply
+
+    ``np_factory`` (parameters -> ndarray kernel) serves two roles: the
+    execution path when no Column factory is given (wrapped as an
+    Arrow-batched pandas UDF), and the differential oracle the
+    registry-driven opcatalog sweep replays against the Spark path for
+    every sample parameterization."""
+
+    def __init__(self, factory=None, *, np_factory=None,
+                 dtype: str = "double", name: str | None = None,
+                 arity: int = 1, samples=((),)):
+        if factory is None and np_factory is None:
+            raise ValueError("ParameterizedOp needs factory or np_factory")
+        self.factory = factory
+        self.np_factory = np_factory
+        self.dtype = dtype
+        self.name = name
+        self.arity = arity
+        self.samples = tuple(tuple(s) for s in samples)
+
+    def __call__(self, *args, **kwargs):
+        if self.factory is not None:
+            return self.factory(*args, **kwargs)
+        return _np_kernel_op(self.np_factory(*args, **kwargs), self.dtype)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"ParameterizedOp({self.name or '<anonymous>'})"
 
 
 def _np_kernel_op(np_fn, dtype: str):
@@ -451,6 +509,29 @@ binary.cdiv = lambda a, b: _cplx(
 binary.ceq = lambda a, b: (a["re"] == b["re"]) & (a["im"] == b["im"])
 binary.cfirst = lambda a, b: a
 binary.csecond = lambda a, b: b
+
+
+# -- parameterized builtin: isclose (the reference's canonical
+# ParameterizedBinaryOp — graphblas.binary.isclose(rel_tol, abs_tol),
+# core/operator/binary.py register of _isclose): numpy.isclose
+# semantics |a − b| <= abs_tol + rel_tol·|b|, boolean output.  Both the
+# JVM Column path and the ndarray oracle live on the op, so the
+# registry-driven opcatalog sweep differentials every sample
+# parameterization automatically.
+def _isclose_factory(rel_tol: float = 1e-7, abs_tol: float = 0.0):
+    return lambda a, b: (F.abs(a - b)
+                         <= F.lit(abs_tol) + F.lit(rel_tol) * F.abs(b))
+
+
+def _isclose_np_factory(rel_tol: float = 1e-7, abs_tol: float = 0.0):
+    import numpy as np
+
+    return lambda a, b: np.isclose(a, b, rtol=rel_tol, atol=abs_tol)
+
+
+binary.isclose = ParameterizedOp(
+    _isclose_factory, np_factory=_isclose_np_factory, dtype="boolean",
+    name="isclose", arity=2, samples=((), (1e-3,), (0.05, 0.25)))
 
 # ⊕ monoid over complex: component-wise sum packaged back into the struct.
 # Partial aggregation (map-side combine) applies to both component sums.

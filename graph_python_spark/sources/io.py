@@ -79,6 +79,67 @@ def to_networkx(m: MatrixFrame, edge_attribute: Optional[str] = "weight"):
     return g
 
 
+# -- Arrow record-batch interchange (reference core/ss/matrix.py:538-3663 ----
+# export/import: the reference exposes 10 raw-buffer formats with give/take
+# ownership; the Spark-honest analogue of a zero-copy interchange surface is
+# Arrow — toArrow() drains the JVM result as Arrow batches without a pandas
+# hop, and createDataFrame(pa.Table) ingests them back.  Logical shape rides
+# in the table-level schema metadata so round-trips preserve nrows/ncols.)
+_ARROW_META_NROWS = b"graph_python_spark.nrows"
+_ARROW_META_NCOLS = b"graph_python_spark.ncols"
+_ARROW_META_SIZE = b"graph_python_spark.size"
+
+
+def to_arrow(m: MatrixFrame) -> "object":
+    """Export a MatrixFrame as a ``pyarrow.Table`` (columns i, j, v; the
+    value column keeps its Spark type — struct<re,im> for FC64, structs
+    for UDT values).  Shape is attached as schema metadata."""
+    import pyarrow  # noqa: F401  (baked into the environment)
+
+    tbl = m.df.toArrow()
+    meta = dict(tbl.schema.metadata or {})
+    if m._nrows is not None:
+        meta[_ARROW_META_NROWS] = str(int(m._nrows)).encode()
+    if m._ncols is not None:
+        meta[_ARROW_META_NCOLS] = str(int(m._ncols)).encode()
+    return tbl.replace_schema_metadata(meta)
+
+
+def from_arrow(spark: SparkSession, table,
+               nrows: Optional[int] = None,
+               ncols: Optional[int] = None) -> MatrixFrame:
+    """Ingest a ``pyarrow.Table`` with columns (i, j, v) — e.g. one
+    produced by :func:`to_arrow`, possibly on another cluster — as a
+    MatrixFrame.  Shape falls back to the table's schema metadata."""
+    meta = table.schema.metadata or {}
+    if nrows is None and _ARROW_META_NROWS in meta:
+        nrows = int(meta[_ARROW_META_NROWS])
+    if ncols is None and _ARROW_META_NCOLS in meta:
+        ncols = int(meta[_ARROW_META_NCOLS])
+    return MatrixFrame(spark.createDataFrame(table.select(["i", "j", "v"])),
+                       nrows, ncols)
+
+
+def vector_to_arrow(v: VectorFrame) -> "object":
+    """Export a VectorFrame as a ``pyarrow.Table`` (columns i, v)."""
+    import pyarrow  # noqa: F401
+
+    tbl = v.df.toArrow()
+    meta = dict(tbl.schema.metadata or {})
+    if v._size is not None:
+        meta[_ARROW_META_SIZE] = str(int(v._size)).encode()
+    return tbl.replace_schema_metadata(meta)
+
+
+def vector_from_arrow(spark: SparkSession, table,
+                      size: Optional[int] = None) -> VectorFrame:
+    """Ingest a ``pyarrow.Table`` with columns (i, v) as a VectorFrame."""
+    meta = table.schema.metadata or {}
+    if size is None and _ARROW_META_SIZE in meta:
+        size = int(meta[_ARROW_META_SIZE])
+    return VectorFrame(spark.createDataFrame(table.select(["i", "v"])), size)
+
+
 # -- Matrix Market (reference io/_matrixmarket.py:6-63) -----------------------
 def mmread(spark: SparkSession, path: str) -> MatrixFrame:
     """Minimal MatrixMarket coordinate reader: the tiny header line is read

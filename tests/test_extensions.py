@@ -161,3 +161,31 @@ def test_networkx_roundtrip(A):
     back = gio.from_networkx(A.df.sparkSession, g, weight="weight")
     # node relabeling is dense over the touched nodes; compare edge values
     assert sorted(v for _, v in mat_dict(back).items()) == sorted(want.values())
+
+
+def test_register_parameterized_column_op(spark):
+    from graph_python_spark.functions.ops import ParameterizedOp, binary as B
+
+    op = B.register(
+        "ext.addk",
+        lambda k: (lambda a, b: a + b + F.lit(float(k))),
+        parameterized=True, arity=2, samples=((1.0,), (10.0,)))
+    assert isinstance(op, ParameterizedOp)
+    assert isinstance(B["ext"]["addk"], ParameterizedOp)
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "a double, b double")
+    got = [r[0] for r in df.select(B.ext.addk(10.0)(F.col("a"), F.col("b"))
+                                   ).collect()]
+    assert got == [13.0, 17.0]
+
+
+def test_register_parameterized_np_kernel(spark):
+    import numpy as np
+
+    from graph_python_spark.functions.ops import unary as U
+
+    op = U.register_anonymous(
+        np_fn=lambda p: (lambda x: np.power(np.abs(x), p)),
+        parameterized=True, arity=1, samples=((2.0,),))
+    df = spark.createDataFrame([(-3.0,), (2.0,)], "x double")
+    got = [r[0] for r in df.select(op(2.0)(F.col("x"))).collect()]
+    assert got == [9.0, 4.0]

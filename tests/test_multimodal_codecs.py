@@ -1,0 +1,118 @@
+"""Real-bytes multimodal decode: the stdlib PPM/WAV codecs exercise the
+mapInPandas Arrow path end-to-end with genuine encoded payloads, so
+extract_features no longer depends on the fake decoder for coverage
+(VERDICT r3 next-round #7)."""
+
+import io
+import math
+import struct
+import wave
+
+import pytest
+
+import graph_python_spark.pipeline.multimodal as mm
+from graph_python_spark.pipeline.multimodal import (MEDIA_SCHEMA, decode_ppm,
+                                                    decode_wav,
+                                                    extract_features,
+                                                    ppm_wav_decoder,
+                                                    set_decoder)
+
+
+def make_ppm(width, height, pixel):
+    header = f"P6\n# test comment\n{width} {height}\n255\n".encode()
+    body = bytes(pixel(x, y, c) for y in range(height)
+                 for x in range(width) for c in range(3))
+    return header + body
+
+
+def make_pgm(width, height, pixel):
+    header = f"P5\n{width} {height}\n255\n".encode()
+    return header + bytes(pixel(x, y) for y in range(height)
+                          for x in range(width))
+
+
+def make_wav(samples, rate=8000, nch=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_decode_ppm_p6_with_comment():
+    payload = make_ppm(4, 3, lambda x, y, c: (x * 50 + y * 20 + c * 5) % 256)
+    w, h, nch, px = decode_ppm(payload)
+    assert (w, h, nch) == (4, 3, 3)
+    assert len(px) == 36
+    assert px[0] == 0 and px[1] == 5 and px[3] == 50
+
+
+def test_decode_pgm_p5():
+    payload = make_pgm(5, 2, lambda x, y: x + 10 * y)
+    w, h, nch, px = decode_ppm(payload)
+    assert (w, h, nch) == (5, 2, 1)
+    assert px == [0, 1, 2, 3, 4, 10, 11, 12, 13, 14]
+
+
+def test_decode_ppm_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG not a ppm")
+    with pytest.raises(ValueError):
+        decode_ppm(make_ppm(4, 4, lambda x, y, c: 0)[:-5])  # truncated
+
+
+def test_decode_wav_pcm16():
+    sine = [int(20000 * math.sin(2 * math.pi * 440 * t / 8000))
+            for t in range(800)]
+    rate, nch, s = decode_wav(make_wav(sine))
+    assert (rate, nch) == (8000, 1)
+    assert s == sine
+
+
+def test_ppm_wav_decoder_features():
+    img = make_ppm(8, 8, lambda x, y, c: 100)
+    f = ppm_wav_decoder(img, "image")
+    assert f[:3] == [8.0, 8.0, 3.0]
+    assert abs(f[3] - 100 / 255) < 1e-12          # mean
+    assert f[4] == 0.0                            # constant image: std 0
+    assert f[7] == 192.0                          # one maximal run
+    aud = make_wav([0, 1000, -1000, 1000, -1000, 0])
+    g = ppm_wav_decoder(aud, "audio")
+    assert g[0] == 8000.0 and g[2] == 6.0
+    # sign changes (0 is non-negative): 1000|-1000, -1000|1000,
+    # 1000|-1000, -1000|0 -> 4 of 5 adjacent pairs
+    assert g[7] == pytest.approx(4 / 5)
+    with pytest.raises(ValueError):
+        ppm_wav_decoder(b"anything", "video")
+
+
+def test_extract_features_real_codec_end_to_end(spark):
+    rows = []
+    for m in range(6):
+        if m % 2 == 0:
+            payload = make_ppm(4 + m, 3, lambda x, y, c, m=m:
+                               (x * 40 + y * 30 + c * 10 + m) % 256)
+            kind, meta = "image", {"width": 4 + m, "height": 3,
+                                   "sample_rate": None, "n_frames": None,
+                                   "codec": "ppm"}
+        else:
+            payload = make_wav([(t * 97 * m) % 4096 - 2048
+                                for t in range(64)])
+            kind, meta = "audio", {"width": None, "height": None,
+                                   "sample_rate": 8000, "n_frames": None,
+                                   "codec": "wav"}
+        rows.append((m, kind, payload, meta))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    set_decoder(ppm_wav_decoder)
+    try:
+        out = {r["media_id"]: r for r in extract_features(media).collect()}
+    finally:
+        mm._DECODER = None
+    assert len(out) == 6
+    for m, kind, payload, _ in rows:
+        expected = ppm_wav_decoder(payload, kind)
+        assert out[m]["kind"] == kind
+        assert out[m]["n_bytes"] == len(payload)
+        assert list(out[m]["feature"]) == pytest.approx(expected)

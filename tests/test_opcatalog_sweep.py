@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from graph_python_spark.functions.ops import (
     Monoid,
+    ParameterizedOp,
     PositionalAgg,
     agg as agg_ns,
     binary,
@@ -39,9 +40,11 @@ from graph_python_spark.operators.matrix import MatrixFrame
 
 def _entries(ns) -> dict:
     """All ops registered on a namespace (child namespaces from dotted
-    extension registrations are themselves swept by test_extensions)."""
+    extension registrations are themselves swept by test_extensions;
+    ParameterizedOp entries get their own registry-driven sweep below)."""
     return {k: v for k, v in vars(ns).items()
-            if not k.startswith("_") and not isinstance(v, SimpleNamespace)}
+            if not k.startswith("_")
+            and not isinstance(v, (SimpleNamespace, ParameterizedOp))}
 
 
 # snapshot at import: collection happens before any test registers
@@ -609,3 +612,47 @@ def test_semiring_mxm_sweep(spark, name):
             assert got[key] in parts, (name, key, got[key], parts)
         else:
             assert _close(got[key], add(parts)), (name, key, got[key], add(parts))
+
+
+# ---------------------------------------------------------------------------
+# ParameterizedOp sweep: every ParameterizedOp found on the namespaces is
+# exercised at each of its declared sample parameterizations, and — when it
+# carries an ndarray factory — differentialed against that numpy path
+# (reference ParameterizedUnaryOp/BinaryOp, core/operator/unary.py:178-260).
+# Registry-driven: registering a new parameterized op makes it appear here
+# with no test edit.
+# ---------------------------------------------------------------------------
+PARAMETERIZED_OPS = {
+    f"{ns_name}.{name}": op
+    for ns_name, ns in (("unary", unary), ("binary", binary))
+    for name, op in vars(ns).items()
+    if isinstance(op, ParameterizedOp)
+}
+
+
+def test_parameterized_registry_contains_isclose():
+    # the builtin reference parity op must be present and carry samples
+    assert "binary.isclose" in PARAMETERIZED_OPS
+    assert PARAMETERIZED_OPS["binary.isclose"].samples
+
+
+@pytest.mark.parametrize("key", sorted(PARAMETERIZED_OPS))
+def test_parameterized_sweep(spark, key):
+    op = PARAMETERIZED_OPS[key]
+    assert op.samples, f"{key}: parameterized op registered without samples"
+    if op.arity == 2:
+        rows, schema = _B_DOMAIN_ROWS["ff"]
+        args = (F.col("a"), F.col("b"))
+    else:
+        rows, schema = _DOMAIN_ROWS["float"]
+        args = (F.col("x"),)
+    for sample in op.samples:
+        concrete = op(*sample)
+        (got,) = _eval_columns(spark, rows, schema, [concrete(*args)])
+        if op.np_factory is None:
+            continue                      # instantiation/execution only
+        kernel = op.np_factory(*sample)
+        cols = [np.array([r[k] for r in rows]) for k in range(len(rows[0]))]
+        want = kernel(*cols)
+        for inp, g, w in zip(rows, got, want):
+            assert _close(g, w), (key, sample, inp, g, w)
