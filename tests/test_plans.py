@@ -32,6 +32,9 @@ BNLJ_ALLOW = {
     "ann_cosine_topk": (1, "brute-force baseline: broadcast query set scans all vectors"),
     "ivf_topk": (2, "centroid routing + probe: broadcast centroid array, by design"),
     "ivf_pq": (2, "IVF routing + probe: broadcast centroid array, by design"),
+    "ivf_pq_residual": (3, "coarse-kmeans centroid fold + IVF probe + PQ "
+                           "centroid-array fold — all broadcast 1-row/"
+                           "n_cells-row relations, by design"),
     "kronecker": (1, "operator semantics ARE the pairwise product; small side broadcast"),
     "outer_product": (1, "u⊗v semantics; one side broadcast"),
     "ewise_add_vector": (1, "broadcast 1-row dense-extent aggregate"),
@@ -80,6 +83,8 @@ SP_ALLOW = {
     "triangles_incr": (1, "the operator RETURNS a 1-row delta count"),
     "nmi": (2, "1-row total fold + single global metric fold"),
     "spearman": (3, "two ≤P-row rank-offset relations + 1-row fold"),
+    "ivf_pq_residual": (2, "1-row centroid-array folds (coarse kmeans + "
+                           "PQ init), the kmeans precedent"),
 }
 
 
