@@ -75,3 +75,27 @@ def test_s_core_boundary_kept_exact(spark):
     # at s=2: c has wdeg 2 == s exactly and MUST be kept (integer
     # boundary, the advice case), fixpoint is the whole triangle
     assert out2 == {1: 3.0, 2: 3.0, 3: 2.0}
+
+
+def test_coreness_star_hub(spark):
+    # a 20k-leaf star plus a K4 clique: the hub's h-index frame in the
+    # round-4 histogram formulation is 2 rows (distinct estimates {1, 3}),
+    # never 20k — and the values must still be exact (star coreness 1,
+    # clique coreness 3, hub max(1, shared leaf estimate) = 1 since the
+    # hub only touches degree-1 leaves)
+    from pyspark.sql import functions as F
+
+    from graph_python_spark.algorithms.kcore import coreness_rounds
+
+    n = 20_000
+    star = spark.range(1, n + 1).select(
+        F.lit(0).cast("long").alias("i"), F.col("id").alias("j"))
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(n + 1, n + 5) for b in range(a + 1, n + 5)],
+        "i long, j long")
+    cr = {r["id"]: r["coreness"]
+          for r in coreness_rounds(star.unionByName(k4), rounds=4).collect()}
+    assert cr[0] == 1
+    assert all(cr[v] == 1 for v in (1, 2, n))
+    assert all(cr[v] == 3 for v in range(n + 1, n + 5))
+    assert len(cr) == n + 5
