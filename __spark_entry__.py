@@ -1071,6 +1071,22 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, key_col="doc_id", weight_col="n_chars", n=100)
 
 
+DSIR_BUCKETS = 8192
+DSIR_SMOOTH = 1.0
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. NeurIPS'23): score every doc
+    by target-likeness of its hashed unigram+bigram distribution, target
+    = the English subset — the importance-resampling selection score of
+    a trillion-token curation pipeline."""
+    from graph_python_spark.pipeline.sampling import dsir_weights
+
+    docs = _docs(spark, sf_dir).withColumn("_is_en", F.col("lang") == "en")
+    return dsir_weights(docs, "_is_en", n_buckets=DSIR_BUCKETS,
+                        smoothing=DSIR_SMOOTH)
+
+
 def q_rebalance_sources(spark, sf_dir):
     from graph_python_spark.pipeline.sampling import rebalance_sources
 
@@ -2126,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         # never driver-checked yet, queued for the round-5 window
         "ivf_pq_residual": q_ivf_pq_residual,
+        "dsir_weights": q_dsir_weights,
         "degree_quantiles": q_degree_quantiles,
         "vertex_features": q_vertex_features,
         "distinct_users_kmv": q_distinct_users_kmv,
@@ -5488,6 +5505,41 @@ SELECT doc_id, n_chars FROM (
               / 1000000007.0) AS pri
   FROM documents)
 ORDER BY pri DESC, doc_id LIMIT 100"""
+
+    smB = float(DSIR_SMOOTH * DSIR_BUCKETS)
+    sqls["dsir_weights"] = f"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS t,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents),
+gr AS (
+  SELECT doc_id, t, UNNEST(list_concat(
+    toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END)) AS g
+  FROM base),
+h AS (SELECT doc_id, t,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+               % {DSIR_BUCKETS} AS h
+      FROM gr),
+counts AS (SELECT h, COUNT(*) AS cr,
+                  SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+           FROM h GROUP BY 1),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
+lam AS (SELECT h,
+               ln((ct + {DSIR_SMOOTH}) / (nt + {smB}))
+                 - ln((cr + {DSIR_SMOOTH}) / (nr + {smB})) AS lam
+        FROM counts CROSS JOIN tot),
+per AS (SELECT hh.doc_id, CAST(COUNT(hh.h) AS BIGINT) AS n_grams,
+               SUM(CAST(ROUND(lam.lam * 1e9) AS BIGINT)) AS s
+        FROM h hh LEFT JOIN lam ON lam.h = hh.h
+        GROUP BY 1)
+SELECT base.doc_id, base.t AS is_target,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       ROUND(COALESCE(per.s, 0) / 1e9, 6) AS log_weight
+FROM base LEFT JOIN per ON per.doc_id = base.doc_id"""
 
     frac_case = " ".join(
         f"WHEN '{s}' THEN {f!r}" for s, f in sorted(REBALANCE_FRACS.items())

@@ -126,3 +126,84 @@ def rebalance_sources(
     for s, f in sorted(keep_fractions.items()):
         frac = F.when(F.col(source_col) == s, F.lit(float(f))).otherwise(frac)
     return df.filter(_unit_hash(key_col, salt) <= frac)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str,
+    n_buckets: int = 8192,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how target-like its hashed n-gram distribution is —
+
+        log w(x) = Σ_{g ∈ grams(x)} [ ln p̂_target(h(g)) − ln p̂_raw(h(g)) ]
+
+    with unigram + adjacent-bigram word features hashed into ``n_buckets``
+    and Laplace-``smoothing`` bucket estimates (the paper's bag-of-hashed-
+    ngrams model).  ``target_col`` is a boolean column marking the target
+    (quality-exemplar) subset; raw = ALL rows.  Downstream, sampling
+    ∝ exp(log w) yields the importance-resampled corpus.
+
+    Determinism contract: buckets are md5-derived (identical in any
+    engine, the spectral-digest pattern); each doc's log-weight sums
+    nano-quantized per-gram terms (BIGINT, order-independent — the NMI
+    / k-means discipline), rounded 1e-6 on output.
+
+    Scale shape: the bucket log-ratio table is ≤ n_buckets rows and
+    BROADCAST; grams are an inline explode (never persisted); the only
+    O(corpus) exchanges are the two bucket-count partial aggregations
+    and the final doc-keyed partial-agg sum.  Nothing vocabulary- or
+    corpus-sized reaches the driver.
+
+    Returns (doc_id, is_target, n_grams, log_weight) for every document.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.concat(
+        F.transform(words, lambda w: w),                       # unigrams
+        F.when(F.size(words) >= 2,
+               F.transform(F.slice(words, 1, F.size(words) - 1),
+                           (lambda w, i: F.concat_ws(
+                               " ", w, F.element_at(words, i + 2)))))
+        .otherwise(F.array()),                                 # bigrams
+    )
+    g = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(target_col).cast("boolean").alias("_t"),
+                    F.explode_outer(grams).alias("_g"))
+        .withColumn(
+            "_h",
+            F.when(F.col("_g").isNotNull(),
+                   F.pmod(F.conv(F.substring(F.md5(F.col("_g")), 1, 15),
+                                 16, 10).cast("long"), F.lit(n_buckets))))
+    )
+    counts = (
+        g.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cr"),
+             F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"))
+    )
+    totals = counts.agg(F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt"))
+    lam = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "_h",
+            (F.log((F.col("_ct") + F.lit(smoothing))
+                   / (F.col("_nt") + F.lit(smoothing * n_buckets)))
+             - F.log((F.col("_cr") + F.lit(smoothing))
+                     / (F.col("_nr") + F.lit(smoothing * n_buckets))))
+            .alias("_lam"))
+    )
+    return (
+        g.join(F.broadcast(lam), "_h", "left")
+        .groupBy("doc_id")
+        .agg(F.first("_t").alias("is_target"),
+             F.count(F.col("_h")).alias("n_grams"),
+             F.round(
+                 F.sum(F.round(F.coalesce(F.col("_lam"), F.lit(0.0)) * 1e9,
+                               0).cast("long")) / F.lit(1e9), 6)
+             .alias("log_weight"))
+    )
