@@ -52,6 +52,8 @@ BNLJ_ALLOW = {
     "heavy_hitters": (1, "broadcast 1-row total-token-count fold"),
     "eff_diameter": (1, "broadcast 1-row N(radius) fold from the NF curve"),
     "nmi": (1, "broadcast 1-row total-count fold"),
+    "dsir_weights": (1, "broadcast 1-row corpus-total fold into the "
+                        "bucket log-ratio table"),
 }
 
 # name -> (max Exchange SinglePartition, reason)
@@ -85,6 +87,7 @@ SP_ALLOW = {
     "spearman": (3, "two ≤P-row rank-offset relations + 1-row fold"),
     "ivf_pq_residual": (2, "1-row centroid-array folds (coarse kmeans + "
                            "PQ init), the kmeans precedent"),
+    "dsir_weights": (1, "1-row corpus-total fold"),
 }
 
 
