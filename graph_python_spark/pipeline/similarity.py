@@ -700,27 +700,36 @@ def kmeans_train(emb: DataFrame, k: int = 8, iterations: int = 2,
         return pts.crossJoin(F.broadcast(carr)).select(
             "vec_id", "_v", best["_d2"].alias("_d2"), best["cid"].alias("cid"))
 
-    for _ in range(iterations):
-        asg = assign(cents)
-        comp = (
-            asg.select("cid", F.posexplode("_v").alias("pos", "_x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum(F.round(F.col("_x").cast("double")
-                               * F.lit(float(KMEANS_SCALE))).cast("long")).alias("_s"),
-                 F.count("*").alias("_n"))
-            .select("cid", "pos",
-                    (F.col("_s").cast("double")
-                     / (F.col("_n").cast("double") * F.lit(float(KMEANS_SCALE))))
-                    .alias("_val"))
-        )
-        cents = (
-            comp.groupBy("cid")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_val"))),
-                lambda s: s["_val"]).alias("_c"))
-        )
-        cents = cents.localCheckpoint(eager=True)
+    # each iteration checkpoints its k·dim centroid frame (the broadcast
+    # in assign() would otherwise REPLAY every prior iteration — lazy
+    # chaining here is O(iters²), measured no-win); the fixed cost that
+    # remains is per-stage scheduling, which loop_shuffle_width caps by
+    # sizing the loop's shuffles to the DATA instead of the session width
+    from graph_python_spark.plans.iterate import loop_shuffle_width
 
+    with loop_shuffle_width(emb.sparkSession, emb.count()):
+        for _ in range(iterations):
+            asg = assign(cents)
+            comp = (
+                asg.select("cid", F.posexplode("_v").alias("pos", "_x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum(F.round(F.col("_x").cast("double")
+                                   * F.lit(float(KMEANS_SCALE))).cast("long")).alias("_s"),
+                     F.count("*").alias("_n"))
+                .select("cid", "pos",
+                        (F.col("_s").cast("double")
+                         / (F.col("_n").cast("double") * F.lit(float(KMEANS_SCALE))))
+                        .alias("_val"))
+            )
+            cents = (
+                comp.groupBy("cid")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_val"))),
+                    lambda s: s["_val"]).alias("_c"))
+            )
+            cents = cents.localCheckpoint(eager=True)
+    # the final assignment is shuffle-free (map-side broadcast fold), so
+    # it stays lazy and inherits the session width
     final = assign(cents)
     return (final.select("vec_id", F.col("cid").alias("cluster"),
                          F.round("_d2", 6).alias("dist2")),
@@ -887,25 +896,32 @@ def pq_train(emb: DataFrame, dim: int, m: int = 4, k: int = 16,
             "vec_id", "sub", "_v", best["_d2"].alias("_d2"),
             best["cid"].alias("cid"))
 
-    for _ in range(iterations):
-        asg = assign(cents)
-        cents = (
-            asg.select("sub", "cid", F.posexplode("_v").alias("pos", "_x"))
-            .groupBy("sub", "cid", "pos")
-            .agg(F.sum(F.round(F.col("_x") * F.lit(float(KMEANS_SCALE)))
-                       .cast("long")).alias("_s"),
-                 F.count("*").alias("_n"))
-            .select("sub", "cid", "pos",
-                    (F.col("_s").cast("double")
-                     / (F.col("_n").cast("double") * F.lit(float(KMEANS_SCALE))))
-                    .alias("_val"))
-            .groupBy("sub", "cid")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_val"))),
-                lambda s: s["_val"]).alias("_c"))
-        )
-        cents = cents.localCheckpoint(eager=True)
+    # per-iteration checkpoint of the m·k·dim codebook frame (the
+    # broadcast in assign() would otherwise replay prior iterations);
+    # loop_shuffle_width sizes the codebook-update shuffles to the data
+    # (the kmeans_train pattern — per-stage scheduling dominates below
+    # ~10^6 vectors at full session width)
+    from graph_python_spark.plans.iterate import loop_shuffle_width
 
+    with loop_shuffle_width(emb.sparkSession, emb.count()):
+        for _ in range(iterations):
+            asg = assign(cents)
+            cents = (
+                asg.select("sub", "cid", F.posexplode("_v").alias("pos", "_x"))
+                .groupBy("sub", "cid", "pos")
+                .agg(F.sum(F.round(F.col("_x") * F.lit(float(KMEANS_SCALE)))
+                           .cast("long")).alias("_s"),
+                     F.count("*").alias("_n"))
+                .select("sub", "cid", "pos",
+                        (F.col("_s").cast("double")
+                         / (F.col("_n").cast("double") * F.lit(float(KMEANS_SCALE))))
+                        .alias("_val"))
+                .groupBy("sub", "cid")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_val"))),
+                    lambda s: s["_val"]).alias("_c"))
+            )
+            cents = cents.localCheckpoint(eager=True)
     final = assign(cents)
     codes = final.select("vec_id", "sub", F.col("cid").alias("code"),
                          F.round("_d2", 6).alias("dist2"))
