@@ -146,7 +146,8 @@ def run_headlines(spark, results: dict) -> None:
         "partition_graph", "heavy_hitters", "bpe_encode",
         "quality_classifier", "densest", "triangles_incr",
         # round 4: residual-encoded IVF-PQ (Lloyd-refined coarse quantizer)
-        "ivf_pq_residual",
+        # + DSIR importance-resampling weights
+        "ivf_pq_residual", "dsir_weights",
     ]
     qs = entry.queries()
     # each query timed twice, scored by the faster run: the first pass pays
