@@ -364,3 +364,92 @@ def stream_bursts(spark: SparkSession, path: str,
                 F.round((F.col("n_events") - F.col("mean_events"))
                         / F.col("sd_events"), 6).alias("zscore"))
     )
+
+
+def stream_heavy_hitters(spark: SparkSession, path: str,
+                         capacity: int = 256,
+                         n_buckets: int = 8,
+                         text_col: str = "text",
+                         max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming Misra–Gries heavy hitters — the streaming twin of
+    ``pipeline.sketches.heavy_hitters`` and the algorithm's NATIVE
+    setting (Misra & Gries '82 is a one-pass stream summary).
+
+    Topology: tokens hash into ``n_buckets`` groups (each token lives in
+    exactly ONE bucket, so a per-bucket summary is a partition-level MG
+    pass over a token-disjoint slice — the mergeable-summaries form);
+    each bucket's ``GroupState`` holds its MG summary, HARD-BOUNDED at
+    ``capacity`` (token, count) pairs no matter how many tokens stream
+    by — the entire job state is n_buckets·capacity rows, forever.  The
+    per-batch fold is the batch op's vectorized value_counts + bulk
+    decrement, never per-row Python.
+
+    Emits every bucket's full summary each micro-batch (update mode):
+    (bucket, token, est, batch_tokens_seen).  MG guarantees per bucket:
+    true_count − N_b/(capacity+1) ≤ est ≤ true_count, and every token
+    with true_count > N_b/(capacity+1) is present — the exact-recount
+    refinement stays a batch job over the emitted survivor set (the
+    batch op's second phase), which is how the lambda-architecture pair
+    is meant to compose.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(path)
+    toks = (
+        docs.select(F.explode(F.filter(F.split(F.col(text_col), " "),
+                                       lambda t: t != "")).alias("token"))
+        .select("token",
+                F.pmod(F.conv(F.substring(F.md5(F.col("token")), 1, 15),
+                              16, 10).cast("long"),
+                       F.lit(int(n_buckets))).alias("bucket"))
+    )
+    cap = int(capacity)
+    out_schema = T.StructType([
+        T.StructField("bucket", T.LongType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("est", T.LongType()),
+        T.StructField("bucket_tokens_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("seen", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (bucket,) = key
+        if state.exists:
+            tokens, counts, seen = state.get
+            s = pd.Series(list(counts), index=list(tokens), dtype="float64")
+        else:
+            s, seen = None, 0
+        for pdf in pdfs:
+            vc = pdf["token"].value_counts()
+            seen += int(vc.sum())
+            s = vc.astype("float64") if s is None else s.add(vc, fill_value=0)
+            if len(s) > cap:
+                thr = s.nlargest(cap + 1).iloc[-1]
+                s = s[s > thr] - thr
+        # ALWAYS persist, even when the bulk decrement emptied the
+        # summary (an all-singleton batch can) — `seen` is the error-
+        # bound accounting and must accumulate across every batch
+        if s is None:
+            s = pd.Series([], dtype="float64")
+        state.update((list(s.index.astype(str)),
+                      [int(x) for x in s.to_numpy()], int(seen)))
+        if len(s):
+            yield pd.DataFrame({
+                "bucket": bucket,
+                "token": s.index.astype(str),
+                "est": s.to_numpy().astype("int64"),
+                "bucket_tokens_seen": int(seen),
+            })
+
+    return toks.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
