@@ -656,23 +656,41 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
 
 def kmeans_train(emb: DataFrame, k: int = 8, iterations: int = 2,
                  vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> tuple[DataFrame, DataFrame]:
+                 id_col: str = "vec_id",
+                 sample_n: Optional[int] = None) -> tuple[DataFrame, DataFrame]:
     """:func:`kmeans_fixed` with the trained centroids exposed: returns
     (assign, cents) where assign is the (vec_id, cluster, dist2) final
     assignment and cents is (cid, _c) — the k centroid vectors as double
     arrays (clusters that lose all members drop out, the kmeans_fixed /
     DuckDB-oracle convention).  The centroid frame is what IVF-style
     consumers (residual IVF-PQ's Lloyd-refined coarse quantizer) need
-    alongside the assignment."""
+    alongside the assignment.
+
+    ``sample_n``: train the Lloyd iterations on the ``sample_n``
+    smallest-md5(vec_id) vectors only (the deterministic sample the init
+    already draws from) and assign the FULL corpus once at the end —
+    the FAISS coarse-quantizer recipe.  Each training pass then touches
+    O(sample_n) rows instead of O(corpus); at 10^9 vectors the corpus
+    is read once, not ``iterations`` times.  Default None = train on
+    everything (the historical kmeans_fixed behavior)."""
     pts = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     pts = pts.withColumn("_pp", _dot(F.col("_v"), F.col("_v")))
+    if sample_n is not None:
+        tr = (pts.orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                          F.col("vec_id").asc())
+              .limit(int(sample_n))
+              .localCheckpoint(eager=True))
+    else:
+        tr = pts
     # init: the k smallest-digest vectors via a distributed TakeOrdered
     # (per-partition top-k + merge), then cid = rank from ONE sorted
     # k-element array — no window at all, so nothing ever funnels the
-    # corpus through a single task
+    # corpus through a single task.  Under sample_n the init draws from
+    # the sample — identical rows, since the sample IS the smallest-md5
+    # prefix the init would pick from anyway (k <= sample_n)
     cents = (
-        pts.select(F.md5(F.col("vec_id").cast("string")).alias("_d"),
-                   "vec_id", "_v")
+        tr.select(F.md5(F.col("vec_id").cast("string")).alias("_d"),
+                  "vec_id", "_v")
         .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
         .limit(k)
         .agg(F.array_sort(F.collect_list(F.struct("_d", "vec_id", "_v"))).alias("_cs"))
@@ -681,7 +699,7 @@ def kmeans_train(emb: DataFrame, k: int = 8, iterations: int = 2,
                 F.transform(F.col("_s._v"), lambda x: x.cast("double")).alias("_c"))
     )
 
-    def assign(cframe: DataFrame) -> DataFrame:
+    def assign(cframe: DataFrame, over: DataFrame = pts) -> DataFrame:
         cc = cframe.withColumn("_cc", _dot(F.col("_c"), F.col("_c")))
         carr = cc.agg(F.collect_list(F.struct("cid", "_c", "_cc")).alias("_cs"))
         init = F.struct(F.lit(float("inf")).alias("_d2"),
@@ -697,7 +715,7 @@ def kmeans_train(emb: DataFrame, k: int = 8, iterations: int = 2,
                     .otherwise(acc)
 
         best = F.aggregate(F.col("_cs"), init, step)
-        return pts.crossJoin(F.broadcast(carr)).select(
+        return over.crossJoin(F.broadcast(carr)).select(
             "vec_id", "_v", best["_d2"].alias("_d2"), best["cid"].alias("cid"))
 
     # each iteration checkpoints its k·dim centroid frame (the broadcast
@@ -707,9 +725,10 @@ def kmeans_train(emb: DataFrame, k: int = 8, iterations: int = 2,
     # sizing the loop's shuffles to the DATA instead of the session width
     from graph_python_spark.plans.iterate import loop_shuffle_width
 
-    with loop_shuffle_width(emb.sparkSession, emb.count()):
+    n_train = int(sample_n) if sample_n is not None else emb.count()
+    with loop_shuffle_width(emb.sparkSession, n_train):
         for _ in range(iterations):
-            asg = assign(cents)
+            asg = assign(cents, tr)
             comp = (
                 asg.select("cid", F.posexplode("_v").alias("pos", "_x"))
                 .groupBy("cid", "pos")
@@ -1060,6 +1079,7 @@ def ivf_pq_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
                 m: int = 4, codebook_k: int = 16, iterations: int = 2,
                 n_cells: int = 16, n_probe: int = 2,
                 by_residual: bool = False, coarse_iters: int = 0,
+                coarse_sample: Optional[int] = None,
                 vec_col: str = "embedding",
                 id_col: str = "vec_id") -> DataFrame:
     """IVF-PQ: the full billion-scale ANN index shape (Jegou et al.
@@ -1121,7 +1141,8 @@ def ivf_pq_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
         # assignment comes free from its last map-side fold
         casg, ccents = kmeans_train(emb, k=n_cells,
                                     iterations=coarse_iters,
-                                    vec_col=vec_col, id_col=id_col)
+                                    vec_col=vec_col, id_col=id_col,
+                                    sample_n=coarse_sample)
         icents = ccents.select(F.col("cid").alias("cell"), F.col("_c"))
         assigned = casg.select("vec_id", F.col("cluster").alias("cell"))
     else:

@@ -69,3 +69,30 @@ def test_residual_output_contract(emb, ground_truth):
         dist = [r["adist2"] for r in srt]
         assert dist == sorted(dist)
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_coarse_sample_equals_full_when_covering(spark, emb):
+    # sample_n >= corpus: the md5-sample IS the whole corpus, so the
+    # trained centroids and assignment must be identical to full training
+    from graph_python_spark.pipeline.similarity import kmeans_train
+
+    a_full, c_full = kmeans_train(emb, k=8, iterations=2)
+    a_samp, c_samp = kmeans_train(emb, k=8, iterations=2, sample_n=10_000)
+    af = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in a_full.collect()}
+    asmp = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in a_samp.collect()}
+    assert af == asmp
+    cf = sorted((r["cid"], tuple(r["_c"])) for r in c_full.collect())
+    cs = sorted((r["cid"], tuple(r["_c"])) for r in c_samp.collect())
+    assert cf == cs
+
+
+def test_coarse_sample_trains_on_subset(spark, emb):
+    # a genuine subsample still assigns EVERY vector and keeps the
+    # centroid count; training cost is what shrinks, not the output
+    from graph_python_spark.pipeline.similarity import kmeans_train
+
+    n = emb.count()
+    a, c = kmeans_train(emb, k=8, iterations=2, sample_n=max(64, n // 4))
+    assert a.count() == n
+    assert 1 <= c.count() <= 8
+    assert a.select("cluster").distinct().count() <= 8
