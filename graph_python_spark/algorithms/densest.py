@@ -108,6 +108,11 @@ def densest_subgraph(
             live = new_live
 
         if not peeled_dry:
+            # the loop can exhaust max_rounds on the very peel that
+            # emptied the graph — that IS a complete run, so re-check
+            # the live state before claiming truncation
+            peeled_dry = live.limit(1).count() == 0
+        if not peeled_dry:
             # ε = 0 needs O(V) rounds, not O(log V): an exhausted
             # max_rounds means the 2(1+ε) guarantee only covers the
             # rounds actually executed — surface it, don't truncate

@@ -519,8 +519,20 @@ binary.csecond = lambda a, b: b
 # registry-driven opcatalog sweep differentials every sample
 # parameterization automatically.
 def _isclose_factory(rel_tol: float = 1e-7, abs_tol: float = 0.0):
-    return lambda a, b: (F.abs(a - b)
-                         <= F.lit(abs_tol) + F.lit(rel_tol) * F.abs(b))
+    def op(a, b):
+        # numpy.isclose semantics on non-finite inputs: result is a == b
+        # (inf matches same-signed inf, NaN matches nothing).  The plain
+        # |a−b| <= tol expression computes inf−inf = NaN there (false),
+        # and Spark's NaN = NaN is TRUE (non-IEEE), so both branches need
+        # explicit handling to agree with the ndarray oracle.
+        finite = (~F.isnan(a)) & (~F.isnan(b)) \
+            & (F.abs(a) != F.lit(float("inf"))) \
+            & (F.abs(b) != F.lit(float("inf")))
+        return F.when(
+            finite,
+            F.abs(a - b) <= F.lit(abs_tol) + F.lit(rel_tol) * F.abs(b)
+        ).otherwise((a == b) & ~F.isnan(a))
+    return op
 
 
 def _isclose_np_factory(rel_tol: float = 1e-7, abs_tol: float = 0.0):

@@ -112,7 +112,10 @@ def ppm_wav_decoder(payload: bytes, kind: str) -> list[float]:
 
     if kind == "image":
         width, height, nch, px = decode_ppm(payload)
-        n = max(1, len(px))
+        if not px:       # width or height 0: a valid but empty raster
+            return [float(width), float(height), float(nch),
+                    0.0, 0.0, 0.0, 0.0, 0.0]
+        n = len(px)
         mean = sum(px) / n
         var = sum((p - mean) ** 2 for p in px) / n
         run = best = 1
@@ -124,7 +127,9 @@ def ppm_wav_decoder(payload: bytes, kind: str) -> list[float]:
                 float(best)]
     if kind == "audio":
         rate, nch, s = decode_wav(payload)
-        n = max(1, len(s))
+        if not s:        # zero-frame PCM: wave.open accepts it
+            return [float(rate), float(nch), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        n = len(s)
         mean = sum(s) / n
         rms = math.sqrt(sum(x * x for x in s) / n)
         zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))

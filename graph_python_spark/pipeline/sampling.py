@@ -161,9 +161,11 @@ def dsir_weights(
 
     Returns (doc_id, is_target, n_grams, log_weight) for every document.
     """
+    from graph_python_spark.functions.digest import md5_bucket
+
     words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     grams = F.concat(
-        F.transform(words, lambda w: w),                       # unigrams
+        words,                                                 # unigrams
         F.when(F.size(words) >= 2,
                F.transform(F.slice(words, 1, F.size(words) - 1),
                            (lambda w, i: F.concat_ws(
@@ -177,8 +179,7 @@ def dsir_weights(
         .withColumn(
             "_h",
             F.when(F.col("_g").isNotNull(),
-                   F.pmod(F.conv(F.substring(F.md5(F.col("_g")), 1, 15),
-                                 16, 10).cast("long"), F.lit(n_buckets))))
+                   md5_bucket(F.col("_g"), n_buckets)))
     )
     counts = (
         g.filter(F.col("_h").isNotNull())

@@ -676,6 +676,11 @@ def kmeans_train(emb: DataFrame, k: int = 8, iterations: int = 2,
     pts = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     pts = pts.withColumn("_pp", _dot(F.col("_v"), F.col("_v")))
     if sample_n is not None:
+        if int(sample_n) < k:
+            raise ValueError(
+                f"sample_n={sample_n} < k={k}: the md5-sample must cover "
+                "the k init centroids (FAISS guidance is >= ~40·k "
+                "training points per centroid)")
         tr = (pts.orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
                           F.col("vec_id").asc())
               .limit(int(sample_n))
@@ -1167,6 +1172,12 @@ def ivf_pq_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
                  .alias("cell"))
             .select(F.col(id_col).alias("vec_id"), "cell"))
     if by_residual:
+        # pin the coarse phase ONCE: `assigned` (2 longs/row) feeds both
+        # the residual build and the final scored join, and `remb` is
+        # consumed ~iterations+3 times inside pq_train (count, md5 init,
+        # every Lloyd assign, final codes) — without these cuts the lazy
+        # O(n·n_cells·dim) routing fold upstream replays per consumer
+        assigned = assigned.localCheckpoint(eager=True)
         remb = (
             emb.join(assigned.withColumnRenamed("vec_id", "__rid"),
                      F.col(id_col) == F.col("__rid"))
@@ -1176,6 +1187,7 @@ def ivf_pq_topk(emb: DataFrame, query_ids: list[int], dim: int, k: int = 5,
                     F.zip_with(F.col(vec_col), F.col("_cc"),
                                lambda a, b: a.cast("double")
                                - b.cast("double")).alias(vec_col)))
+        remb = remb.localCheckpoint(eager=True)
         codes, cents = pq_train(remb, dim, m, codebook_k, iterations,
                                 vec_col, id_col)
     else:

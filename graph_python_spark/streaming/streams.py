@@ -385,7 +385,7 @@ def stream_heavy_hitters(spark: SparkSession, path: str,
     decrement, never per-row Python.
 
     Emits every bucket's full summary each micro-batch (update mode):
-    (bucket, token, est, batch_tokens_seen).  MG guarantees per bucket:
+    (bucket, token, est, bucket_tokens_seen).  MG guarantees per bucket:
     true_count − N_b/(capacity+1) ≤ est ≤ true_count, and every token
     with true_count > N_b/(capacity+1) is present — the exact-recount
     refinement stays a batch job over the emitted survivor set (the
@@ -398,13 +398,12 @@ def stream_heavy_hitters(spark: SparkSession, path: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(path)
+    from graph_python_spark.functions.digest import md5_bucket
+
     toks = (
         docs.select(F.explode(F.filter(F.split(F.col(text_col), " "),
                                        lambda t: t != "")).alias("token"))
-        .select("token",
-                F.pmod(F.conv(F.substring(F.md5(F.col("token")), 1, 15),
-                              16, 10).cast("long"),
-                       F.lit(int(n_buckets))).alias("bucket"))
+        .select("token", md5_bucket(F.col("token"), n_buckets).alias("bucket"))
     )
     cap = int(capacity)
     out_schema = T.StructType([

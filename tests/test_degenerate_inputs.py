@@ -40,11 +40,13 @@ def test_nmi_disjoint_ids(spark):
 
 
 def test_densest_warns_on_truncated_peel(spark):
-    # a 6-cycle with epsilon=0 peels one degree class per round; one
-    # round cannot exhaust it -> the guarantee no longer covers the
-    # full graph and the loop must say so
-    cyc = [(i, (i + 1) % 6) for i in range(6)]
-    e = spark.createDataFrame(cyc, "i long, j long")
+    # a path with epsilon=0 peels only the degree-1 endpoints per round
+    # (interior vertices sit above the 2E/V average), so one round
+    # leaves live edges -> the guarantee no longer covers the full
+    # graph and the loop must say so.  (A REGULAR graph is the wrong
+    # fixture here: epsilon=0 peels <=-average, i.e. everyone at once.)
+    path = [(i, i + 1) for i in range(7)]
+    e = spark.createDataFrame(path, "i long, j long")
     with pytest.warns(RuntimeWarning, match="max_rounds"):
         summary, members = densest_subgraph(
             e, epsilon=Fraction(0), max_rounds=1)
@@ -99,3 +101,41 @@ def test_coreness_star_hub(spark):
     assert all(cr[v] == 1 for v in (1, 2, n))
     assert all(cr[v] == 3 for v in range(n + 1, n + 5))
     assert len(cr) == n + 5
+
+
+def test_densest_no_warning_when_final_round_peels_dry(spark):
+    # the peel that empties the graph can land exactly on the last
+    # allowed round; that is a COMPLETE run and must not warn
+    e = spark.createDataFrame([(1, 2)], "i long, j long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        summary, members = densest_subgraph(
+            e, epsilon=Fraction(0), max_rounds=1)
+    assert summary.count() == 1 and members.count() == 2
+
+
+def test_isclose_nonfinite_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_python_spark.functions.ops import binary as B
+
+    inf = float("inf")
+    rows = [(inf, inf), (inf, -inf), (-inf, -inf), (inf, 1.0),
+            (float("nan"), float("nan")), (float("nan"), 1.0),
+            (1.0, 1.0 + 1e-9), (1.0, 2.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    op = B.isclose(1e-7)
+    got = [r[0] for r in df.select(op(F.col("a"), F.col("b"))).collect()]
+    want = [bool(np.isclose(a, b, rtol=1e-7, atol=0.0)) for a, b in rows]
+    assert got == want, list(zip(rows, got, want))
+
+
+def test_kmeans_sample_below_k_raises(spark):
+    import pytest as _pytest
+
+    from graph_python_spark.pipeline.similarity import kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="sample_n"):
+        kmeans_train(emb, k=8, iterations=1, sample_n=4)

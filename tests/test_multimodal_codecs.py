@@ -116,3 +116,14 @@ def test_extract_features_real_codec_end_to_end(spark):
         assert out[m]["kind"] == kind
         assert out[m]["n_bytes"] == len(payload)
         assert list(out[m]["feature"]) == pytest.approx(expected)
+
+
+def test_decoder_empty_raster_and_zero_frame_wav():
+    # width-0 image and zero-frame WAV are valid degenerate payloads and
+    # must featurize to defined zeros, not crash on min()/max() of empty
+    img = b"P5\n0 3\n255\n"
+    f = ppm_wav_decoder(img, "image")
+    assert f == [0.0, 3.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    aud = make_wav([])
+    g = ppm_wav_decoder(aud, "audio")
+    assert g == [8000.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
