@@ -2080,67 +2080,15 @@ def q_condensation(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the driver's 50-query correctness window (first 50
-    # entries) covers the round-3 session-11..14 surface that has only
-    # ever had builder/judge-side oracle runs (VERDICT r3 next-round #1:
-    # simrank, ivf_pq, pq_codes/adc, bowtie, condensation, harmonic_approx,
-    # eff_diameter, densest, partition_graph, weighted_matching,
-    # heavy_hitters, influence, nmi, spearman, spectral_gap, s_core,
-    # sage_sample, bpe_train/encode, quality_classifier, triangles_incr).
-    # The r1-r3 driver-confirmed 100 follow (still regression-covered by
-    # scripts/check_oracles.py + pytest).
+    # Round-5 window: the driver checks the FIRST 50 entries.  Slots
+    # 1-34 are the 34 registry queries that have never been in any
+    # driver correctness window (VERDICT r4 "missing" #1); slot 35 is
+    # weighted_matching, re-proving the r4 dtype fix (oracle now casts
+    # w to DOUBLE to match the Spark side); slots 36-50 refresh the
+    # SURVEY-2 core whose last driver signal was round 2 (kmeans is
+    # included because kmeans_train changed this round).  The rest
+    # stay regression-covered by scripts/check_oracles.py + pytest.
     return {
-        "simrank": q_simrank,
-        "source_overlap": q_source_overlap,
-        "degree_relabel": q_degree_relabel,
-        "relabel_locality": q_relabel_locality,
-        "dist_hist": q_dist_hist,
-        "pmi_topk": q_pmi_topk,
-        "spam_mass": q_spam_mass,
-        "pq_codes": q_pq_codes,
-        "pq_adc": q_pq_adc,
-        "ivf_pq": q_ivf_pq,
-        "shard_assign": q_shard_assign,
-        "heavy_hitters": q_heavy_hitters,
-        "influence": q_influence,
-        "bowtie": q_bowtie,
-        "condensation": q_condensation,
-        "harmonic_approx": q_harmonic_approx,
-        "densest": q_densest,
-        "partition_graph": q_partition_graph,
-        "quality_classifier": q_quality_classifier,
-        "triangles_incr": q_triangles_incr,
-        "eff_diameter": q_eff_diameter,
-        "weighted_matching": q_weighted_matching,
-        "nmi": q_nmi,
-        "spearman": q_spearman,
-        "spectral_gap": q_spectral_gap,
-        "s_core": q_s_core,
-        "sage_sample": q_sage_sample,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "semdedup": q_semdedup,
-        "centroid_classify": q_centroid_classify,
-        "knn_graph": q_knn_graph,
-        "butterflies": q_butterflies,
-        "triad_census": q_triad_census,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "weighted_sample": q_weighted_sample,
-        "rebalance_sources": q_rebalance_sources,
-        "sparsify": q_sparsify,
-        "neighborhood_fn": q_neighborhood_fn,
-        "contract_nations": q_contract_nations,
-        "transitivity": q_transitivity,
-        "rich_club": q_rich_club,
-        "quality_filter": q_quality_filter,
-        "duplicate_spans": q_duplicate_spans,
-        "click_attribution": q_click_attribution,
-        "wl_fingerprints": q_wl_fingerprints,
-        "pagerank_weighted": q_pagerank_weighted,
-        # never driver-checked yet, queued for the round-5 window
         "ivf_pq_residual": q_ivf_pq_residual,
         "dsir_weights": q_dsir_weights,
         "degree_quantiles": q_degree_quantiles,
@@ -2175,7 +2123,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": q_quality_by_source,
         "spy_grid": q_spy_grid,
         "hostrank": q_hostrank,
-        # driver-confirmed in rounds 1-3
+        # --- slot 35: r4 red row, fixed this round ---
+        "weighted_matching": q_weighted_matching,
+        # --- slots 36-50: stale-signal refresh (last green r2) ---
+        "kmeans": q_kmeans,
+        "pagerank": q_pagerank,
+        "cc_labels": q_cc_labels,
+        "triangle_count": q_triangle_count,
+        "mxm_plus_times": q_mxm_plus_times,
+        "mxm_masked_plus_pair": q_mxm_masked_plus_pair,
+        "bfs_levels": q_bfs_levels,
+        "sssp": q_sssp,
+        "louvain": q_louvain,
+        "minhash_lsh": q_minhash_lsh,
+        "label_prop": q_label_prop,
+        "agg_rowwise": q_agg_rowwise,
+        "apply_select": q_apply_select,
+        "assign_masked": q_assign_masked,
+        "ewise_union": q_ewise_union,
+        # --- below: outside the 50-query driver window ---
+        "simrank": q_simrank,
+        "source_overlap": q_source_overlap,
+        "degree_relabel": q_degree_relabel,
+        "relabel_locality": q_relabel_locality,
+        "dist_hist": q_dist_hist,
+        "pmi_topk": q_pmi_topk,
+        "spam_mass": q_spam_mass,
+        "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
+        "ivf_pq": q_ivf_pq,
+        "shard_assign": q_shard_assign,
+        "heavy_hitters": q_heavy_hitters,
+        "influence": q_influence,
+        "bowtie": q_bowtie,
+        "condensation": q_condensation,
+        "harmonic_approx": q_harmonic_approx,
+        "densest": q_densest,
+        "partition_graph": q_partition_graph,
+        "quality_classifier": q_quality_classifier,
+        "triangles_incr": q_triangles_incr,
+        "eff_diameter": q_eff_diameter,
+        "nmi": q_nmi,
+        "spearman": q_spearman,
+        "spectral_gap": q_spectral_gap,
+        "s_core": q_s_core,
+        "sage_sample": q_sage_sample,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "semdedup": q_semdedup,
+        "centroid_classify": q_centroid_classify,
+        "knn_graph": q_knn_graph,
+        "butterflies": q_butterflies,
+        "triad_census": q_triad_census,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "weighted_sample": q_weighted_sample,
+        "rebalance_sources": q_rebalance_sources,
+        "sparsify": q_sparsify,
+        "neighborhood_fn": q_neighborhood_fn,
+        "contract_nations": q_contract_nations,
+        "transitivity": q_transitivity,
+        "rich_club": q_rich_club,
+        "quality_filter": q_quality_filter,
+        "duplicate_spans": q_duplicate_spans,
+        "click_attribution": q_click_attribution,
+        "wl_fingerprints": q_wl_fingerprints,
+        "pagerank_weighted": q_pagerank_weighted,
         "betweenness": q_betweenness,
         "scc": q_scc,
         "msf": q_msf,
@@ -2231,37 +2246,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_scalar": q_reduce_scalar,
         "ewise_mult": q_ewise_mult,
         "ewise_add": q_ewise_add,
-        "ewise_union": q_ewise_union,
-        "apply_select": q_apply_select,
         "mxv_plus_times": q_mxv_plus_times,
         "vxm_min_plus": q_vxm_min_plus,
-        "mxm_plus_times": q_mxm_plus_times,
-        "mxm_masked_plus_pair": q_mxm_masked_plus_pair,
         "kronecker": q_kronecker,
         "selectk": q_selectk,
         "scan_rowwise": q_scan_rowwise,
         "compactify": q_compactify,
-        "pagerank": q_pagerank,
-        "cc_labels": q_cc_labels,
-        "triangle_count": q_triangle_count,
-        "bfs_levels": q_bfs_levels,
         "bfs_parents": q_bfs_parents,
-        "sssp": q_sssp,
-        "label_prop": q_label_prop,
         "outer_product": q_outer_product,
         "inner_product": q_inner_product,
         "vector_diag": q_vector_diag,
         "reposition": q_reposition,
         "ewise_add_vector": q_ewise_add_vector,
-        "agg_rowwise": q_agg_rowwise,
         "flatten": q_flatten,
         "concat_tiles": q_concat_tiles,
-        "assign_masked": q_assign_masked,
         "matrix_power": q_matrix_power,
-        "louvain": q_louvain,
         "extract_reindex": q_extract_reindex,
         "dedup_exact": q_dedup_exact,
-        "minhash_lsh": q_minhash_lsh,
         "token_jaccard": q_token_jaccard,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
@@ -2269,7 +2270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
-        "kmeans": q_kmeans,
         "ann_cosine_topk": q_ann_cosine_topk,
         "near_dup_cosine": q_near_dup_cosine,
         "dedup_clusters": q_dedup_clusters,
@@ -4400,7 +4400,8 @@ def _wmatch_sql(rounds: int) -> str:
     shrink; rounds past the fixpoint are identity."""
     head = f"""WITH {customer_graph_sql().strip()},
 al1 AS (
-  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(w) AS w
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         CAST(MAX(w) AS DOUBLE) AS w
   FROM eg WHERE src <> dst GROUP BY 1, 2
 )"""
     parts = []

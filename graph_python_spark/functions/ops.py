@@ -513,32 +513,48 @@ binary.csecond = lambda a, b: b
 
 # -- parameterized builtin: isclose (the reference's canonical
 # ParameterizedBinaryOp — graphblas.binary.isclose(rel_tol, abs_tol),
-# core/operator/binary.py register of _isclose): numpy.isclose
-# semantics |a − b| <= abs_tol + rel_tol·|b|, boolean output.  Both the
+# core/operator/binary.py:243-247 `_isclose`): SYMMETRIC math.isclose
+# semantics, `a == b or |a − b| <= max(rel_tol·max(|a|,|b|), abs_tol)`,
+# boolean output.  (numpy.isclose is asymmetric in b and would give
+# order-dependent results the reference does not — e.g. rel_tol=0.05:
+# isclose(100, 95) is True here and in the reference, False under
+# numpy's |a−b| <= abs+rel·|b|.)  Non-finite inputs fall back to the
+# a == b short-circuit alone (math.isclose semantics: inf matches only
+# same-signed inf, NaN matches nothing) rather than the reference's
+# unguarded scalar arithmetic, whose inf handling is an artifact
+# (inf <= rel_tol·inf makes inf "close" to any finite value).  Both the
 # JVM Column path and the ndarray oracle live on the op, so the
 # registry-driven opcatalog sweep differentials every sample
 # parameterization automatically.
 def _isclose_factory(rel_tol: float = 1e-7, abs_tol: float = 0.0):
     def op(a, b):
-        # numpy.isclose semantics on non-finite inputs: result is a == b
-        # (inf matches same-signed inf, NaN matches nothing).  The plain
-        # |a−b| <= tol expression computes inf−inf = NaN there (false),
-        # and Spark's NaN = NaN is TRUE (non-IEEE), so both branches need
+        # |a−b| on non-finite inputs computes inf−inf = NaN (false), and
+        # Spark's NaN = NaN is TRUE (non-IEEE), so both branches need
         # explicit handling to agree with the ndarray oracle.
         finite = (~F.isnan(a)) & (~F.isnan(b)) \
             & (F.abs(a) != F.lit(float("inf"))) \
             & (F.abs(b) != F.lit(float("inf")))
-        return F.when(
-            finite,
-            F.abs(a - b) <= F.lit(abs_tol) + F.lit(rel_tol) * F.abs(b)
-        ).otherwise((a == b) & ~F.isnan(a))
+        close = F.abs(a - b) <= F.greatest(
+            F.lit(rel_tol) * F.greatest(F.abs(a), F.abs(b)), F.lit(abs_tol))
+        return F.when(finite, (a == b) | close) \
+            .otherwise((a == b) & ~F.isnan(a))
     return op
 
 
 def _isclose_np_factory(rel_tol: float = 1e-7, abs_tol: float = 0.0):
     import numpy as np
 
-    return lambda a, b: np.isclose(a, b, rtol=rel_tol, atol=abs_tol)
+    def kernel(a, b):
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        with np.errstate(invalid="ignore"):
+            eq = a == b
+            close = np.abs(a - b) <= np.maximum(
+                rel_tol * np.maximum(np.abs(a), np.abs(b)), abs_tol)
+            finite = np.isfinite(a) & np.isfinite(b)
+        return np.where(finite, eq | close, eq)
+
+    return kernel
 
 
 binary.isclose = ParameterizedOp(

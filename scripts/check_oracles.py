@@ -43,6 +43,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rows: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    # Driver-strictness dtype gate: the driver hashes values BEFORE any
+    # coercion, so a float64 Spark column vs an int64 oracle column
+    # hash-mismatches even when every value is numerically identical
+    # (the r4 weighted_matching red row).  Flag kind disagreements here
+    # so the builder sweep catches what the driver would.
+    for c in sorted(spark_pdf.columns):
+        sk = spark_pdf[c].dtype.kind
+        dk = duck_pdf[c].dtype.kind
+        num = {"i", "u", "f"}
+        if sk in num and dk in num and sk != dk and "f" in (sk, dk):
+            problems.append(
+                f"dtype kind: col {c} spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype} "
+                "(float-vs-int would hash-mismatch in the driver)")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:

@@ -131,6 +131,33 @@ def test_isclose_nonfinite_matches_numpy(spark):
     assert got == want, list(zip(rows, got, want))
 
 
+def test_isclose_symmetric_reference_semantics(spark):
+    """binary.isclose follows the reference's symmetric math.isclose
+    formula (core/operator/binary.py:243-247), NOT numpy's asymmetric
+    |a-b| <= atol + rtol*|b|: with rel_tol=0.05, (100, 95) is close
+    under max(|a|,|b|) scaling in BOTH argument orders, while numpy
+    would reject (100, 95) and accept (95, 100)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from graph_python_spark.functions.ops import binary as B
+
+    rows = [(100.0, 95.0), (95.0, 100.0), (100.0, 94.0), (0.0, 0.2),
+            (0.0, 0.3), (-10.0, -10.4)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    op = B.isclose(0.05, 0.25)
+    got = [r[0] for r in df.select(op(F.col("a"), F.col("b"))).collect()]
+    want = [math.isclose(a, b, rel_tol=0.05, abs_tol=0.25) for a, b in rows]
+    assert got == want == [True, True, False, True, False, True]
+    # the ndarray oracle on the op agrees with the Column path
+    np_kernel = B.isclose.np_factory(0.05, 0.25)
+    import numpy as np
+    a = np.array([r[0] for r in rows])
+    b = np.array([r[1] for r in rows])
+    assert [bool(x) for x in np_kernel(a, b)] == want
+
+
 def test_kmeans_sample_below_k_raises(spark):
     import pytest as _pytest
 
