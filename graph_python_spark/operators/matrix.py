@@ -702,12 +702,14 @@ class MatrixFrame:
         rows = self.df.orderBy("i", "j").collect()
         return ([r["i"] for r in rows], [r["j"] for r in rows], [r["v"] for r in rows])
 
-    def to_arrow(self):
+    def to_arrow(self, max_rows=None):
         """Arrow record-batch export (the Spark-honest analogue of the
         reference's ss export surface, core/ss/matrix.py:538-3663); shape
-        rides in the schema metadata.  See sources/io.py."""
+        rides in the schema metadata.  DRIVER-MATERIALIZING like
+        ``collect()`` — pass ``max_rows`` to fail fast on oversized
+        frames.  See sources/io.py."""
         from graph_python_spark.sources.io import to_arrow
-        return to_arrow(self)
+        return to_arrow(self, max_rows=max_rows)
 
     @classmethod
     def from_arrow(cls, spark: SparkSession, table,

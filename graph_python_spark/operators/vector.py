@@ -378,10 +378,11 @@ class VectorFrame:
         rows = self.df.orderBy("i").collect()
         return [r["i"] for r in rows], [r["v"] for r in rows]
 
-    def to_arrow(self):
-        """Arrow record-batch export (see MatrixFrame.to_arrow)."""
+    def to_arrow(self, max_rows=None):
+        """Arrow record-batch export (see MatrixFrame.to_arrow).
+        DRIVER-MATERIALIZING — pass ``max_rows`` to fail fast."""
         from graph_python_spark.sources.io import vector_to_arrow
-        return vector_to_arrow(self)
+        return vector_to_arrow(self, max_rows=max_rows)
 
     @classmethod
     def from_arrow(cls, spark: SparkSession, table,

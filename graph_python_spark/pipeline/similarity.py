@@ -730,7 +730,17 @@ def kmeans_train(emb: DataFrame, k: int = 8, iterations: int = 2,
     # sizing the loop's shuffles to the DATA instead of the session width
     from graph_python_spark.plans.iterate import loop_shuffle_width
 
-    n_train = int(sample_n) if sample_n is not None else emb.count()
+    if sample_n is not None:
+        n_train = int(sample_n)
+    else:
+        # Partition-count proxy instead of emb.count(): the count ran a
+        # full extra corpus scan per call just to size loop shuffles
+        # (ADVICE r4).  One scan partition ~ one width unit is the same
+        # granularity loop_shuffle_width derives from rows (50k/partition),
+        # costs no job, and keeps both limits: a huge input has many scan
+        # partitions so the session width stays the binding cap, while a
+        # tiny local run still collapses to few-task loop stages.
+        n_train = emb.rdd.getNumPartitions() * 50_000
     with loop_shuffle_width(emb.sparkSession, n_train):
         for _ in range(iterations):
             asg = assign(cents, tr)

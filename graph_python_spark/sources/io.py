@@ -90,12 +90,30 @@ _ARROW_META_NCOLS = b"graph_python_spark.ncols"
 _ARROW_META_SIZE = b"graph_python_spark.size"
 
 
-def to_arrow(m: MatrixFrame) -> "object":
+def _guard_driver_materialize(df, max_rows: Optional[int], what: str):
+    """Optional size guard for driver-materializing exports: counting is
+    one extra job, so it only runs when the caller asks for a bound."""
+    if max_rows is not None:
+        n = df.count()
+        if n > int(max_rows):
+            raise ValueError(
+                f"{what}: {n} stored values exceed max_rows={max_rows}; "
+                "the whole frame would be pulled through the driver")
+
+
+def to_arrow(m: MatrixFrame, max_rows: Optional[int] = None) -> "object":
     """Export a MatrixFrame as a ``pyarrow.Table`` (columns i, j, v; the
     value column keeps its Spark type — struct<re,im> for FC64, structs
-    for UDT values).  Shape is attached as schema metadata."""
+    for UDT values).  Shape is attached as schema metadata.
+
+    DRIVER-MATERIALIZING: like ``collect()``, this drains the entire
+    distributed frame through the driver as Arrow batches — a large
+    MatrixFrame can OOM the driver.  For big frames write parquet with
+    :func:`save` instead; pass ``max_rows`` to fail fast (one count job)
+    rather than attempt the transfer."""
     import pyarrow  # noqa: F401  (baked into the environment)
 
+    _guard_driver_materialize(m.df, max_rows, "to_arrow")
     tbl = m.df.toArrow()
     meta = dict(tbl.schema.metadata or {})
     if m._nrows is not None:
@@ -120,10 +138,14 @@ def from_arrow(spark: SparkSession, table,
                        nrows, ncols)
 
 
-def vector_to_arrow(v: VectorFrame) -> "object":
-    """Export a VectorFrame as a ``pyarrow.Table`` (columns i, v)."""
+def vector_to_arrow(v: VectorFrame, max_rows: Optional[int] = None) -> "object":
+    """Export a VectorFrame as a ``pyarrow.Table`` (columns i, v).
+
+    DRIVER-MATERIALIZING — see :func:`to_arrow`; pass ``max_rows`` to
+    fail fast instead of pulling an oversized frame through the driver."""
     import pyarrow  # noqa: F401
 
+    _guard_driver_materialize(v.df, max_rows, "vector_to_arrow")
     tbl = v.df.toArrow()
     meta = dict(tbl.schema.metadata or {})
     if v._size is not None:

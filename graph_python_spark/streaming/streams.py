@@ -422,15 +422,19 @@ def stream_heavy_hitters(spark: SparkSession, path: str,
         import pandas as pd
 
         (bucket,) = key
+        # counts stay int64 end-to-end: an unbounded stream accumulates
+        # per-bucket counts past 2^53, where float64 silently rounds and
+        # quietly breaks the est <= true_count guarantee (ADVICE r4).
+        # pd.Series.add(fill_value=0) on two int64 series keeps int64.
         if state.exists:
             tokens, counts, seen = state.get
-            s = pd.Series(list(counts), index=list(tokens), dtype="float64")
+            s = pd.Series(list(counts), index=list(tokens), dtype="int64")
         else:
             s, seen = None, 0
         for pdf in pdfs:
             vc = pdf["token"].value_counts()
             seen += int(vc.sum())
-            s = vc.astype("float64") if s is None else s.add(vc, fill_value=0)
+            s = vc if s is None else s.add(vc, fill_value=0).astype("int64")
             if len(s) > cap:
                 thr = s.nlargest(cap + 1).iloc[-1]
                 s = s[s > thr] - thr
@@ -438,7 +442,7 @@ def stream_heavy_hitters(spark: SparkSession, path: str,
         # summary (an all-singleton batch can) — `seen` is the error-
         # bound accounting and must accumulate across every batch
         if s is None:
-            s = pd.Series([], dtype="float64")
+            s = pd.Series([], dtype="int64")
         state.update((list(s.index.astype(str)),
                       [int(x) for x in s.to_numpy()], int(seen)))
         if len(s):

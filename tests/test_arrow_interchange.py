@@ -78,3 +78,15 @@ def test_arrow_empty_matrix(spark):
     back = MatrixFrame.from_arrow(spark, tbl)
     assert (back.nrows, back.ncols) == (4, 4)
     assert back.df.count() == 0
+
+
+def test_to_arrow_max_rows_guard(spark):
+    m = MatrixFrame.from_coo(spark, [0, 1, 2], [1, 2, 0], [1.0, 2.0, 3.0],
+                             nrows=3, ncols=3)
+    with pytest.raises(ValueError, match="max_rows=2"):
+        m.to_arrow(max_rows=2)
+    assert m.to_arrow(max_rows=3).num_rows == 3
+    v = VectorFrame.from_coo(spark, [0, 1], [1.0, 2.0], size=4)
+    with pytest.raises(ValueError, match="max_rows=1"):
+        v.to_arrow(max_rows=1)
+    assert v.to_arrow(max_rows=10).num_rows == 2
