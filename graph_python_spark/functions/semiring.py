@@ -117,3 +117,7 @@ _register("times_plus", monoid.times, binary.plus, np.multiply, np.add, 1)
 # only — the blocked/Arrow kernel path needs a flat numeric dtype, so the
 # numpy twins stay None and kernels fall back to the exchange-based plan.
 _register("plus_times_fc64", monoid.cplus, binary.ctimes, None, None, (0.0, 0.0))
+# FC32 twin: identical algebra at complex64 width; the monoid casts its
+# component sums back to float so FC32 storage survives mxm/reduce.
+_register("plus_times_fc32", monoid.cplus_fc32, binary.ctimes, None, None,
+          (0.0, 0.0))

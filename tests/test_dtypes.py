@@ -189,3 +189,80 @@ def test_fc32_fc64_promotion_through_ewise(spark):
     got = _to_cdict(out)[(0, 0)]
     want = complex(np.complex128(np.complex64(za)) * zb)
     assert cmath.isclose(got, want, rel_tol=1e-6)
+
+
+def test_register_new_structured_udt(spark):
+    """register_new/register_anonymous (reference core/dtypes.py:76-151):
+    a numpy-structured dtype becomes a lattice entry whose Spark storage
+    type is the recursive struct mapping, and struct values flow through
+    ewise ops end-to-end on that storage type."""
+    name = dt.register_new("PointXY", {"x": int, "y": float})
+    assert name == "PointXY"
+    assert dt.lookup_dtype("PointXY") == "PointXY"
+    st = dt.spark_type("PointXY")
+    assert st == "struct<x: long, y: double>"
+    # numpy-dtype lookup resolves to the registered name
+    npdt = dt.DTYPES["PointXY"][0]
+    assert dt.lookup_dtype(npdt) == "PointXY"
+    # same layout registered anonymously returns the existing entry
+    assert dt.register_anonymous(npdt) == "PointXY"
+    # end-to-end: struct values through ewise_mult(second)
+    df = spark.createDataFrame(
+        [(0, 0, (1, 1.5)), (0, 1, (2, -0.5))], f"i long, j long, v {st}")
+    m = MatrixFrame(df, 2, 2)
+    out = m.ewise_mult(m, binary.second)
+    rows = {(r["i"], r["j"]): (r["v"]["x"], r["v"]["y"])
+            for r in out.df.collect()}
+    assert rows == {(0, 0): (1, 1.5), (0, 1): (2, -0.5)}
+
+
+def test_register_anonymous_subarray_and_errors():
+    name = dt.register_anonymous("INT64[3, 4]")
+    assert dt.spark_type(name) == "array<array<long>>"
+    # builtins can't be renamed; taken names are rejected; objects rejected
+    with pytest.raises(ValueError, match="builtin"):
+        dt.register_anonymous(np.int64, "my_int")
+    with pytest.raises(ValueError, match="unavailable"):
+        dt.register_new("FP64", {"x": int})
+    with pytest.raises(ValueError, match="identifier"):
+        dt.register_new("not an identifier", {"x": int})
+    with pytest.raises(ValueError, match="Python objects"):
+        dt.register_anonymous(np.dtype([("o", object)]))
+    # no implicit casts between UDTs
+    pt = dt.register_anonymous(np.dtype([("a", np.int32)]), "PtA")
+    with pytest.raises(ValueError, match="no implicit cast"):
+        dt.cast_to(F.lit(0), pt, "FP64")
+
+
+def test_fc32_semiring_preserves_storage(spark):
+    """plus_times_fc32 keeps struct<re: float, im: float> storage through
+    mxm (Spark's SUM over float widens to double; the FC32 monoid casts
+    the component sums back), with complex64-level accuracy."""
+    import random
+
+    rng = random.Random(7)
+    ca = {(i, j): complex(round(rng.uniform(-2, 2), 3),
+                          round(rng.uniform(-2, 2), 3))
+          for i in range(4) for j in range(4) if rng.random() < 0.7}
+    cb = {(i, j): complex(round(rng.uniform(-2, 2), 3),
+                          round(rng.uniform(-2, 2), 3))
+          for i in range(4) for j in range(4) if rng.random() < 0.7}
+    A, B = _fc32_mat(spark, ca), _fc32_mat(spark, cb)
+    out = A.mxm(B, semiring.plus_times_fc32)
+    assert out.df.schema["v"].dataType.simpleString() == \
+        "struct<re:float,im:float>"
+    got = _to_cdict(out)
+    groups: dict = {}
+    for (i, k), av in ca.items():
+        for (k2, j), bv in cb.items():
+            if k == k2:
+                groups.setdefault((i, j), []).append(
+                    np.complex64(av) * np.complex64(bv))
+    assert set(got) == set(groups)
+    for key, parts in groups.items():
+        want = complex(np.complex64(np.sum(np.array(parts, dtype=np.complex64))))
+        assert cmath.isclose(got[key], want, rel_tol=1e-4, abs_tol=1e-4), key
+    # constructor keeps float fields too
+    one = spark.range(1).select(
+        binary.cmplx32(F.lit(1.25), F.lit(-0.5)).alias("v"))
+    assert one.schema["v"].dataType.simpleString() == "struct<re:float,im:float>"

@@ -262,6 +262,10 @@ BINARY_ORACLE = {
     "ceq": ("cc", lambda a, b: a == b),
     "cfirst": ("cc", lambda a, b: a),
     "csecond": ("cc", lambda a, b: b),
+    # FC32 storage-preserving twins: float32-exact input grids so the
+    # float struct round-trip stays inside the 1e-9 sweep tolerance
+    "cplus_fc32": ("c32", lambda a, b: a + b),
+    "cmplx32": ("ri32", complex),
 }
 
 _B_DOMAIN_ROWS = {
@@ -278,6 +282,12 @@ _B_DOMAIN_ROWS = {
     "cc": ([((a.real, a.imag), (b.real, b.imag))
             for a, b in _pairs(D_CPLX, D_CPLX[:3])],
            "a struct<re: double, im: double>, b struct<re: double, im: double>"),
+    "c32": ([((a.real, a.imag), (b.real, b.imag))
+             for a, b in _pairs(D_CPLX, D_CPLX[:3])],
+            "a struct<re: float, im: float>, b struct<re: float, im: float>"),
+    "ri32": ([(a, b) for a, b in _pairs([-2.75, 0.25, 1.5, 3.0],
+                                        [0.5, -0.25, 2.0])],
+             "a double, b double"),
 }
 
 
@@ -295,7 +305,7 @@ def test_binary_sweep(spark, domain):
     cols = _eval_columns(spark, rows, schema,
                          [getattr(binary, n)(F.col("a"), F.col("b"))
                           for n in names])
-    if domain == "cc":
+    if domain in ("cc", "c32"):
         inputs = [(a, b) for a, b in _pairs(D_CPLX, D_CPLX[:3])]
     else:
         inputs = rows
@@ -334,6 +344,7 @@ MONOID_ORACLE = {
     "band": ("long", [_M_INTS], lambda xs: functools.reduce(lambda a, b: a & b, xs)),
     "bxor": ("long", [_M_INTS], lambda xs: functools.reduce(lambda a, b: a ^ b, xs)),
     "cplus": ("struct<re: double, im: double>", [D_CPLX], sum),
+    "cplus_fc32": ("struct<re: float, im: float>", [D_CPLX], sum),
 }
 
 
@@ -571,7 +582,7 @@ def _rand_coo(seed: int, n: int = 6, fill: float = 0.45, boolean: bool = False):
 def test_semiring_registry_fully_covered():
     unparsed = []
     for name in SEMIRING_NAMES:
-        base = name[:-5] if name.endswith("_fc64") else name
+        base = name[:-5] if name.endswith(("_fc64", "_fc32")) else name
         addn, muln = base.split("_", 1)
         if addn not in _SR_ADD or muln not in _SR_MUL:
             unparsed.append(name)
@@ -580,17 +591,20 @@ def test_semiring_registry_fully_covered():
 
 @pytest.mark.parametrize("name", sorted(SEMIRING_NAMES))
 def test_semiring_mxm_sweep(spark, name):
-    if name.endswith("_fc64"):
-        # complex semiring: dense complex128 matmul oracle
+    if name.endswith(("_fc64", "_fc32")):
+        # complex semiring: dense complex128 matmul oracle (the fc32
+        # variant runs the same algebra with float-width component sums,
+        # so its tolerance is complex64-level)
         from tests.test_complex import _cmat, _dense, _to_dict, rand_cells
 
+        rel = 1e-4 if name.endswith("_fc32") else 1e-9
         ca, cb = rand_cells(seed=19), rand_cells(seed=23)
         got = _to_dict(_cmat(spark, ca).mxm(_cmat(spark, cb), semiring[name]))
         want_dense = _dense(ca) @ _dense(cb)
         # structural zeros: only (i,j) with at least one matching k pair
         want = {k: sum(vs) for k, vs in _py_mxm(ca, cb, lambda a, b: a * b).items()}
         for key, z in want.items():
-            assert cmath.isclose(got[key], z, rel_tol=1e-9, abs_tol=1e-12)
+            assert cmath.isclose(got[key], z, rel_tol=rel, abs_tol=1e-4 if rel > 1e-9 else 1e-12)
             assert cmath.isclose(z, want_dense[key], rel_tol=1e-9, abs_tol=1e-9)
         assert set(got) == set(want)
         return
@@ -656,3 +670,56 @@ def test_parameterized_sweep(spark, key):
         want = kernel(*cols)
         for inp, g, w in zip(rows, got, want):
             assert _close(g, w), (key, sample, inp, g, w)
+
+
+def test_numpy_alias_namespaces(spark):
+    """unary.numpy.* / binary.numpy.* (reference graphblas/unary/numpy.py
+    and binary/numpy.py mapnumpy path): mapped names ARE the builtin
+    Column builders; the numpy-only ufuncs agree with numpy on a value
+    grid.  Names the reference excludes for semantic drift (remainder,
+    fmod, left/right_shift, gcd, nextafter, spacing) are absent here too."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_python_spark.functions.ops import binary as B
+    from graph_python_spark.functions.ops import unary as U
+
+    # identity of mapped aliases
+    assert U.numpy.arcsin is U.asin and U.numpy.negative is U.ainv
+    assert U.numpy.invert is U.bnot and U.numpy.conjugate is U.conj
+    assert B.numpy.add is B.plus and B.numpy.true_divide is B.truediv
+    assert B.numpy.fmax is B.max and B.numpy.arctan2 is B.atan2
+    # exclusions are parity with the reference, not gaps
+    for absent in ("remainder", "mod", "fmod", "left_shift", "gcd",
+                   "nextafter"):
+        assert absent not in B.numpy and absent not in U.numpy
+    assert "reciprocal" not in U.numpy  # reference mapnumpy excludes it too
+
+    # no -0.0 row: Spark normalizes signed zeros on ingestion, so the
+    # engine never observes one (signbit documents this)
+    xs = [-2.5, -1.0, 0.0, 0.5, 3.25]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    checks = {
+        "square": np.square, "sign": np.sign,
+        "deg2rad": np.deg2rad, "rad2deg": np.rad2deg,
+        "signbit": np.signbit,
+    }
+    for name, ufunc in checks.items():
+        got = [r[0] for r in
+               df.select(U.numpy[name](F.col("x"))).collect()]
+        want = [ufunc(np.float64(x)) for x in xs]
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, rel=1e-12), (name, g, w)
+
+    pairs = [(1.0, 3.0), (-7.0, 2.0), (2.5, -1.5), (10.0, 0.5)]
+    pdf = spark.createDataFrame(pairs, "a double, b double")
+    bchecks = {
+        "floor_divide": np.floor_divide, "float_power": np.float_power,
+        "logaddexp": np.logaddexp, "logaddexp2": np.logaddexp2,
+    }
+    for name, ufunc in bchecks.items():
+        got = [r[0] for r in
+               pdf.select(B.numpy[name](F.col("a"), F.col("b"))).collect()]
+        want = [float(ufunc(a, b)) for a, b in pairs]
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, rel=1e-9), (name, g, w)
