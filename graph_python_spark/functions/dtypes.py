@@ -124,6 +124,8 @@ def register_anonymous(dtype, name: str | None = None) -> str:
         if name is not None and existing != name:
             if existing in _BUILTINS:
                 raise ValueError("dtype must not be a builtin type")
+            if name in DTYPES:
+                raise ValueError(f"{name!r} name for dtype is unavailable")
             # rename an existing UDT entry (reference keeps one object
             # per layout and adopts the latest name)
             DTYPES[name] = DTYPES.pop(existing)
@@ -132,6 +134,8 @@ def register_anonymous(dtype, name: str | None = None) -> str:
         return existing
     if name is None:
         name = _default_name(npdt)
+    elif name in DTYPES:
+        raise ValueError(f"{name!r} name for dtype is unavailable")
     DTYPES[name] = (npdt, _np_to_spark(npdt))
     _BY_NP[npdt] = name
     return name
