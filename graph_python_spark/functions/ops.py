@@ -656,3 +656,28 @@ binary.numpy = _Namespace(
     logaddexp2=lambda a, b: F.greatest(a, b)
     + F.log2(F.lit(1.0) + F.pow(F.lit(2.0), -F.abs(a - b))),
 )
+
+# monoid.numpy.* (reference graphblas/monoid/numpy.py: numpy-named monoids
+# resolving to builtins under mapnumpy; gcd/lcm are numba-only there and
+# have no Spark builtin — excluded, absence is parity).  hypot and
+# logaddexp(2) have no builtin monoid, so they get real Monoid objects:
+# the n-ary folds of their pairwise forms have closed forms as single
+# aggregates (sqrt of the square sum; log of the exp sum — the latter is
+# the unstabilized form, same overflow domain as the reference's pairwise
+# numba fold for large inputs).
+monoid.numpy = _Namespace(
+    add=monoid.plus, multiply=monoid.times,
+    maximum=monoid.max, minimum=monoid.min,
+    fmax=monoid.max, fmin=monoid.min,
+    bitwise_and=monoid.band, bitwise_or=monoid.bor, bitwise_xor=monoid.bxor,
+    equal=monoid.eq, logical_and=monoid.land, logical_or=monoid.lor,
+    logical_xor=monoid.lxor,
+    hypot=Monoid("numpy.hypot", lambda c: F.sqrt(F.sum(c * c)),
+                 binary.hypot, 0.0),
+    logaddexp=Monoid("numpy.logaddexp",
+                     lambda c: F.log(F.sum(F.exp(c))),
+                     binary.numpy.logaddexp, float("-inf")),
+    logaddexp2=Monoid("numpy.logaddexp2",
+                      lambda c: F.log2(F.sum(F.pow(F.lit(2.0), c))),
+                      binary.numpy.logaddexp2, float("-inf")),
+)

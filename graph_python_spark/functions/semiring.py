@@ -121,3 +121,41 @@ _register("plus_times_fc64", monoid.cplus, binary.ctimes, None, None, (0.0, 0.0)
 # component sums back to float so FC32 storage survives mxm/reduce.
 _register("plus_times_fc32", monoid.cplus_fc32, binary.ctimes, None, None,
           (0.0, 0.0))
+
+
+class _NumpySemiringResolver:
+    """``semiring.numpy.<monoid>_<binary>`` — the reference's numpy-named
+    semiring cross product (graphblas/semiring/numpy.py), resolved against
+    the numpy alias namespaces ON DEMAND: compositions are built lazily,
+    cached, and NEVER registered into the builtin registry (so the
+    registry-driven sweep keeps its closed catalog).  Parsing prefers the
+    longest monoid prefix, mirroring the reference's name set where every
+    member is <monoid-name>_<binary-name>."""
+
+    def __init__(self):
+        self._cache: dict[str, Semiring] = {}
+
+    def __getattr__(self, name: str) -> Semiring:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self._cache:
+            return self._cache[name]
+        from graph_python_spark.functions.ops import binary as _b
+        from graph_python_spark.functions.ops import monoid as _m
+
+        for cut in range(len(name) - 1, 0, -1):
+            if name[cut] != "_":
+                continue
+            mn, bn = name[:cut], name[cut + 1:]
+            if mn in _m.numpy and bn in _b.numpy:
+                sr = Semiring(f"numpy.{name}", _m.numpy[mn], _b.numpy[bn],
+                              None, None, _m.numpy[mn].identity)
+                self._cache[name] = sr
+                return sr
+        raise AttributeError(f"unknown numpy semiring {name!r}")
+
+    def __getitem__(self, name: str) -> Semiring:
+        return getattr(self, name)
+
+
+semiring.numpy = _NumpySemiringResolver()

@@ -723,3 +723,54 @@ def test_numpy_alias_namespaces(spark):
         want = [float(ufunc(a, b)) for a, b in pairs]
         for g, w in zip(got, want):
             assert g == pytest.approx(w, rel=1e-9), (name, g, w)
+
+
+def test_numpy_monoid_and_semiring_namespaces(spark):
+    """monoid.numpy.* / semiring.numpy.* (reference graphblas/monoid/
+    numpy.py and semiring/numpy.py): mapped monoid names ARE the builtin
+    Monoid objects; hypot/logaddexp(2) are real monoids whose single-agg
+    closed forms match numpy's pairwise folds; the semiring cross product
+    resolves on demand without touching the builtin registry."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_python_spark.functions.ops import monoid as M
+    from graph_python_spark.functions.semiring import semiring as S
+    from graph_python_spark.operators.matrix import MatrixFrame
+
+    assert M.numpy.add is M.plus and M.numpy.fmax is M.max
+    assert M.numpy.logical_xor is M.lxor and M.numpy.bitwise_and is M.band
+    for absent in ("gcd", "lcm"):
+        assert absent not in M.numpy  # numba-only in the reference
+
+    vals = [2.0, -1.5, 0.5, 3.25]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_h = df.agg(M.numpy.hypot.agg(F.col("x")).alias("r")).collect()[0]["r"]
+    want_h = functools.reduce(np.hypot, vals)
+    assert got_h == pytest.approx(float(want_h), rel=1e-12)
+    got_l = df.agg(M.numpy.logaddexp.agg(F.col("x")).alias("r")).collect()[0]["r"]
+    want_l = functools.reduce(np.logaddexp, vals)
+    assert got_l == pytest.approx(float(want_l), rel=1e-12)
+    got_l2 = df.agg(M.numpy.logaddexp2.agg(F.col("x")).alias("r")).collect()[0]["r"]
+    want_l2 = functools.reduce(np.logaddexp2, vals)
+    assert got_l2 == pytest.approx(float(want_l2), rel=1e-12)
+
+    # semiring resolution: add_multiply == plus_times on an mxm; the
+    # resolver caches and never registers
+    sr = S.numpy.add_multiply
+    assert sr is S.numpy.add_multiply          # cached
+    assert "numpy.add_multiply" not in S.names()
+    acoo = _rand_coo(seed=3)
+    bcoo = _rand_coo(seed=5)
+    A = MatrixFrame.from_coo(spark, [i for i, _ in acoo], [j for _, j in acoo],
+                             list(acoo.values()), 6, 6)
+    B = MatrixFrame.from_coo(spark, [i for i, _ in bcoo], [j for _, j in bcoo],
+                             list(bcoo.values()), 6, 6)
+    got = {(i, j): v for i, j, v in zip(*A.mxm(B, sr).to_coo())}
+    want = {(i, j): v for i, j, v in zip(*A.mxm(B, semiring["plus_times"]).to_coo())}
+    assert got == want
+    # multi-underscore parse: logical_or_logical_and == lor_land
+    sr2 = S.numpy.logical_or_logical_and
+    assert sr2.add is M.lor
+    with pytest.raises(AttributeError):
+        S.numpy.add_spacing
