@@ -90,7 +90,16 @@ def _np_to_spark(npdt: np.dtype) -> str:
 
 
 def _default_name(npdt: np.dtype) -> str:
-    return f"udt_{abs(hash(str(npdt))) % 10**10}"
+    # deterministic across processes (hash() is PYTHONHASHSEED-salted;
+    # a checkpointed/persisted name must resolve after a driver restart)
+    import hashlib
+
+    return "udt_" + hashlib.md5(str(npdt).encode()).hexdigest()[:10]
+
+
+def _check_name_available(name: str) -> None:
+    if name in DTYPES or name.lower() in _ALIASES:
+        raise ValueError(f"{name!r} name for dtype is unavailable")
 
 
 def register_anonymous(dtype, name: str | None = None) -> str:
@@ -124,8 +133,7 @@ def register_anonymous(dtype, name: str | None = None) -> str:
         if name is not None and existing != name:
             if existing in _BUILTINS:
                 raise ValueError("dtype must not be a builtin type")
-            if name in DTYPES:
-                raise ValueError(f"{name!r} name for dtype is unavailable")
+            _check_name_available(name)
             # rename an existing UDT entry (reference keeps one object
             # per layout and adopts the latest name)
             DTYPES[name] = DTYPES.pop(existing)
@@ -134,8 +142,9 @@ def register_anonymous(dtype, name: str | None = None) -> str:
         return existing
     if name is None:
         name = _default_name(npdt)
-    elif name in DTYPES:
-        raise ValueError(f"{name!r} name for dtype is unavailable")
+    # generated names go through the same availability check as
+    # caller-supplied ones — a collision must raise, never overwrite
+    _check_name_available(name)
     DTYPES[name] = (npdt, _np_to_spark(npdt))
     _BY_NP[npdt] = name
     return name

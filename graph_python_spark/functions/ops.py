@@ -607,7 +607,10 @@ monoid.cplus_fc32 = Monoid(
 unary.numpy = _Namespace(
     # mapped builtins (reference _numpy_to_graphblas, unary/numpy.py:71-110)
     negative=unary.ainv, abs=unary.abs, absolute=unary.abs, fabs=unary.abs,
-    cbrt=unary.cbrt, rint=unary.round, exp=unary.exp, exp2=unary.exp2,
+    cbrt=unary.cbrt, exp=unary.exp, exp2=unary.exp2,
+    # np.rint rounds half to EVEN (like C rint); F.round is HALF_UP, so
+    # rint maps to bround (HALF_EVEN), not to unary.round
+    rint=lambda c: F.bround(c),
     log=unary.log, log2=unary.log2, log10=unary.log10, expm1=unary.expm1,
     log1p=unary.log1p, positive=unary.identity, sqrt=unary.sqrt,
     sin=unary.sin, cos=unary.cos, tan=unary.tan,
@@ -645,16 +648,28 @@ binary.numpy = _Namespace(
     less=binary.lt, less_equal=binary.le,
     not_equal=binary.ne, equal=binary.eq,
     logical_and=binary.land, logical_or=binary.lor, logical_xor=binary.lxor,
-    maximum=binary.max, minimum=binary.min,
-    fmax=binary.max, fmin=binary.min,
+    # numpy NaN contract: maximum/minimum PROPAGATE NaN, fmax/fmin IGNORE
+    # it.  Spark orders NaN above every number, so greatest propagates it
+    # but least silently drops it — each of the four needs its own form.
+    maximum=lambda a, b: F.when(F.isnan(a) | F.isnan(b),
+                                F.lit(float("nan"))).otherwise(F.greatest(a, b)),
+    minimum=lambda a, b: F.when(F.isnan(a) | F.isnan(b),
+                                F.lit(float("nan"))).otherwise(F.least(a, b)),
+    fmax=lambda a, b: F.when(F.isnan(a), b).when(F.isnan(b), a)
+    .otherwise(F.greatest(a, b)),
+    fmin=lambda a, b: F.when(F.isnan(a), b).when(F.isnan(b), a)
+    .otherwise(F.least(a, b)),
     # numpy-only ufuncs
     float_power=lambda a, b: F.pow(a.cast("double"), b.cast("double")),
     floor_divide=lambda a, b: F.floor(a / b),
-    # stable log(exp(a)+exp(b)) = max + log1p(exp(-|a-b|))
-    logaddexp=lambda a, b: F.greatest(a, b)
-    + F.log1p(F.exp(-F.abs(a - b))),
-    logaddexp2=lambda a, b: F.greatest(a, b)
-    + F.log2(F.lit(1.0) + F.pow(F.lit(2.0), -F.abs(a - b))),
+    # stable log(exp(a)+exp(b)) = max + log1p(exp(-|a-b|)); equal
+    # infinities short-circuit (|inf-inf| = NaN would poison the result:
+    # np.logaddexp(-inf, -inf) is -inf, the zero-probability identity)
+    logaddexp=lambda a, b: F.when((a == b) & (F.abs(a) == F.lit(float("inf"))), a)
+    .otherwise(F.greatest(a, b) + F.log1p(F.exp(-F.abs(a - b)))),
+    logaddexp2=lambda a, b: F.when((a == b) & (F.abs(a) == F.lit(float("inf"))), a)
+    .otherwise(F.greatest(a, b)
+               + F.log2(F.lit(1.0) + F.pow(F.lit(2.0), -F.abs(a - b)))),
 )
 
 # monoid.numpy.* (reference graphblas/monoid/numpy.py: numpy-named monoids
@@ -667,8 +682,21 @@ binary.numpy = _Namespace(
 # numba fold for large inputs).
 monoid.numpy = _Namespace(
     add=monoid.plus, multiply=monoid.times,
-    maximum=monoid.max, minimum=monoid.min,
-    fmax=monoid.max, fmin=monoid.min,
+    # numpy NaN contract over folds: maximum/minimum PROPAGATE NaN,
+    # fmax/fmin IGNORE it.  Spark sorts NaN above every number, so the
+    # MAX aggregate already propagates (alias) but MIN silently ignores
+    # (needs a propagating Monoid); conversely fmin can alias MIN while
+    # fmax needs a NaN-filtered aggregate (all-NaN input lands on NULL —
+    # the empty-reduction convention used across the engine).
+    maximum=monoid.max,
+    minimum=Monoid("numpy.minimum",
+                   lambda c: F.when(F.max(F.isnan(c).cast("int")) == 1,
+                                    F.lit(float("nan"))).otherwise(F.min(c)),
+                   binary.numpy.minimum, None),
+    fmax=Monoid("numpy.fmax",
+                lambda c: F.max(F.when(~F.isnan(c), c)),
+                binary.numpy.fmax, None),
+    fmin=monoid.min,
     bitwise_and=monoid.band, bitwise_or=monoid.bor, bitwise_xor=monoid.bxor,
     equal=monoid.eq, logical_and=monoid.land, logical_or=monoid.lor,
     logical_xor=monoid.lxor,

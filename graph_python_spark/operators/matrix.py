@@ -688,12 +688,14 @@ class MatrixFrame:
         return bad.limit(1).count() == 0
 
     def isclose(self, other: "MatrixFrame", rel_tol: float = 1e-7, abs_tol: float = 0.0) -> bool:
+        # same kernel as binary.isclose — the reference's SYMMETRIC
+        # math.isclose formula, so every isclose surface agrees
+        from graph_python_spark.functions.ops import _isclose_factory
+
         a = self.df.withColumnRenamed("v", "_va")
         b = other.df.withColumnRenamed("v", "_vb")
         j = a.join(b, ["i", "j"], "full_outer")
-        close = F.abs(F.col("_va") - F.col("_vb")) <= (
-            F.lit(abs_tol) + F.lit(rel_tol) * F.abs(F.col("_vb"))
-        )
+        close = _isclose_factory(rel_tol, abs_tol)(F.col("_va"), F.col("_vb"))
         bad = j.filter(F.col("_va").isNull() | F.col("_vb").isNull() | ~close)
         return bad.limit(1).count() == 0
 

@@ -425,7 +425,10 @@ def stream_heavy_hitters(spark: SparkSession, path: str,
         # counts stay int64 end-to-end: an unbounded stream accumulates
         # per-bucket counts past 2^53, where float64 silently rounds and
         # quietly breaks the est <= true_count guarantee (ADVICE r4).
-        # pd.Series.add(fill_value=0) on two int64 series keeps int64.
+        # NOTE pd.Series.add(fill_value=0) promotes through float64 on
+        # any index misalignment (new token in a batch — the common
+        # case), so both operands are reindexed onto the union index
+        # with an int64 fill FIRST; int64 + int64 stays exact.
         if state.exists:
             tokens, counts, seen = state.get
             s = pd.Series(list(counts), index=list(tokens), dtype="int64")
@@ -434,7 +437,12 @@ def stream_heavy_hitters(spark: SparkSession, path: str,
         for pdf in pdfs:
             vc = pdf["token"].value_counts()
             seen += int(vc.sum())
-            s = vc if s is None else s.add(vc, fill_value=0).astype("int64")
+            if s is None:
+                s = vc
+            else:
+                union = s.index.union(vc.index)
+                s = (s.reindex(union, fill_value=0)
+                     + vc.reindex(union, fill_value=0))
             if len(s) > cap:
                 thr = s.nlargest(cap + 1).iloc[-1]
                 s = s[s > thr] - thr

@@ -305,3 +305,20 @@ def test_dup_op_build(spark):
         spark, [0, 0, 1], [1, 1, 0], [1, 2, 5], 2, 2, dup_op=F.sum, dtype="long"
     )
     assert mat_dict(m) == {(0, 1): 3, (1, 0): 5}
+
+
+def test_frame_isclose_symmetric_formula(spark):
+    """MatrixFrame.isclose / VectorFrame.isclose share binary.isclose's
+    symmetric reference formula (review r5): with rel_tol=0.05 the pair
+    (100, 95) is close under max(|a|,|b|) scaling — numpy's asymmetric
+    form would reject it in this argument order."""
+    from graph_python_spark.operators.vector import VectorFrame
+
+    A = MatrixFrame.from_coo(spark, [0], [0], [100.0], 1, 1)
+    B = MatrixFrame.from_coo(spark, [0], [0], [95.0], 1, 1)
+    assert A.isclose(B, rel_tol=0.05)
+    assert B.isclose(A, rel_tol=0.05)
+    assert not A.isclose(B, rel_tol=0.01)
+    va = VectorFrame.from_coo(spark, [0], [100.0], size=1)
+    vb = VectorFrame.from_coo(spark, [0], [95.0], size=1)
+    assert va.isclose(vb, rel_tol=0.05) and not va.isclose(vb, rel_tol=0.01)

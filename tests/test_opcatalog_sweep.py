@@ -688,7 +688,7 @@ def test_numpy_alias_namespaces(spark):
     assert U.numpy.arcsin is U.asin and U.numpy.negative is U.ainv
     assert U.numpy.invert is U.bnot and U.numpy.conjugate is U.conj
     assert B.numpy.add is B.plus and B.numpy.true_divide is B.truediv
-    assert B.numpy.fmax is B.max and B.numpy.arctan2 is B.atan2
+    assert B.numpy.arctan2 is B.atan2
     # exclusions are parity with the reference, not gaps
     for absent in ("remainder", "mod", "fmod", "left_shift", "gcd",
                    "nextafter"):
@@ -711,12 +711,27 @@ def test_numpy_alias_namespaces(spark):
         for g, w in zip(got, want):
             assert g == pytest.approx(w, rel=1e-12), (name, g, w)
 
+    nan, inf = float("nan"), float("inf")
     pairs = [(1.0, 3.0), (-7.0, 2.0), (2.5, -1.5), (10.0, 0.5)]
     pdf = spark.createDataFrame(pairs, "a double, b double")
     bchecks = {
         "floor_divide": np.floor_divide, "float_power": np.float_power,
         "logaddexp": np.logaddexp, "logaddexp2": np.logaddexp2,
     }
+    # numpy NaN contract (maximum/minimum propagate, fmax/fmin ignore)
+    # and the equal-infinity short-circuit of logaddexp(2)
+    npairs = [(nan, 2.0), (2.0, nan), (nan, nan), (1.0, 2.0),
+              (-inf, -inf), (inf, inf), (-inf, 3.0)]
+    ndf = spark.createDataFrame(npairs, "a double, b double")
+    for name in ("maximum", "minimum", "fmax", "fmin",
+                 "logaddexp", "logaddexp2"):
+        ufunc = getattr(np, name)
+        got = [r[0] for r in
+               ndf.select(B.numpy[name](F.col("a"), F.col("b"))).collect()]
+        for (a, b), g in zip(npairs, got):
+            w = float(ufunc(a, b))
+            same = (math.isnan(g) and math.isnan(w)) or g == pytest.approx(w)
+            assert same, (name, a, b, g, w)
     for name, ufunc in bchecks.items():
         got = [r[0] for r in
                pdf.select(B.numpy[name](F.col("a"), F.col("b"))).collect()]
@@ -738,7 +753,8 @@ def test_numpy_monoid_and_semiring_namespaces(spark):
     from graph_python_spark.functions.semiring import semiring as S
     from graph_python_spark.operators.matrix import MatrixFrame
 
-    assert M.numpy.add is M.plus and M.numpy.fmax is M.max
+    assert M.numpy.add is M.plus and M.numpy.maximum is M.max
+    assert M.numpy.fmin is M.min  # Spark MIN ignores NaN = np.fmin fold
     assert M.numpy.logical_xor is M.lxor and M.numpy.bitwise_and is M.band
     for absent in ("gcd", "lcm"):
         assert absent not in M.numpy  # numba-only in the reference
@@ -754,6 +770,13 @@ def test_numpy_monoid_and_semiring_namespaces(spark):
     got_l2 = df.agg(M.numpy.logaddexp2.agg(F.col("x")).alias("r")).collect()[0]["r"]
     want_l2 = functools.reduce(np.logaddexp2, vals)
     assert got_l2 == pytest.approx(float(want_l2), rel=1e-12)
+
+    # NaN folds: minimum propagates, fmax ignores (numpy reduce contract)
+    ndf = spark.createDataFrame([(2.0,), (float("nan"),), (5.0,)], "x double")
+    got_min = ndf.agg(M.numpy.minimum.agg(F.col("x")).alias("r")).collect()[0]["r"]
+    assert math.isnan(got_min)          # np.minimum.reduce -> nan
+    got_fmax = ndf.agg(M.numpy.fmax.agg(F.col("x")).alias("r")).collect()[0]["r"]
+    assert got_fmax == 5.0              # np.fmax.reduce ignores nan
 
     # semiring resolution: add_multiply == plus_times on an mxm; the
     # resolver caches and never registers
