@@ -99,3 +99,49 @@ def test_merge_into_mask_accum_replace(spark, old, delta, mcells,
     outside = {k: v for k, v in old.items() if k not in allowed}
     want = inside if replace else {**outside, **inside}
     assert got == want
+
+
+FLOATS = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False)
+
+
+@given(a=FLOATS, b=FLOATS,
+       rel=st.floats(min_value=0, max_value=0.5),
+       abs_tol=st.floats(min_value=0, max_value=10.0))
+@settings(**_SETTINGS)
+def test_isclose_symmetric_property(spark, a, b, rel, abs_tol):
+    """binary.isclose equals math.isclose (the reference formula) and is
+    SYMMETRIC in its arguments for arbitrary finite inputs and tolerances
+    — the property numpy's asymmetric form violates."""
+    import math
+
+    from graph_python_spark.functions.ops import binary as B
+
+    df = spark.createDataFrame([(a, b), (b, a)], "x double, y double")
+    op = B.isclose(rel, abs_tol)
+    got = [r[0] for r in df.select(op(F.col("x"), F.col("y"))).collect()]
+    want = math.isclose(a, b, rel_tol=rel, abs_tol=abs_tol)
+    assert got == [want, want]
+
+
+@given(fields=st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.sampled_from(["int8", "int32", "int64", "float32", "float64", "bool"]),
+    min_size=1, max_size=4))
+@settings(max_examples=20, deadline=None)
+def test_udt_registration_roundtrip(fields):
+    """register_anonymous is idempotent per layout: repeated registration
+    of the same structured dtype returns the same (deterministic) name,
+    and the Spark storage string reflects every field in order."""
+    import numpy as np
+
+    from graph_python_spark.functions import dtypes as dt
+
+    npdt = np.dtype([(k, v) for k, v in fields.items()])
+    n1 = dt.register_anonymous(npdt)
+    n2 = dt.register_anonymous(npdt)
+    assert n1 == n2
+    st_type = dt.spark_type(n1)
+    assert st_type.startswith("struct<")
+    for fname in fields:
+        assert f"{fname}: " in st_type
