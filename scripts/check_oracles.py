@@ -75,8 +75,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark(app="oracle-check", parallelism=8, shuffle_partitions=8)
+    # 4g result ceiling: at sf0.1 the dense-extent queries collect ~1 GiB
+    # through the driver for the comparison (a harness cost — the engine
+    # side never collects); DuckDB temp goes to the big disk, not tmpfs.
+    spark = get_spark(app="oracle-check", parallelism=8, shuffle_partitions=8,
+                      extra_conf={"spark.driver.maxResultSize": "4g"})
     con = duckdb.connect()
+    os.makedirs("/tmp/duckdb_tmp", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_tmp'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
